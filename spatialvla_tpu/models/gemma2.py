@@ -1,0 +1,268 @@
+"""Gemma2 decoder, TPU-native.
+
+Design (vs the reference's vendored torch decoder, model/modeling_gemma2.py):
+  - layers are *stacked* along a leading axis and iterated with
+    ``jax.lax.scan`` — one compiled layer body regardless of depth, and the
+    stacked parameter arrays shard cleanly along fsdp/model mesh axes;
+  - the KV cache is a static-shape (L, B, S_max, N_kv, D) buffer updated
+    with dynamic_update_slice (the reference's HybridCache is also static,
+    modeling_gemma2.py:712-720);
+  - sliding-window vs global attention alternates per layer
+    (even layers windowed: ``is_sliding = not bool(layer_idx % 2)``,
+    modeling_gemma2.py:343); both masks are precomputed once per call and
+    selected per scan step;
+  - semantics parity: sandwich RMSNorm (:444-448), attn softcap 50 (:182-185),
+    final logit softcap 30 (:994-997), query scaling
+    query_pre_attn_scalar**-0.5 (:342), embeddings scaled by sqrt(hidden)
+    in the input dtype (:739-742), fp32 RoPE (:111-119), fp32 softmax.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Gemma2Config
+from .attention import multi_head_attention
+from .layers import gelu_tanh, normal_init, rms_norm, softcap
+from .rope import apply_rope, rope_cos_sin
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_params(key: Array, cfg: Gemma2Config, dtype=jnp.float32) -> Params:
+    L, H, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    Nq, Nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    ks = jax.random.split(key, 8)
+    params = {
+        "embed": normal_init(ks[0], (cfg.vocab_size, H), dtype=dtype),
+        "layers": {
+            "attn": {
+                "q": normal_init(ks[1], (L, H, Nq * D), dtype=dtype),
+                "k": normal_init(ks[2], (L, H, Nkv * D), dtype=dtype),
+                "v": normal_init(ks[3], (L, H, Nkv * D), dtype=dtype),
+                "o": normal_init(ks[4], (L, Nq * D, H), dtype=dtype),
+            },
+            "mlp": {
+                "gate": normal_init(ks[5], (L, H, I), dtype=dtype),
+                "up": normal_init(ks[6], (L, H, I), dtype=dtype),
+                "down": normal_init(ks[7], (L, I, H), dtype=dtype),
+            },
+            "input_norm": jnp.zeros((L, H), dtype=dtype),
+            "post_attn_norm": jnp.zeros((L, H), dtype=dtype),
+            "pre_ffn_norm": jnp.zeros((L, H), dtype=dtype),
+            "post_ffn_norm": jnp.zeros((L, H), dtype=dtype),
+        },
+        "final_norm": jnp.zeros((H,), dtype=dtype),
+    }
+    if not cfg.tie_lm_head:
+        params["lm_head"] = normal_init(
+            jax.random.fold_in(key, 99), (H, cfg.vocab_size), dtype=dtype
+        )
+    return params
+
+
+def init_cache(cfg: Gemma2Config, batch: int, max_len: int, dtype=jnp.bfloat16) -> Params:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype=dtype), "v": jnp.zeros(shape, dtype=dtype)}
+
+
+def is_sliding_flags(cfg: Gemma2Config) -> Array:
+    """Even layers use the sliding window (modeling_gemma2.py:343)."""
+    return (jnp.arange(cfg.num_layers) % 2) == 0
+
+
+# ---------------------------------------------------------------------------
+# embedding
+# ---------------------------------------------------------------------------
+
+def embed_tokens(params: Params, input_ids: Array, dtype=None) -> Array:
+    emb = params["embed"]
+    if dtype is not None:
+        emb = emb.astype(dtype)
+    return jnp.take(emb, input_ids, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# layer body
+# ---------------------------------------------------------------------------
+
+def _attention_block(
+    lp: Params,
+    cfg: Gemma2Config,
+    x: Array,  # (B, T, H) post input-norm
+    cos: Array,
+    sin: Array,
+    mask: Array,  # (B, 1, T, S) bool
+    cache_kv: Optional[Tuple[Array, Array]],
+    cache_position: Optional[Array],
+) -> Tuple[Array, Optional[Tuple[Array, Array]]]:
+    B, T, H = x.shape
+    Nq, Nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = (x @ lp["q"].astype(x.dtype)).reshape(B, T, Nq, D)
+    k = (x @ lp["k"].astype(x.dtype)).reshape(B, T, Nkv, D)
+    v = (x @ lp["v"].astype(x.dtype)).reshape(B, T, Nkv, D)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    new_cache = None
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_position, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_position, 0, 0))
+        k, v = ck.astype(x.dtype), cv.astype(x.dtype)
+        new_cache = (ck, cv)
+
+    scale = cfg.query_pre_attn_scalar**-0.5
+    out = multi_head_attention(
+        q, k, v, mask, scale=scale, logit_softcap=cfg.attn_logit_softcap
+    )
+    out = out.reshape(B, T, Nq * D) @ lp["o"].astype(x.dtype)
+    return out, new_cache
+
+
+def _mlp_block(lp: Params, x: Array) -> Array:
+    gate = gelu_tanh(x @ lp["gate"].astype(x.dtype))
+    up = x @ lp["up"].astype(x.dtype)
+    return (gate * up) @ lp["down"].astype(x.dtype)
+
+
+def _decoder_layer(
+    cfg: Gemma2Config,
+    h: Array,
+    lp: Params,
+    is_sliding: Array,  # scalar bool
+    cos: Array,
+    sin: Array,
+    mask_global: Array,
+    mask_sliding: Array,
+    cache_kv: Optional[Tuple[Array, Array]],
+    cache_position: Optional[Array],
+):
+    mask = jnp.where(is_sliding, mask_sliding, mask_global)
+    x = rms_norm(lp["input_norm"], h, cfg.rms_norm_eps)
+    attn_out, new_cache = _attention_block(
+        lp["attn"], cfg, x, cos, sin, mask, cache_kv, cache_position
+    )
+    h = h + rms_norm(lp["post_attn_norm"], attn_out, cfg.rms_norm_eps)
+    x2 = rms_norm(lp["pre_ffn_norm"], h, cfg.rms_norm_eps)
+    mlp_out = _mlp_block(lp["mlp"], x2)
+    h = h + rms_norm(lp["post_ffn_norm"], mlp_out, cfg.rms_norm_eps)
+    return h, new_cache
+
+
+# ---------------------------------------------------------------------------
+# masks
+# ---------------------------------------------------------------------------
+
+def make_masks(
+    cfg: Gemma2Config,
+    base_mask: Array,  # (B, 1, T, S) bool — causal/prefix-LM/padding, prebuilt
+    q_positions: Array,  # (B, T) absolute positions (0-based cache slots)
+    k_positions: Array,  # (S,) absolute positions of cache slots
+) -> Tuple[Array, Array]:
+    """Returns (global_mask, sliding_mask). The sliding mask additionally
+    requires q_pos - k_pos < window (only past tokens beyond the window are
+    dropped, matching modeling_gemma2.py:461-473)."""
+    delta = q_positions[:, :, None] - k_positions[None, None, :]
+    within = (delta < cfg.sliding_window)[:, None]
+    return base_mask, base_mask & within
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def forward(
+    params: Params,
+    cfg: Gemma2Config,
+    inputs_embeds: Array,  # (B, T, H) — *unscaled*; scaling happens here
+    position_ids: Array,  # (B, T) 1-indexed RoPE positions
+    base_mask: Array,  # (B, 1, T, S) bool
+    *,
+    cache: Optional[Params] = None,
+    cache_position: Optional[Array] = None,  # scalar: first cache slot to write
+    use_remat: bool = False,
+) -> Tuple[Array, Optional[Params]]:
+    """Runs the decoder stack; returns (final_norm(h), new_cache).
+
+    When cache is None, attention spans the input itself (S == T).
+    cache_position indexes cache *slots* (0-based); RoPE uses position_ids
+    (the VLA passes cache slot + 1, PaliGemma convention)."""
+    B, T, H = inputs_embeds.shape
+
+    # sqrt(hidden) embedding scale, computed in the activation dtype so the
+    # bf16 rounding matches the reference (modeling_gemma2.py:739-742)
+    normalizer = jnp.asarray(cfg.hidden_size**0.5, dtype=inputs_embeds.dtype)
+    h = inputs_embeds * normalizer
+
+    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+
+    if cache is not None:
+        S = cache["k"].shape[2]
+        k_positions = jnp.arange(S)
+    else:
+        S = T
+        k_positions = jnp.arange(T)  # absolute slots of the input block
+    q_positions = (
+        jnp.arange(T)[None, :] + (cache_position if cache_position is not None else 0)
+    )
+    q_positions = jnp.broadcast_to(q_positions, (B, T))
+    mask_global, mask_sliding = make_masks(cfg, base_mask, q_positions, k_positions)
+
+    flags = is_sliding_flags(cfg)
+
+    def step(carry, xs):
+        lp, ck, cv, is_sliding = xs
+        cache_kv = (ck, cv) if cache is not None else None
+        hh, new_cache = _decoder_layer(
+            cfg, carry, lp, is_sliding, cos, sin, mask_global, mask_sliding,
+            cache_kv, cache_position,
+        )
+        ys = new_cache if new_cache is not None else (jnp.zeros((), h.dtype),) * 2
+        return hh, ys
+
+    if use_remat:
+        step = jax.checkpoint(step, prevent_cse=False)
+
+    if cache is not None:
+        xs = (params["layers"], cache["k"], cache["v"], flags)
+    else:
+        dummy = jnp.zeros((cfg.num_layers,), dtype=h.dtype)
+        xs = (params["layers"], dummy, dummy, flags)
+
+    h, ys = jax.lax.scan(step, h, xs)
+    new_cache = {"k": ys[0], "v": ys[1]} if cache is not None else None
+
+    h = rms_norm(params["final_norm"], h, cfg.rms_norm_eps)
+    return h, new_cache
+
+
+def compute_logits(
+    params: Params,
+    cfg: Gemma2Config,
+    hidden: Array,  # (B, T, H) final-normed
+    dtype=jnp.float32,
+) -> Array:
+    """lm_head + final logit softcap. fp32 MXU accumulation."""
+    head = params["lm_head"] if "lm_head" in params else params["embed"].T
+    logits = jnp.einsum(
+        "bth,hv->btv", hidden, head.astype(hidden.dtype),
+        preferred_element_type=dtype,
+    )
+    return softcap(logits, cfg.final_logit_softcap)
+
+
+def causal_base_mask(attention_mask: Array) -> Array:
+    """(B, T) padding mask -> (B, 1, T, T) causal bool mask."""
+    B, T = attention_mask.shape
+    causal = jnp.tril(jnp.ones((T, T), dtype=bool))
+    pad = attention_mask.astype(bool)
+    return causal[None, None] & pad[:, None, None, :]

@@ -1,9 +1,14 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-# exercised without TPU hardware (see SURVEY.md §4).
-os.environ["JAX_PLATFORMS"] = "cpu"
+# exercised without TPU hardware (see SURVEY.md §4). The axon sitecustomize
+# force-registers the TPU backend and overrides JAX_PLATFORMS, so we must
+# override via jax.config *before* any backend is initialized.
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
