@@ -1,0 +1,313 @@
+"""SpatialVLA fusion model: SigLIP tower + Ego3D position encoding +
+projector + Gemma2 LM + spatial action-token embedding table.
+
+Reference behavior (modeling_spatialvla.py):
+  - get_image_features (:308-333): SigLIP-normalize in-model (processor
+    ships raw pixels so ZoeDepth can reuse them), vision tower, ZoeDepth
+    depth (no-grad) -> backproject -> Ego3D MLP added to patch features,
+    linear projector, scale by hidden**-0.5;
+  - forward (:335-442): token embeddings with the separate trainable
+    spatial-token table overriding the frozen LM rows (:363-365), image
+    features scattered into <image> positions (:375-387), PaliGemma
+    1-indexed positions (:371-372), prefix-LM mask (:258-306), CE loss over
+    shifted logits masked by attention (:414-430);
+  - predict_action (:484-492): greedy decode; on TPU we decode a *static*
+    number of steps (3 tokens/action x chunk) with a scanned single-token
+    step over a static KV cache instead of a dynamic EOS loop.
+
+Divergence (documented): training mask here also blocks attention *to*
+right-pad key positions; the reference leaves pad keys attendable because
+padded token_type_ids==0 marks them as prefix (monkey_patch right-pads
+token_type_ids with 0). For unpadded samples the masks are identical.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SpatialVLAConfig
+from . import ego3d as ego3d_mod
+from . import gemma2 as gemma2_mod
+from . import siglip as siglip_mod
+from .layers import normal_init
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+SIGLIP_MEAN = 0.5
+SIGLIP_STD = 0.5
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_params(key: Array, cfg: SpatialVLAConfig, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 6)
+    params = {
+        "vision": siglip_mod.init_params(ks[0], cfg.vision, dtype=dtype),
+        "projector": {
+            "w": normal_init(ks[1], (cfg.vision.hidden_size, cfg.text.hidden_size), dtype=dtype),
+            "b": jnp.zeros((cfg.text.hidden_size,), dtype=dtype),
+        },
+        "lm": gemma2_mod.init_params(ks[2], cfg.text, dtype=dtype),
+    }
+    if cfg.use_spatial_token:
+        params["spatial_embed"] = normal_init(
+            ks[3], (cfg.spatial_token_num, cfg.text.hidden_size), dtype=dtype
+        )
+    if cfg.use_vision_zoe:
+        params["ego3d"] = ego3d_mod.init_params(ks[4], cfg.ego3d, dtype=dtype)
+        if cfg.zoe is not None:
+            from . import zoe as zoe_mod
+
+            params["zoe"] = zoe_mod.init_params(ks[5], cfg.zoe, dtype=dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# masks
+# ---------------------------------------------------------------------------
+
+def prefix_lm_mask(attention_mask: Array, token_type_ids: Array) -> Array:
+    """(B, T) pad mask + (B, T) token types (0 = prefix) ->
+    (B, 1, T, T) bool: allowed(q, k) = pad[k] & (k <= q | is_prefix[k])."""
+    B, T = attention_mask.shape
+    pad = attention_mask.astype(bool)
+    prefix = (token_type_ids == 0) & pad
+    causal = jnp.tril(jnp.ones((T, T), dtype=bool))
+    allowed = causal[None] | prefix[:, None, :]
+    return (allowed & pad[:, None, :])[:, None]
+
+
+def bidirectional_prefill_mask(prefix_len: int, cache_len: int, batch: int) -> Array:
+    """Inference prefill over an unpadded prefix: fully bidirectional over
+    the prefix (the non-training branch of _update_causal_mask,
+    modeling_spatialvla.py:294), keys limited to written cache slots."""
+    k_ok = jnp.arange(cache_len) < prefix_len
+    return jnp.broadcast_to(k_ok, (batch, 1, prefix_len, cache_len))
+
+
+# ---------------------------------------------------------------------------
+# vision path
+# ---------------------------------------------------------------------------
+
+def get_image_features(
+    params: Params,
+    cfg: SpatialVLAConfig,
+    pixel_values: Array,  # (B, H, W, 3) raw pixels in [0, 1], NHWC
+    intrinsic: Optional[Array],  # (B, 3, 3)
+    *,
+    depth: Optional[Array] = None,  # (B, H, W) metric depth, overrides Zoe
+    use_remat: bool = False,
+) -> Array:
+    """Returns (B, num_patches, lm_hidden) projected image features."""
+    siglip_pixels = (pixel_values - SIGLIP_MEAN) / SIGLIP_STD
+    feats = siglip_mod.forward(
+        params["vision"], cfg.vision, siglip_pixels, use_remat=use_remat
+    )  # (B, N, Hv)
+
+    if cfg.use_vision_zoe:
+        if depth is None:
+            from . import zoe as zoe_mod
+
+            depth = zoe_mod.predict_depth(
+                params["zoe"], cfg.zoe, pixel_values,
+                target_hw=pixel_values.shape[1:3],
+            )
+        depth = jax.lax.stop_gradient(depth)  # frozen depth branch (:315)
+        xyz = ego3d_mod.backproject_patch(
+            intrinsic,
+            depth,
+            image_size=cfg.vision.image_size,
+            patch_size=cfg.vision.patch_size,
+            reso=cfg.ego3d.patch_reso,
+        )
+        pos3d = ego3d_mod.forward(params["ego3d"], cfg.ego3d, xyz, dtype=feats.dtype)
+        feats = feats + pos3d
+
+    proj = params["projector"]
+    feats = feats @ proj["w"].astype(feats.dtype) + proj["b"].astype(feats.dtype)
+    return feats / (cfg.text.hidden_size**0.5)
+
+
+# ---------------------------------------------------------------------------
+# embedding merge
+# ---------------------------------------------------------------------------
+
+def merge_input_embeddings(
+    params: Params,
+    cfg: SpatialVLAConfig,
+    input_ids: Array,  # (B, T)
+    image_features: Optional[Array],  # (B, N, H) or None
+    dtype=None,
+) -> Array:
+    embeds = gemma2_mod.embed_tokens(params["lm"], input_ids, dtype=dtype)
+
+    if cfg.use_spatial_token and "spatial_embed" in params:
+        begin = cfg.action_token_begin_idx
+        is_spatial = (input_ids >= begin) & (input_ids < begin + cfg.spatial_token_num)
+        local = jnp.clip(input_ids - begin, 0, cfg.spatial_token_num - 1)
+        spatial = jnp.take(params["spatial_embed"].astype(embeds.dtype), local, axis=0)
+        embeds = jnp.where(is_spatial[..., None], spatial, embeds)
+
+    if image_features is not None:
+        is_image = input_ids == cfg.image_token_index
+        # j-th image token in each row <- image_features[:, j]
+        slot = jnp.clip(jnp.cumsum(is_image, axis=1) - 1, 0, image_features.shape[1] - 1)
+        gathered = jnp.take_along_axis(
+            image_features.astype(embeds.dtype), slot[..., None], axis=1
+        )
+        embeds = jnp.where(is_image[..., None], gathered, embeds)
+    return embeds
+
+
+# ---------------------------------------------------------------------------
+# training / full forward
+# ---------------------------------------------------------------------------
+
+def forward(
+    params: Params,
+    cfg: SpatialVLAConfig,
+    input_ids: Array,
+    *,
+    pixel_values: Optional[Array] = None,
+    intrinsic: Optional[Array] = None,
+    attention_mask: Optional[Array] = None,
+    token_type_ids: Optional[Array] = None,
+    labels: Optional[Array] = None,
+    depth: Optional[Array] = None,
+    use_remat: bool = False,
+    compute_dtype=None,
+) -> Dict[str, Array]:
+    """Full forward (no cache). Returns {'logits', 'loss'?, 'hidden'}."""
+    B, T = input_ids.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((B, T), dtype=jnp.int32)
+
+    image_features = None
+    if pixel_values is not None:
+        image_features = get_image_features(
+            params, cfg, pixel_values, intrinsic, depth=depth, use_remat=use_remat
+        )
+
+    embeds = merge_input_embeddings(params, cfg, input_ids, image_features, dtype=compute_dtype)
+
+    if token_type_ids is not None:
+        base_mask = prefix_lm_mask(attention_mask, token_type_ids)
+    else:
+        base_mask = gemma2_mod.causal_base_mask(attention_mask)
+
+    position_ids = jnp.cumsum(attention_mask, axis=1)  # 1-indexed (PaliGemma)
+    hidden, _ = gemma2_mod.forward(
+        params["lm"], cfg.text, embeds, position_ids, base_mask, use_remat=use_remat
+    )
+    logits = gemma2_mod.compute_logits(params["lm"], cfg.text, hidden)
+
+    out = {"logits": logits, "hidden": hidden}
+    if labels is not None:
+        out["loss"] = cross_entropy_loss(
+            logits, labels, attention_mask, ignore_index=cfg.ignore_index
+        )
+    return out
+
+
+def cross_entropy_loss(
+    logits: Array,  # (B, T, V) fp32
+    labels: Array,  # (B, T) with ignore_index masking
+    attention_mask: Array,  # (B, T)
+    ignore_index: int = -100,
+) -> Array:
+    """Next-token CE, mean over valid targets (modeling_spatialvla.py:414-430:
+    shift, drop positions whose *shifted* attention mask is 0, ignore -100)."""
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    shift_attn = attention_mask[:, 1:]
+    valid = (shift_labels != ignore_index) & (shift_attn != 0)
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return nll.sum() / jnp.maximum(valid.sum(), 1)
+
+
+# ---------------------------------------------------------------------------
+# greedy generation (prefill + static scanned decode)
+# ---------------------------------------------------------------------------
+
+def generate_greedy(
+    params: Params,
+    cfg: SpatialVLAConfig,
+    input_ids: Array,  # (B, P) unpadded prefix (image tokens + prompt)
+    *,
+    pixel_values: Optional[Array] = None,
+    intrinsic: Optional[Array] = None,
+    depth: Optional[Array] = None,
+    max_new_tokens: int = 12,
+    cache_dtype=jnp.bfloat16,
+    compute_dtype=None,
+) -> Array:
+    """Returns (B, max_new_tokens) generated token ids.
+
+    Static-shape two-program structure (prefill + scanned decode steps), the
+    TPU-idiomatic replacement for HF generate() with HybridCache
+    (modeling_spatialvla.py:444-492)."""
+    B, P = input_ids.shape
+    S = P + max_new_tokens
+
+    image_features = None
+    if pixel_values is not None:
+        image_features = get_image_features(params, cfg, pixel_values, intrinsic, depth=depth)
+    embeds = merge_input_embeddings(params, cfg, input_ids, image_features, dtype=compute_dtype)
+
+    cache = gemma2_mod.init_cache(cfg.text, B, S, dtype=cache_dtype)
+    position_ids = jnp.arange(1, P + 1)[None].repeat(B, 0)
+    mask = bidirectional_prefill_mask(P, S, B)
+    hidden, cache = gemma2_mod.forward(
+        params["lm"], cfg.text, embeds, position_ids, mask, cache=cache, cache_position=0
+    )
+    logits = gemma2_mod.compute_logits(params["lm"], cfg.text, hidden[:, -1:])
+    next_token = jnp.argmax(logits[:, 0], axis=-1)  # (B,)
+
+    k_idx = jnp.arange(S)
+
+    def step(carry, t):
+        cache, tok = carry
+        # spatial-token override applies to generated action tokens too
+        embeds = merge_input_embeddings(params, cfg, tok[:, None], None, dtype=compute_dtype)
+        pos = (P + t + 1) * jnp.ones((B, 1), dtype=jnp.int32)
+        step_mask = jnp.broadcast_to(k_idx <= P + t, (B, 1, 1, S))
+        hidden, new_cache = gemma2_mod.forward(
+            params["lm"], cfg.text, embeds, pos, step_mask,
+            cache=cache, cache_position=P + t,
+        )
+        logits = gemma2_mod.compute_logits(params["lm"], cfg.text, hidden)
+        nxt = jnp.argmax(logits[:, 0], axis=-1)
+        return (new_cache, nxt), tok
+
+    (_, last), toks = jax.lax.scan(step, (cache, next_token), jnp.arange(max_new_tokens - 1))
+    # toks: (steps-1, B) tokens emitted at entry of each step; append last
+    out = jnp.concatenate([toks.T, last[:, None]], axis=1) if max_new_tokens > 1 else last[:, None]
+    return out
+
+
+def predict_action(
+    params: Params,
+    cfg: SpatialVLAConfig,
+    input_ids: Array,
+    *,
+    pixel_values: Optional[Array] = None,
+    intrinsic: Optional[Array] = None,
+    depth: Optional[Array] = None,
+    action_chunk_size: int = 4,
+    compute_dtype=jnp.bfloat16,
+) -> Array:
+    """Greedy-decode exactly 3 * chunk spatial action token ids
+    (3 tokens per action step: translation, rotation, gripper)."""
+    return generate_greedy(
+        params, cfg, input_ids,
+        pixel_values=pixel_values, intrinsic=intrinsic, depth=depth,
+        max_new_tokens=3 * action_chunk_size, compute_dtype=compute_dtype,
+    )

@@ -1,0 +1,136 @@
+"""Fusion-model tests: embedding merge, prefix-LM training forward, and
+greedy decode consistency (cache decode == iterated full forward)."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spatialvla_tpu.config import spatialvla_tiny
+from spatialvla_tpu.models import spatialvla
+
+CFG = spatialvla_tiny(use_vision_zoe=False)
+# ego3d-enabled variant with externally supplied depth (no Zoe weights)
+CFG3D = dataclasses.replace(CFG, use_vision_zoe=True)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return spatialvla.init_params(jax.random.PRNGKey(0), CFG)
+
+
+@pytest.fixture(scope="module")
+def params3d():
+    return spatialvla.init_params(jax.random.PRNGKey(0), CFG3D)
+
+
+def _make_inputs(rng, B=2, n_text=5, n_action=6):
+    N = CFG.num_image_tokens
+    img_ids = np.full((B, N), CFG.image_token_index)
+    text_ids = rng.randint(0, 1000, (B, n_text))
+    act_ids = rng.randint(
+        CFG.action_token_begin_idx, CFG.action_token_begin_idx + CFG.spatial_token_num,
+        (B, n_action),
+    )
+    ids = np.concatenate([img_ids, text_ids, act_ids], axis=1)
+    ttype = np.concatenate(
+        [np.zeros((B, N + n_text), np.int32), np.ones((B, n_action), np.int32)], axis=1
+    )
+    pixels = rng.rand(B, CFG.vision.image_size, CFG.vision.image_size, 3).astype(np.float32)
+    return jnp.asarray(ids), jnp.asarray(ttype), jnp.asarray(pixels)
+
+
+def test_merge_embeddings_places_image_and_spatial(params):
+    rng = np.random.RandomState(0)
+    ids, _, _ = _make_inputs(rng, B=1)
+    N = CFG.num_image_tokens
+    feats = jnp.arange(N, dtype=jnp.float32)[None, :, None].repeat(
+        CFG.text.hidden_size, -1
+    )  # feature j = const j
+    emb = spatialvla.merge_input_embeddings(params, CFG, ids, feats)
+    emb = np.asarray(emb)
+    # image positions carry feature j
+    for j in [0, 3, N - 1]:
+        np.testing.assert_allclose(emb[0, j], j, atol=1e-6)
+    # spatial action positions use the spatial table, not the LM table
+    local = int(np.asarray(ids)[0, -1]) - CFG.action_token_begin_idx
+    np.testing.assert_allclose(
+        emb[0, -1], np.asarray(params["spatial_embed"])[local], atol=1e-6
+    )
+
+
+def test_training_forward_loss(params):
+    rng = np.random.RandomState(1)
+    ids, ttype, pixels = _make_inputs(rng)
+    labels = np.where(np.asarray(ttype) == 0, -100, np.asarray(ids))
+    out = spatialvla.forward(
+        params, CFG, ids,
+        pixel_values=pixels, token_type_ids=ttype, labels=jnp.asarray(labels),
+    )
+    assert out["logits"].shape == (2, ids.shape[1], CFG.text.vocab_size)
+    loss = float(out["loss"])
+    assert np.isfinite(loss) and loss > 0
+    # random init -> loss near ln(vocab)
+    assert abs(loss - np.log(CFG.text.vocab_size)) < 2.0
+
+
+def test_prefix_lm_mask_semantics():
+    attn = jnp.asarray([[1, 1, 1, 1, 0]])
+    ttype = jnp.asarray([[0, 0, 1, 1, 0]])
+    m = np.asarray(spatialvla.prefix_lm_mask(attn, ttype))[0, 0]
+    # query 0 can see prefix key 1 (bidirectional prefix)
+    assert m[0, 1]
+    # query 0 cannot see suffix key 2
+    assert not m[0, 2]
+    # causal within suffix
+    assert m[3, 2] and not m[2, 3]
+    # nobody attends to padding
+    assert not m[:, 4].any()
+
+
+def test_ego3d_path_changes_features(params3d):
+    rng = np.random.RandomState(2)
+    ids, ttype, pixels = _make_inputs(rng, B=1)
+    K = jnp.asarray([[[100.0, 0, 28], [0, 100.0, 28], [0, 0, 1]]])
+    depth = jnp.ones((1, CFG.vision.image_size, CFG.vision.image_size)) * 1.5
+    f_with = spatialvla.get_image_features(params3d, CFG3D, pixels, K, depth=depth)
+    f_without = spatialvla.get_image_features(params3d, CFG, pixels, None)
+    assert f_with.shape == f_without.shape
+    assert not np.allclose(np.asarray(f_with), np.asarray(f_without))
+    assert np.isfinite(np.asarray(f_with)).all()
+
+
+def test_greedy_decode_matches_iterated_full_forward(params):
+    rng = np.random.RandomState(3)
+    B, n_text = 1, 4
+    N = CFG.num_image_tokens
+    ids = np.concatenate(
+        [np.full((B, N), CFG.image_token_index), rng.randint(0, 1000, (B, n_text))], axis=1
+    )
+    pixels = rng.rand(B, CFG.vision.image_size, CFG.vision.image_size, 3).astype(np.float32)
+    steps = 5
+
+    gen = np.asarray(
+        spatialvla.generate_greedy(
+            params, CFG, jnp.asarray(ids), pixel_values=jnp.asarray(pixels),
+            max_new_tokens=steps, cache_dtype=jnp.float32,
+        )
+    )
+
+    # oracle: iterated full forward with prefix-LM mask (prefix bidirectional,
+    # generated tokens causal)
+    cur = ids.copy()
+    P = ids.shape[1]
+    for _ in range(steps):
+        T = cur.shape[1]
+        ttype = np.concatenate([np.zeros((B, P)), np.ones((B, T - P))], axis=1).astype(np.int32)
+        out = spatialvla.forward(
+            params, CFG, jnp.asarray(cur), pixel_values=jnp.asarray(pixels),
+            token_type_ids=jnp.asarray(ttype),
+        )
+        nxt = np.argmax(np.asarray(out["logits"])[:, -1], axis=-1)
+        cur = np.concatenate([cur, nxt[:, None]], axis=1)
+
+    np.testing.assert_array_equal(gen, cur[:, P:])
