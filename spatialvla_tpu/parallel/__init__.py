@@ -1,0 +1,29 @@
+from .mesh import (
+    AXES,
+    MeshConfig,
+    batch_sharding,
+    initialize_distributed,
+    make_mesh,
+    replicated,
+)
+from .partitioning import (
+    DEFAULT_RULES,
+    param_pspecs,
+    param_shardings,
+    shard_params,
+    spec_for,
+)
+
+__all__ = [
+    "AXES",
+    "DEFAULT_RULES",
+    "MeshConfig",
+    "batch_sharding",
+    "initialize_distributed",
+    "make_mesh",
+    "param_pspecs",
+    "param_shardings",
+    "replicated",
+    "shard_params",
+    "spec_for",
+]

@@ -1,0 +1,148 @@
+"""pjit train step: bf16 compute over fp32 master params, remat, optional
+micro-batch gradient accumulation, on-device action metrics.
+
+Replaces the reference's HF Trainer + DeepSpeed engine + monkey-patched
+compute_loss (train/monkey_patch.py) with one compiled XLA program: the
+mesh shardings on params/batch make GSPMD insert the gradient all-reduce
+(== DDP/NCCL) and parameter/optimizer-state all-gathers (== ZeRO)
+automatically.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import SpatialVLAConfig
+from ..models import spatialvla
+from .metrics import action_metrics
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStepConfig:
+    use_remat: bool = True
+    compute_dtype: Any = jnp.bfloat16
+    micro_steps: int = 1  # gradient accumulation
+
+
+def make_loss_fn(cfg: SpatialVLAConfig, step_cfg: TrainStepConfig, luts=None):
+    def loss_fn(params: Params, batch: Dict[str, jnp.ndarray]):
+        out = spatialvla.forward(
+            params,
+            cfg,
+            batch["input_ids"],
+            pixel_values=batch.get("pixel_values"),
+            intrinsic=batch.get("intrinsic"),
+            attention_mask=batch.get("attention_mask"),
+            token_type_ids=batch.get("token_type_ids"),
+            labels=batch["labels"],
+            depth=batch.get("depth"),
+            use_remat=step_cfg.use_remat,
+            compute_dtype=step_cfg.compute_dtype,
+        )
+        metrics = action_metrics(
+            out["logits"],
+            batch["labels"],
+            batch.get("attention_mask", jnp.ones_like(batch["input_ids"])),
+            begin_idx=cfg.action_token_begin_idx,
+            luts=luts,
+        )
+        metrics["loss"] = out["loss"]
+        return out["loss"], metrics
+
+    return loss_fn
+
+
+def make_train_step(
+    cfg: SpatialVLAConfig,
+    tx: optax.GradientTransformation,
+    step_cfg: TrainStepConfig = TrainStepConfig(),
+    luts=None,
+) -> Callable:
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    state = {'params', 'opt_state', 'step'}; batch leaves are (B, ...) or
+    (M, B, ...) when step_cfg.micro_steps > 1 (scanned accumulation)."""
+    loss_fn = make_loss_fn(cfg, step_cfg, luts=luts)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def compute_grads(params, batch):
+        if step_cfg.micro_steps == 1:
+            (_, metrics), grads = grad_fn(params, batch)
+            return grads, metrics
+
+        def micro(carry, mb):
+            acc = carry
+            (_, metrics), grads = grad_fn(params, mb)
+            acc = jax.tree_util.tree_map(
+                lambda a, g: a + g.astype(jnp.float32), acc, grads
+            )
+            return acc, metrics
+
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+        acc, metrics = jax.lax.scan(micro, zeros, batch)
+        grads = jax.tree_util.tree_map(lambda g: g / step_cfg.micro_steps, acc)
+        metrics = jax.tree_util.tree_map(lambda m: m.mean(), metrics)
+        return grads, metrics
+
+    def train_step(state, batch):
+        grads, metrics = compute_grads(state["params"], batch)
+        updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return {
+            "params": params,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }, metrics
+
+    return train_step
+
+
+def init_train_state(params: Params, tx: optax.GradientTransformation):
+    return {
+        "params": params,
+        "opt_state": tx.init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def jit_train_step(
+    train_step: Callable,
+    mesh,
+    state,
+    *,
+    batch_pspec=None,
+    donate: bool = True,
+):
+    """Wrap a train step in jit with mesh shardings: state shardings taken
+    from the materialized state (leaves not already sharded on this mesh —
+    e.g. optimizer step counters created eagerly — are replicated), batch
+    sharded over (data, fsdp). Returns (jitted_step, state) with the state
+    re-placed consistently."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def leaf_sharding(x):
+        s = getattr(x, "sharding", None)
+        if isinstance(s, NamedSharding) and s.mesh.shape == mesh.shape and s.mesh.devices.tolist() == mesh.devices.tolist():
+            return s
+        return NamedSharding(mesh, P())
+
+    state_shardings = jax.tree_util.tree_map(leaf_sharding, state)
+    state = jax.tree_util.tree_map(jax.device_put, state, state_shardings)
+    bspec = batch_pspec or P(("data", "fsdp"))
+    batch_sharding = NamedSharding(mesh, bspec)
+    jitted = jax.jit(
+        train_step,
+        in_shardings=(state_shardings, batch_sharding),
+        out_shardings=(state_shardings, None),
+        donate_argnums=(0,) if donate else (),
+    )
+    return jitted, state
