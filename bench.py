@@ -1,0 +1,64 @@
+"""End-of-round benchmark: flagship spatialvla-4b-224 greedy action
+inference on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference serves spatialvla-4b on one A100 (README.md:93,
+8.5 GB inference). No actions/sec number is published; we use a
+roofline-derived A100 estimate for the same workload (prefill ~278 tokens +
+12 greedy decode steps on the ~3B-param bf16 VLM + SigLIP tower, action
+chunk 4): ~57 actions/sec. vs_baseline = ours / 57.
+"""
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_ACTIONS_PER_SEC = 57.0
+ACTION_CHUNK = 4  # actions per generate call (3 tokens each)
+
+
+def main():
+    from __graft_entry__ import _example_batch, _flagship_cfg
+    from spatialvla_tpu.models import spatialvla
+
+    cfg = _flagship_cfg()
+    params = spatialvla.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    batch = _example_batch(cfg, B=1, n_text=10, n_action=0)
+    prefix_len = int(batch["input_ids"].shape[1])
+
+    @jax.jit
+    def predict(params, input_ids, pixel_values, intrinsic, depth):
+        return spatialvla.predict_action(
+            params, cfg, input_ids,
+            pixel_values=pixel_values, intrinsic=intrinsic, depth=depth,
+            action_chunk_size=ACTION_CHUNK, compute_dtype=jnp.bfloat16,
+        )
+
+    args = (params, batch["input_ids"], batch["pixel_values"], batch["intrinsic"],
+            batch["depth"])
+    # warmup/compile
+    out = predict(*args)
+    out.block_until_ready()
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = predict(*args)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    actions_per_sec = ACTION_CHUNK / dt
+    print(json.dumps({
+        "metric": "spatialvla-4b-224 greedy inference (chunk=4, prefix=%d)" % prefix_len,
+        "value": round(actions_per_sec, 2),
+        "unit": "actions/sec/chip",
+        "vs_baseline": round(actions_per_sec / A100_BASELINE_ACTIONS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
