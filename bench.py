@@ -40,15 +40,15 @@ def main():
 
     args = (params, batch["input_ids"], batch["pixel_values"], batch["intrinsic"],
             batch["depth"])
-    # warmup/compile
-    out = predict(*args)
-    out.block_until_ready()
+    # warmup/compile (sync via host transfer: block_until_ready is not
+    # reliable on the experimental axon backend)
+    np.asarray(predict(*args))
 
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = predict(*args)
-    out.block_until_ready()
+    np.asarray(out)
     dt = (time.perf_counter() - t0) / n_iters
 
     actions_per_sec = ACTION_CHUNK / dt

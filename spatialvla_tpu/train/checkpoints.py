@@ -1,0 +1,84 @@
+"""Orbax checkpointing: the TPU-native replacement for the reference's HF
+Trainer + DeepSpeed checkpoint stack (SURVEY.md §5.4 — save every N steps,
+keep K, processor artifacts beside each checkpoint, auto-resume from the
+latest)."""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Step-numbered async checkpoints of the full train state + sidecar
+    JSON artifacts (model config, processor state)."""
+
+    def __init__(
+        self,
+        directory: str,
+        *,
+        save_interval_steps: int = 1,
+        max_to_keep: int = 3,
+    ):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            save_interval_steps=save_interval_steps,
+            max_to_keep=max_to_keep,
+            enable_async_checkpointing=True,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: Dict[str, Any], *, sidecar: Optional[Dict] = None, force: bool = False) -> bool:
+        saved = self._mgr.save(
+            step, args=ocp.args.StandardSave(state), force=force
+        )
+        if saved and sidecar and jax.process_index() == 0:
+            path = os.path.join(self.directory, "artifacts.json")
+            with open(path, "w") as f:
+                json.dump(sidecar, f, indent=2)
+        return saved
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_like: Dict[str, Any], step: Optional[int] = None):
+        """Restore into the structure/shardings of `state_like` (pass the
+        freshly initialized state so shardings are preserved)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_like)
+        )
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+
+def save_params(directory: str, params, *, config_json: Optional[str] = None):
+    """One-shot export of bare params (inference checkpoint)."""
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(directory, "params"), params)
+    ckptr.wait_until_finished()
+    if config_json is not None:
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            f.write(config_json)
+
+
+def load_params(directory: str, params_like=None):
+    directory = os.path.abspath(directory)
+    ckptr = ocp.StandardCheckpointer()
+    path = os.path.join(directory, "params")
+    if params_like is not None:
+        return ckptr.restore(path, params_like)
+    return ckptr.restore(path)

@@ -106,6 +106,66 @@ def make_train_step(
     return train_step
 
 
+def make_lora_train_step(
+    cfg: SpatialVLAConfig,
+    tx: optax.GradientTransformation,
+    step_cfg: TrainStepConfig = TrainStepConfig(),
+    *,
+    alpha: float = 32.0,
+    rank: int = 32,
+    luts=None,
+) -> Callable:
+    """LoRA step: state holds only {'lora': factors, 'saved': full tensors}
+    + opt state; frozen base params are a separate argument (no optimizer
+    state for them — the ZeRO-friendly version of peft fine-tuning).
+
+    train_step(state, base_params, batch) -> (state, metrics)."""
+    from .lora import insert_saved, lora_merge
+
+    loss_inner = make_loss_fn(cfg, step_cfg, luts=luts)
+
+    def loss_fn(trainable, base_params, batch):
+        params = insert_saved(base_params, trainable["saved"])
+        params = lora_merge(params, trainable["lora"], alpha=alpha, rank=rank)
+        return loss_inner(params, batch)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(state, base_params, batch):
+        (_, metrics), grads = grad_fn(state["trainable"], base_params, batch)
+        updates, opt_state = tx.update(grads, state["opt_state"], state["trainable"])
+        trainable = optax.apply_updates(state["trainable"], updates)
+        return {
+            "trainable": trainable,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }, metrics
+
+    return train_step
+
+
+def init_lora_train_state(
+    key,
+    base_params: Params,
+    tx: optax.GradientTransformation,
+    *,
+    target_patterns,
+    rank: int = 32,
+    saved_patterns=None,
+):
+    from .lora import DEFAULT_SAVED, extract_saved, lora_init
+
+    trainable = {
+        "lora": lora_init(key, base_params, target_patterns=target_patterns, rank=rank),
+        "saved": extract_saved(base_params, saved_patterns or DEFAULT_SAVED),
+    }
+    return {
+        "trainable": trainable,
+        "opt_state": tx.init(trainable),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
 def init_train_state(params: Params, tx: optax.GradientTransformation):
     return {
         "params": params,
