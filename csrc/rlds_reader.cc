@@ -1,0 +1,463 @@
+// Native RLDS shard reader: the TPU-host replacement for the C++ tf.data
+// runtime the reference leans on (SURVEY.md §2.3). Provides:
+//   - TFRecord record framing with crc32c (SSE4.2 hardware CRC when
+//     available, table fallback)
+//   - a minimal tf.train.Example wire parser (bytes/float/int64 lists)
+//   - JPEG decode (libjpeg) fused with area resize to the model input size
+//   - a multithreaded prefetching record pipeline over a list of shards
+// Exposed as a C ABI for ctypes (no pybind11 dependency).
+//
+// Build: make -C csrc   ->  libspatialvla_data.so
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+#include <jpeglib.h>
+#include <setjmp.h>
+
+// ---------------------------------------------------------------------------
+// crc32c
+// ---------------------------------------------------------------------------
+
+static uint32_t g_crc_table[256];
+static bool g_crc_init = false;
+
+static void crc_table_init() {
+  if (g_crc_init) return;
+  for (uint32_t i = 0; i < 256; i++) {
+    uint32_t c = i;
+    for (int k = 0; k < 8; k++) c = (c & 1) ? (0x82F63B78u ^ (c >> 1)) : (c >> 1);
+    g_crc_table[i] = c;
+  }
+  g_crc_init = true;
+}
+
+#if defined(__SSE4_2__)
+#include <nmmintrin.h>
+static uint32_t crc32c(const uint8_t* data, size_t n) {
+  uint32_t crc = 0xFFFFFFFFu;
+  size_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    uint64_t v;
+    memcpy(&v, data + i, 8);
+    crc = (uint32_t)_mm_crc32_u64(crc, v);
+  }
+  for (; i < n; i++) crc = _mm_crc32_u8(crc, data[i]);
+  return crc ^ 0xFFFFFFFFu;
+}
+#else
+static uint32_t crc32c(const uint8_t* data, size_t n) {
+  crc_table_init();
+  uint32_t crc = 0xFFFFFFFFu;
+  for (size_t i = 0; i < n; i++)
+    crc = g_crc_table[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
+  return crc ^ 0xFFFFFFFFu;
+}
+#endif
+
+static uint32_t masked_crc32c(const uint8_t* data, size_t n) {
+  uint32_t crc = crc32c(data, n);
+  return ((crc >> 15) | (crc << 17)) + 0xA282EAD8u;
+}
+
+// ---------------------------------------------------------------------------
+// proto wire parsing
+// ---------------------------------------------------------------------------
+
+struct Slice {
+  const uint8_t* p;
+  size_t n;
+};
+
+static bool read_varint(Slice& s, uint64_t* out) {
+  uint64_t r = 0;
+  int shift = 0;
+  while (s.n) {
+    uint8_t b = *s.p;
+    s.p++;
+    s.n--;
+    r |= (uint64_t)(b & 0x7F) << shift;
+    if (!(b & 0x80)) {
+      *out = r;
+      return true;
+    }
+    shift += 7;
+    if (shift > 63) return false;
+  }
+  return false;
+}
+
+static bool skip_field(Slice& s, uint32_t wt) {
+  uint64_t v;
+  switch (wt) {
+    case 0: return read_varint(s, &v);
+    case 1: if (s.n < 8) return false; s.p += 8; s.n -= 8; return true;
+    case 2:
+      if (!read_varint(s, &v) || s.n < v) return false;
+      s.p += v; s.n -= v; return true;
+    case 5: if (s.n < 4) return false; s.p += 4; s.n -= 4; return true;
+    default: return false;
+  }
+}
+
+static bool read_ld(Slice& s, Slice* out) {
+  uint64_t len;
+  if (!read_varint(s, &len) || s.n < len) return false;
+  out->p = s.p;
+  out->n = len;
+  s.p += len;
+  s.n -= len;
+  return true;
+}
+
+struct Feature {
+  int type = 0;  // 1 bytes, 2 float, 3 int64
+  std::vector<Slice> bytes_vals;     // views into the record buffer
+  std::vector<float> float_vals;
+  std::vector<int64_t> int_vals;
+};
+
+struct ParsedExample {
+  std::vector<uint8_t> owned;  // copy of the payload (slices point here)
+  std::unordered_map<std::string, Feature> features;
+};
+
+static void parse_feature(Slice s, Feature* f) {
+  while (s.n) {
+    uint64_t tag;
+    if (!read_varint(s, &tag)) return;
+    uint32_t field = tag >> 3, wt = tag & 7;
+    if (wt != 2) { if (!skip_field(s, wt)) return; continue; }
+    Slice sub;
+    if (!read_ld(s, &sub)) return;
+    if (field == 1) {  // BytesList
+      f->type = 1;
+      while (sub.n) {
+        uint64_t t2;
+        if (!read_varint(sub, &t2)) return;
+        if ((t2 >> 3) == 1 && (t2 & 7) == 2) {
+          Slice v;
+          if (!read_ld(sub, &v)) return;
+          f->bytes_vals.push_back(v);
+        } else if (!skip_field(sub, t2 & 7)) return;
+      }
+    } else if (field == 2) {  // FloatList
+      f->type = 2;
+      while (sub.n) {
+        uint64_t t2;
+        if (!read_varint(sub, &t2)) return;
+        if ((t2 >> 3) == 1 && (t2 & 7) == 2) {
+          Slice v;
+          if (!read_ld(sub, &v)) return;
+          size_t cnt = v.n / 4;
+          size_t base = f->float_vals.size();
+          f->float_vals.resize(base + cnt);
+          memcpy(f->float_vals.data() + base, v.p, cnt * 4);
+        } else if ((t2 >> 3) == 1 && (t2 & 7) == 5) {
+          float fv;
+          memcpy(&fv, sub.p, 4);
+          sub.p += 4; sub.n -= 4;
+          f->float_vals.push_back(fv);
+        } else if (!skip_field(sub, t2 & 7)) return;
+      }
+    } else if (field == 3) {  // Int64List
+      f->type = 3;
+      while (sub.n) {
+        uint64_t t2;
+        if (!read_varint(sub, &t2)) return;
+        if ((t2 >> 3) == 1 && (t2 & 7) == 2) {
+          Slice v;
+          if (!read_ld(sub, &v)) return;
+          while (v.n) {
+            uint64_t iv;
+            if (!read_varint(v, &iv)) return;
+            f->int_vals.push_back((int64_t)iv);
+          }
+        } else if ((t2 >> 3) == 1 && (t2 & 7) == 0) {
+          uint64_t iv;
+          if (!read_varint(sub, &iv)) return;
+          f->int_vals.push_back((int64_t)iv);
+        } else if (!skip_field(sub, t2 & 7)) return;
+      }
+    }
+  }
+}
+
+static void parse_example_into(ParsedExample* pe) {
+  Slice s{pe->owned.data(), pe->owned.size()};
+  while (s.n) {
+    uint64_t tag;
+    if (!read_varint(s, &tag)) return;
+    if ((tag >> 3) != 1 || (tag & 7) != 2) { if (!skip_field(s, tag & 7)) return; continue; }
+    Slice feats;
+    if (!read_ld(s, &feats)) return;
+    while (feats.n) {
+      uint64_t ftag;
+      if (!read_varint(feats, &ftag)) return;
+      if ((ftag >> 3) != 1 || (ftag & 7) != 2) { if (!skip_field(feats, ftag & 7)) return; continue; }
+      Slice entry;
+      if (!read_ld(feats, &entry)) return;
+      std::string key;
+      Feature feat;
+      while (entry.n) {
+        uint64_t etag;
+        if (!read_varint(entry, &etag)) return;
+        uint32_t ef = etag >> 3, ewt = etag & 7;
+        if (ef == 1 && ewt == 2) {
+          Slice k;
+          if (!read_ld(entry, &k)) return;
+          key.assign((const char*)k.p, k.n);
+        } else if (ef == 2 && ewt == 2) {
+          Slice v;
+          if (!read_ld(entry, &v)) return;
+          parse_feature(v, &feat);
+        } else if (!skip_field(entry, ewt)) return;
+      }
+      if (!key.empty()) pe->features.emplace(std::move(key), std::move(feat));
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// threaded shard reader
+// ---------------------------------------------------------------------------
+
+struct Record {
+  std::vector<uint8_t> data;
+};
+
+struct RldsReader {
+  std::vector<std::string> paths;
+  std::deque<Record> queue;
+  std::mutex mu;
+  std::condition_variable cv_push, cv_pop;
+  size_t capacity;
+  bool verify_crc;
+  std::atomic<size_t> next_file{0};
+  std::atomic<int> live_workers{0};
+  std::atomic<bool> stop{false};
+  std::vector<std::thread> workers;
+  Record current;  // last record handed to the caller
+
+  void worker() {
+    while (!stop.load()) {
+      size_t idx = next_file.fetch_add(1);
+      if (idx >= paths.size()) break;
+      FILE* f = fopen(paths[idx].c_str(), "rb");
+      if (!f) continue;
+      uint8_t header[8], crcbuf[4];
+      while (!stop.load()) {
+        if (fread(header, 1, 8, f) != 8) break;
+        uint64_t len;
+        memcpy(&len, header, 8);
+        if (fread(crcbuf, 1, 4, f) != 4) break;
+        if (verify_crc) {
+          uint32_t hc;
+          memcpy(&hc, crcbuf, 4);
+          if (masked_crc32c(header, 8) != hc) break;
+        }
+        Record rec;
+        rec.data.resize(len);
+        if (fread(rec.data.data(), 1, len, f) != len) break;
+        if (fread(crcbuf, 1, 4, f) != 4) break;
+        if (verify_crc) {
+          uint32_t pc;
+          memcpy(&pc, crcbuf, 4);
+          if (masked_crc32c(rec.data.data(), len) != pc) break;
+        }
+        std::unique_lock<std::mutex> lk(mu);
+        cv_push.wait(lk, [&] { return queue.size() < capacity || stop.load(); });
+        if (stop.load()) break;
+        queue.push_back(std::move(rec));
+        cv_pop.notify_one();
+      }
+      fclose(f);
+    }
+    if (live_workers.fetch_sub(1) == 1) {
+      std::lock_guard<std::mutex> lk(mu);
+      cv_pop.notify_all();
+    }
+  }
+};
+
+extern "C" {
+
+RldsReader* rlds_reader_open(const char** paths, int n, int n_threads,
+                             int queue_capacity, int verify_crc) {
+  auto* r = new RldsReader();
+  for (int i = 0; i < n; i++) r->paths.emplace_back(paths[i]);
+  r->capacity = queue_capacity > 0 ? (size_t)queue_capacity : 64;
+  r->verify_crc = verify_crc != 0;
+  int nt = n_threads > 0 ? n_threads : 1;
+  r->live_workers = nt;
+  for (int i = 0; i < nt; i++) r->workers.emplace_back(&RldsReader::worker, r);
+  return r;
+}
+
+// Returns length of the next record (data valid until the next call), or -1
+// when the stream is exhausted.
+long rlds_reader_next(RldsReader* r, const uint8_t** data) {
+  std::unique_lock<std::mutex> lk(r->mu);
+  r->cv_pop.wait(lk, [&] {
+    return !r->queue.empty() || r->live_workers.load() == 0;
+  });
+  if (r->queue.empty()) return -1;
+  r->current = std::move(r->queue.front());
+  r->queue.pop_front();
+  r->cv_push.notify_one();
+  *data = r->current.data.data();
+  return (long)r->current.data.size();
+}
+
+void rlds_reader_close(RldsReader* r) {
+  r->stop.store(true);
+  r->cv_push.notify_all();
+  r->cv_pop.notify_all();
+  for (auto& t : r->workers) t.join();
+  delete r;
+}
+
+// -- example parsing --------------------------------------------------------
+
+ParsedExample* rlds_parse(const uint8_t* data, long len) {
+  auto* pe = new ParsedExample();
+  pe->owned.assign(data, data + len);
+  parse_example_into(pe);
+  return pe;
+}
+
+// type: 1 bytes, 2 float, 3 int64; count: number of values. Returns 0 if
+// the key is absent.
+int rlds_feature_info(ParsedExample* pe, const char* key, long* count) {
+  auto it = pe->features.find(key);
+  if (it == pe->features.end()) return 0;
+  const Feature& f = it->second;
+  if (f.type == 1) *count = (long)f.bytes_vals.size();
+  else if (f.type == 2) *count = (long)f.float_vals.size();
+  else *count = (long)f.int_vals.size();
+  return f.type;
+}
+
+int rlds_feature_floats(ParsedExample* pe, const char* key, float* out) {
+  auto it = pe->features.find(key);
+  if (it == pe->features.end() || it->second.type != 2) return -1;
+  memcpy(out, it->second.float_vals.data(), it->second.float_vals.size() * 4);
+  return 0;
+}
+
+int rlds_feature_ints(ParsedExample* pe, const char* key, long long* out) {
+  auto it = pe->features.find(key);
+  if (it == pe->features.end() || it->second.type != 3) return -1;
+  memcpy(out, it->second.int_vals.data(), it->second.int_vals.size() * 8);
+  return 0;
+}
+
+long rlds_feature_bytes_len(ParsedExample* pe, const char* key, int index) {
+  auto it = pe->features.find(key);
+  if (it == pe->features.end() || it->second.type != 1) return -1;
+  if (index < 0 || (size_t)index >= it->second.bytes_vals.size()) return -1;
+  return (long)it->second.bytes_vals[index].n;
+}
+
+int rlds_feature_bytes(ParsedExample* pe, const char* key, int index,
+                       uint8_t* out) {
+  auto it = pe->features.find(key);
+  if (it == pe->features.end() || it->second.type != 1) return -1;
+  const Slice& s = it->second.bytes_vals[index];
+  memcpy(out, s.p, s.n);
+  return 0;
+}
+
+void rlds_parsed_free(ParsedExample* pe) { delete pe; }
+
+// -- jpeg decode + resize ---------------------------------------------------
+
+struct JpegErr {
+  struct jpeg_error_mgr pub;
+  jmp_buf jb;
+};
+
+static void jpeg_err_exit(j_common_ptr cinfo) {
+  auto* e = (JpegErr*)cinfo->err;
+  longjmp(e->jb, 1);
+}
+
+// Decode JPEG and area-resize to (out_h, out_w) RGB uint8. Uses libjpeg's
+// fractional DCT scaling to get close to the target cheaply, then a box
+// filter for the remainder. Returns 0 on success.
+int rlds_decode_jpeg_resize(const uint8_t* jpeg, long len, int out_h,
+                            int out_w, uint8_t* out_rgb) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(jpeg), (unsigned long)len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  // pick DCT scale 8/N so decoded size stays >= target
+  for (int denom = 8; denom >= 1; denom--) {
+    cinfo.scale_num = 8;
+    cinfo.scale_denom = denom;
+    jpeg_calc_output_dimensions(&cinfo);
+    if ((int)cinfo.output_height >= out_h && (int)cinfo.output_width >= out_w)
+      break;
+  }
+  jpeg_start_decompress(&cinfo);
+  int H = cinfo.output_height, W = cinfo.output_width;
+  std::vector<uint8_t> buf((size_t)H * W * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = buf.data() + (size_t)cinfo.output_scanline * W * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+
+  // box-filter resize to (out_h, out_w)
+  for (int oy = 0; oy < out_h; oy++) {
+    int y0 = (int)((int64_t)oy * H / out_h);
+    int y1 = (int)((int64_t)(oy + 1) * H / out_h);
+    if (y1 <= y0) y1 = y0 + 1;
+    for (int ox = 0; ox < out_w; ox++) {
+      int x0 = (int)((int64_t)ox * W / out_w);
+      int x1 = (int)((int64_t)(ox + 1) * W / out_w);
+      if (x1 <= x0) x1 = x0 + 1;
+      uint32_t acc[3] = {0, 0, 0};
+      for (int y = y0; y < y1; y++)
+        for (int x = x0; x < x1; x++) {
+          const uint8_t* px = buf.data() + ((size_t)y * W + x) * 3;
+          acc[0] += px[0];
+          acc[1] += px[1];
+          acc[2] += px[2];
+        }
+      uint32_t cnt = (uint32_t)((y1 - y0) * (x1 - x0));
+      uint8_t* dst = out_rgb + ((size_t)oy * out_w + ox) * 3;
+      dst[0] = (uint8_t)(acc[0] / cnt);
+      dst[1] = (uint8_t)(acc[1] / cnt);
+      dst[2] = (uint8_t)(acc[2] / cnt);
+    }
+  }
+  return 0;
+}
+
+uint32_t rlds_crc32c(const uint8_t* data, long len) {
+  return crc32c(data, (size_t)len);
+}
+
+}  // extern "C"

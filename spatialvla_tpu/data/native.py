@@ -1,0 +1,194 @@
+"""ctypes bindings for the native data loader (csrc/rlds_reader.cc).
+
+Auto-builds the shared library on first use if a toolchain is present;
+falls back to the pure-Python implementations (tfrecord.py /
+example_proto.py / PIL decode) otherwise. All public helpers keep the same
+interface either way so the pipeline is oblivious to which path is active.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+_LIB_PATH = os.path.abspath(os.path.join(_CSRC, "libspatialvla_data.so"))
+_lib = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_CSRC)],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.rlds_reader_open.restype = ctypes.c_void_p
+    lib.rlds_reader_open.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.rlds_reader_next.restype = ctypes.c_long
+    lib.rlds_reader_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    lib.rlds_reader_close.argtypes = [ctypes.c_void_p]
+    lib.rlds_parse.restype = ctypes.c_void_p
+    lib.rlds_parse.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
+    lib.rlds_feature_info.restype = ctypes.c_int
+    lib.rlds_feature_info.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_long)]
+    lib.rlds_feature_floats.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_float)]
+    lib.rlds_feature_ints.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_longlong)]
+    lib.rlds_feature_bytes_len.restype = ctypes.c_long
+    lib.rlds_feature_bytes_len.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+    lib.rlds_feature_bytes.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+    lib.rlds_parsed_free.argtypes = [ctypes.c_void_p]
+    lib.rlds_decode_jpeg_resize.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+# ---------------------------------------------------------------------------
+# record iteration
+# ---------------------------------------------------------------------------
+
+def iter_records(
+    paths: List[str], *, n_threads: int = 2, queue_capacity: int = 64,
+    verify_crc: bool = False,
+) -> Iterator[bytes]:
+    """Threaded prefetching iterator over TFRecord shards (native), or the
+    pure-Python fallback."""
+    lib = _load()
+    if lib is None:
+        from .tfrecord import read_records
+
+        for p in paths:
+            yield from read_records(p, verify_crc=verify_crc)
+        return
+
+    arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    handle = lib.rlds_reader_open(arr, len(paths), n_threads, queue_capacity,
+                                  int(verify_crc))
+    try:
+        ptr = ctypes.POINTER(ctypes.c_uint8)()
+        while True:
+            n = lib.rlds_reader_next(handle, ctypes.byref(ptr))
+            if n < 0:
+                return
+            yield ctypes.string_at(ptr, n)
+    finally:
+        lib.rlds_reader_close(handle)
+
+
+# ---------------------------------------------------------------------------
+# example parsing
+# ---------------------------------------------------------------------------
+
+def parse_example(payload: bytes) -> Dict:
+    """Parse a serialized tf.Example into {key: list | np.ndarray}."""
+    lib = _load()
+    if lib is None:
+        from .example_proto import parse_example as py_parse
+
+        return py_parse(payload)
+
+    buf = (ctypes.c_uint8 * len(payload)).from_buffer_copy(payload)
+    pe = lib.rlds_parse(buf, len(payload))
+    out: Dict = {}
+    try:
+        # discover keys via python parser? No — native parser owns the map;
+        # we re-parse keys cheaply in python for the key list only when
+        # needed. Instead: callers use parse_example_keys for selective
+        # extraction. For the generic API, fall back to python parsing of
+        # keys then native extraction.
+        from .example_proto import parse_example as py_parse
+
+        keys = py_parse(payload).keys()
+        for key in keys:
+            out[key] = _extract(lib, pe, key)
+    finally:
+        lib.rlds_parsed_free(pe)
+    return out
+
+
+def _extract(lib, pe, key: str):
+    count = ctypes.c_long()
+    t = lib.rlds_feature_info(pe, key.encode(), ctypes.byref(count))
+    n = count.value
+    if t == 2:
+        arr = np.empty(n, dtype=np.float32)
+        lib.rlds_feature_floats(pe, key.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return arr
+    if t == 3:
+        arr = np.empty(n, dtype=np.int64)
+        lib.rlds_feature_ints(pe, key.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)))
+        return arr
+    if t == 1:
+        vals = []
+        for i in range(n):
+            ln = lib.rlds_feature_bytes_len(pe, key.encode(), i)
+            b = (ctypes.c_uint8 * ln)()
+            lib.rlds_feature_bytes(pe, key.encode(), i, b)
+            vals.append(bytes(b))
+        return vals
+    return None
+
+
+def parse_example_keys(payload: bytes, keys: List[str]) -> Dict:
+    """Selective native extraction of the given keys (fast path: no Python
+    proto walk)."""
+    lib = _load()
+    if lib is None:
+        from .example_proto import parse_example as py_parse
+
+        full = py_parse(payload)
+        return {k: full.get(k) for k in keys}
+    buf = (ctypes.c_uint8 * len(payload)).from_buffer_copy(payload)
+    pe = lib.rlds_parse(buf, len(payload))
+    try:
+        return {k: _extract(lib, pe, k) for k in keys}
+    finally:
+        lib.rlds_parsed_free(pe)
+
+
+# ---------------------------------------------------------------------------
+# image decode
+# ---------------------------------------------------------------------------
+
+def decode_jpeg_resize(jpeg_bytes: bytes, out_h: int, out_w: int) -> np.ndarray:
+    """JPEG -> (out_h, out_w, 3) uint8 RGB, native decode + box resize;
+    PIL fallback."""
+    lib = _load()
+    if lib is not None:
+        src = (ctypes.c_uint8 * len(jpeg_bytes)).from_buffer_copy(jpeg_bytes)
+        out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+        rc = lib.rlds_decode_jpeg_resize(
+            src, len(jpeg_bytes), out_h, out_w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if rc == 0:
+            return out
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(jpeg_bytes)).convert("RGB")
+    img = img.resize((out_w, out_h), Image.BILINEAR)
+    return np.asarray(img)
