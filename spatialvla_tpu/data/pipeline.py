@@ -1,0 +1,390 @@
+"""The RLDS/OXE input pipeline: shards -> episodes -> canonical trajs ->
+chunked frames -> interleaved, shuffled, augmented, tokenized batches.
+
+tf.data-free re-design of the reference pipeline (data/rlds.py:
+make_dataset_from_rlds / apply_trajectory_transforms /
+apply_frame_transforms / build_interleaved_dataset) on top of the native
+shard reader: episode parsing happens in the C++ loader, transforms are
+vectorized numpy on the host, and the output is fixed-shape numpy batches
+ready for jax.device_put.
+
+Per-rank sharding: each host takes every world_size-th *shard file*
+(deterministic by seed), mirroring the reference's per-rank
+shuffle_seed = 3407 * rank semantics (data/dataset.py:82).
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import os
+import random as _random
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import native, tfds_schema
+from .oxe_registry import (
+    ActionEncoding,
+    OXEDatasetConfig,
+    get_config,
+    resolve_mixture,
+)
+from .standardize import CHUNK_FILTERS, STANDARDIZE_FNS
+from .statistics import compute_dataset_statistics, save_dataset_statistics
+from .augment import DEFAULT_AUGMENT_KWARGS, augment_image
+from .transforms import (
+    add_pad_mask_dict,
+    chunk_act_obs,
+    normalize_action_and_proprio,
+    uniform_goal_relabel,
+)
+
+Traj = Dict[str, Any]
+
+
+@dataclasses.dataclass
+class TrajTransformConfig:
+    backward_window_size: int = 0
+    backward_delta: int = 1
+    forward_window_size: int = 3  # action chunking (chunk = fwd + 1)
+    skip_unlabeled: bool = True
+    goal_relabeling: Optional[str] = "uniform"
+    max_action: Optional[float] = None
+    max_proprio: Optional[float] = None
+
+
+@dataclasses.dataclass
+class FrameTransformConfig:
+    resize_size: Tuple[int, int] = (224, 224)
+    augment: bool = True
+    augment_kwargs: Dict = dataclasses.field(
+        default_factory=lambda: dict(DEFAULT_AUGMENT_KWARGS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# single-dataset episode source
+# ---------------------------------------------------------------------------
+
+class RLDSDataSource:
+    """Reads one TFDS/RLDS dataset directory and yields canonical trajs."""
+
+    def __init__(
+        self,
+        name: str,
+        data_dir: str,
+        *,
+        config: Optional[OXEDatasetConfig] = None,
+        split: str = "train",
+        load_camera_views: Sequence[str] = ("primary",),
+        seed: int = 0,
+        shard_by_rank: Tuple[int, int] = (0, 1),  # (rank, world)
+        n_read_threads: int = 2,
+    ):
+        self.name = name
+        self.dataset_dir = os.path.join(data_dir, name)
+        self.config = config or get_config(name)
+        self.split = split
+        self.views = tuple(load_camera_views)
+        self.seed = seed
+        self.rank, self.world = shard_by_rank
+        self.n_read_threads = n_read_threads
+        self.schema = tfds_schema.load_schema(self.dataset_dir)
+        shards = tfds_schema.list_shards(self.dataset_dir, split)
+        if not shards:
+            raise FileNotFoundError(f"no shards for {name} [{split}] in {self.dataset_dir}")
+        self.shards = shards[self.rank :: self.world] or shards
+        self.standardize_fn = STANDARDIZE_FNS.get(name)
+        if self.standardize_fn is None:
+            raise KeyError(f"no standardize fn registered for {name}")
+        if self.config.action_encoding not in (ActionEncoding.EEF_POS, ActionEncoding.EEF_R6):
+            raise ValueError(f"{name}: only EEF_POS/EEF_R6 actions supported")
+
+    # -- restructure (data/rlds.py:130-191) -----------------------------
+    def _restructure(self, raw: Traj) -> Optional[Traj]:
+        traj = self.standardize_fn(raw)
+        if "observation" not in traj or "action" not in traj:
+            return None
+        T = len(traj["action"])
+        old_obs = traj["observation"]
+        new_obs: Dict[str, Any] = {}
+        for view in self.views:
+            img_key = self.config.image_obs_keys.get(view)
+            imgs = old_obs[img_key] if img_key else [b""] * T
+            # encoded images become object arrays so time-indexing/chunking
+            # (fancy gather) works uniformly with numeric tensors
+            new_obs[f"image_{view}"] = _as_object_array(imgs)
+            depth_key = self.config.depth_obs_keys.get(view)
+            if depth_key:
+                new_obs[f"depth_{view}"] = _as_object_array(old_obs[depth_key])
+        if any(k is not None for k in self.config.state_obs_keys):
+            parts = []
+            for key in self.config.state_obs_keys:
+                if key is None:
+                    parts.append(np.zeros((T, 1), dtype=np.float32))
+                else:
+                    v = np.asarray(old_obs[key], dtype=np.float32)
+                    parts.append(v if v.ndim == 2 else v[:, None])
+            new_obs["proprio"] = np.concatenate(parts, axis=1)
+        new_obs["timestep"] = np.arange(T)
+
+        task: Dict[str, Any] = {}
+        lang = self.config.language_key
+        if lang is not None and lang in traj:
+            task["language_instruction"] = _as_str_array(traj[lang])
+
+        out: Traj = {
+            "observation": new_obs,
+            "task": task,
+            "action": np.asarray(traj["action"], dtype=np.float32),
+            "dataset_name": self.name,
+        }
+        # gripper dim is absolute; translation/rotation are relative
+        # (data/oxe/__init__.py:30-37)
+        mask = np.zeros((T, out["action"].shape[-1]), dtype=bool)
+        mask[:, -1] = True
+        out["absolute_action_mask"] = mask
+        return out
+
+    def iter_raw_episodes(self, repeat: bool = False) -> Iterator[Traj]:
+        epoch = 0
+        while True:
+            order = list(self.shards)
+            rng = _random.Random(self.seed + epoch)
+            rng.shuffle(order)
+            for payload in native.iter_records(order, n_threads=self.n_read_threads):
+                feats = native.parse_example(payload)
+                ep = tfds_schema.decode_episode(feats, self.schema)
+                # flatten to the dlimp trajectory view: steps/* at top level,
+                # episode metadata under traj_metadata
+                traj = dict(ep.get("steps", ep))
+                if "episode_metadata" in ep:
+                    traj["traj_metadata"] = ep["episode_metadata"]
+                yield traj
+            if not repeat:
+                return
+            epoch += 1
+
+    def iter_canonical(self, repeat: bool = False) -> Iterator[Traj]:
+        for raw in self.iter_raw_episodes(repeat):
+            traj = self._restructure(raw)
+            if traj is not None:
+                yield traj
+
+    def statistics(self, *, force: bool = False, cache_dir: Optional[str] = None) -> Dict:
+        return compute_dataset_statistics(
+            self.iter_canonical(repeat=False),
+            dataset_name=self.name,
+            state_obs_keys=self.config.state_obs_keys,
+            transform_name=self.standardize_fn.__name__,
+            cache_dir=cache_dir,
+            force=force,
+        )
+
+
+def _as_object_array(v) -> np.ndarray:
+    if isinstance(v, np.ndarray) and v.dtype != object and v.dtype.kind not in ("U", "S"):
+        return v  # already a decoded numeric tensor
+    arr = np.empty(len(v), dtype=object)
+    for i, x in enumerate(v):
+        arr[i] = x
+    return arr
+
+
+def _as_str_array(v) -> np.ndarray:
+    if isinstance(v, list):
+        return np.asarray([b.decode("utf-8") if isinstance(b, bytes) else b for b in v])
+    return np.asarray(v)
+
+
+# ---------------------------------------------------------------------------
+# trajectory -> frames
+# ---------------------------------------------------------------------------
+
+def apply_trajectory_transforms(
+    traj: Traj,
+    stats: Dict,
+    cfg: TrajTransformConfig,
+    rng: np.random.Generator,
+) -> Optional[Traj]:
+    """Normalization + filtering + relabeling + chunking
+    (data/rlds.py:246-348 semantics)."""
+    lang = traj["task"].get("language_instruction")
+    if cfg.skip_unlabeled and (lang is None or not np.any(lang != "")):
+        return None
+    if cfg.max_action is not None and np.abs(traj["action"]).max() > cfg.max_action:
+        return None
+    proprio = traj["observation"].get("proprio")
+    if (
+        cfg.max_proprio is not None
+        and proprio is not None
+        and np.abs(proprio).max() > cfg.max_proprio
+    ):
+        return None
+
+    traj = normalize_action_and_proprio(traj, stats, "bounds_q99")
+    traj = add_pad_mask_dict(traj)
+    if cfg.goal_relabeling == "uniform":
+        traj = uniform_goal_relabel(traj, rng)
+    traj = chunk_act_obs(
+        traj,
+        backward_window_size=cfg.backward_window_size,
+        backward_delta=cfg.backward_delta,
+        forward_window_size=cfg.forward_window_size,
+    )
+    return traj
+
+
+def traj_to_frames(traj: Traj, chunk_filter: Optional[Callable] = None) -> Iterator[Dict]:
+    """Flatten a chunked trajectory to per-frame samples."""
+    T = len(traj["action"])
+    obs = traj["observation"]
+    lang = traj["task"].get("language_instruction")
+    for t in range(T):
+        if chunk_filter is not None and not chunk_filter(traj["action"][t]):
+            continue
+        yield {
+            # current observation = last entry of the backward window
+            "image_primary": obs["image_primary"][t][-1],
+            "action": traj["action"][t],  # (chunk, 7)
+            "language_instruction": (lang[t] if lang is not None else ""),
+            "dataset_name": traj["dataset_name"],
+            "proprio": obs.get("proprio", [None] * T)[t],
+            "pad_mask": obs["pad_mask"][t],
+        }
+
+
+# ---------------------------------------------------------------------------
+# interleaved multi-dataset stream
+# ---------------------------------------------------------------------------
+
+def compute_balanced_weights(
+    sizes: List[int], weights: List[float], balance: bool = True
+) -> np.ndarray:
+    """balance_weights semantics (data/rlds.py:444-452): weights multiplied
+    by dataset size, then normalized."""
+    w = np.asarray(weights, dtype=np.float64)
+    if balance:
+        w = w * np.asarray(sizes, dtype=np.float64)
+    return w / w.sum()
+
+
+def expected_epoch_length(sizes: List[int], norm_weights: np.ndarray, raw_weights: List[float]) -> int:
+    """Effective epoch length = max over weight-1.0 datasets of
+    size / normalized-weight (data/rlds.py:454-462)."""
+    lens = [
+        s / w for s, w, rw in zip(sizes, norm_weights, raw_weights) if rw == 1.0
+    ]
+    if not lens:
+        lens = [s / w for s, w in zip(sizes, norm_weights)]
+    return int(max(lens))
+
+
+class InterleavedRLDSDataset:
+    """Weighted sample-level interleave of per-dataset frame streams with a
+    shuffle buffer and frame transforms — the reference's
+    build_interleaved_dataset (data/rlds.py:464-573), tf-free."""
+
+    def __init__(
+        self,
+        mixture,
+        data_dir: str,
+        *,
+        traj_config: TrajTransformConfig = TrajTransformConfig(),
+        frame_config: FrameTransformConfig = FrameTransformConfig(),
+        shuffle_buffer_size: int = 8192,
+        balance_weights: bool = True,
+        seed: int = 0,
+        shard_by_rank: Tuple[int, int] = (0, 1),
+        split: str = "train",
+        statistics_override: Optional[Dict[str, Dict]] = None,
+    ):
+        spec = resolve_mixture(mixture)
+        # dedupe (reference get_oxe_dataset_kwargs_and_weights)
+        seen = {}
+        for name, w in spec:
+            if name in seen:
+                raise ValueError(f"duplicate dataset {name} in mixture")
+            seen[name] = w
+        self.names = list(seen.keys())
+        self.raw_weights = [seen[n] for n in self.names]
+        self.traj_config = traj_config
+        self.frame_config = frame_config
+        self.shuffle_buffer_size = shuffle_buffer_size
+        self.seed = seed
+
+        self.sources = [
+            RLDSDataSource(
+                n, data_dir, seed=seed + i, shard_by_rank=shard_by_rank, split=split
+            )
+            for i, n in enumerate(self.names)
+        ]
+        self.statistics = {}
+        for src in self.sources:
+            if statistics_override and src.name in statistics_override:
+                self.statistics[src.name] = statistics_override[src.name]
+            else:
+                self.statistics[src.name] = src.statistics()
+        sizes = [self.statistics[n]["num_transitions"] for n in self.names]
+        self.sample_weights = compute_balanced_weights(
+            sizes, self.raw_weights, balance_weights
+        )
+        self.epoch_length = expected_epoch_length(
+            sizes, self.sample_weights, self.raw_weights
+        )
+
+    def _frame_stream(self, idx: int) -> Iterator[Dict]:
+        src = self.sources[idx]
+        rng = np.random.default_rng(self.seed * 7919 + idx)
+        chunk_filter = (
+            CHUNK_FILTERS.get(src.config.chunk_filter) if src.config.chunk_filter else None
+        )
+        for traj in src.iter_canonical(repeat=True):
+            traj = apply_trajectory_transforms(
+                traj, self.statistics[src.name], self.traj_config, rng
+            )
+            if traj is None:
+                continue
+            yield from traj_to_frames(traj, chunk_filter)
+
+    def frames(self) -> Iterator[Dict]:
+        """Infinite interleaved + shuffled + decoded frame stream."""
+        rng = np.random.default_rng(self.seed)
+        streams = [self._frame_stream(i) for i in range(len(self.sources))]
+        buffer: List[Dict] = []
+        H, W = self.frame_config.resize_size
+
+        def decode(frame: Dict) -> Dict:
+            img = frame["image_primary"]
+            if isinstance(img, bytes):
+                if len(img) == 0:
+                    arr = np.zeros((H, W, 3), dtype=np.uint8)
+                else:
+                    arr = native.decode_jpeg_resize(img, H, W)
+            else:
+                arr = np.asarray(img)
+                if arr.shape[:2] != (H, W):
+                    from .augment import _resize_bilinear
+
+                    arr = np.clip(_resize_bilinear(arr, H, W), 0, 255).astype(np.uint8)
+            if self.frame_config.augment and arr.any():
+                arr = augment_image(arr, rng, self.frame_config.augment_kwargs)
+            frame = dict(frame)
+            frame["image_primary"] = arr
+            return frame
+
+        while True:
+            idx = rng.choice(len(streams), p=self.sample_weights)
+            try:
+                frame = next(streams[idx])
+            except StopIteration:
+                continue
+            if len(buffer) < self.shuffle_buffer_size:
+                buffer.append(frame)
+                continue
+            swap = rng.integers(0, len(buffer))
+            out, buffer[swap] = buffer[swap], frame
+            yield decode(out)
+
+    def __len__(self):
+        return self.epoch_length
