@@ -180,6 +180,95 @@ def make_masks(
 # forward
 # ---------------------------------------------------------------------------
 
+def _attention_block_flash(
+    lp: Params,
+    cfg: Gemma2Config,
+    x: Array,
+    cos: Array,
+    sin: Array,
+    prefix_lens: Array,
+    valid_lens: Array,
+    window: Optional[int],
+) -> Array:
+    """Training-path attention through the fused Pallas kernel (no cache)."""
+    from ..ops.flash_attention import flash_attention
+
+    B, T, H = x.shape
+    Nq, Nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = apply_rope((x @ lp["q"].astype(x.dtype)).reshape(B, T, Nq, D), cos, sin)
+    k = apply_rope((x @ lp["k"].astype(x.dtype)).reshape(B, T, Nkv, D), cos, sin)
+    v = (x @ lp["v"].astype(x.dtype)).reshape(B, T, Nkv, D)
+    out = flash_attention(
+        q, k, v, prefix_lens, valid_lens, jnp.zeros_like(prefix_lens),
+        cfg.query_pre_attn_scalar**-0.5, cfg.attn_logit_softcap, window, True,
+    )
+    return out.reshape(B, T, Nq * D) @ lp["o"].astype(x.dtype)
+
+
+def _decoder_layer_flash(
+    cfg: Gemma2Config,
+    h: Array,
+    lp: Params,
+    cos: Array,
+    sin: Array,
+    prefix_lens: Array,
+    valid_lens: Array,
+    window: Optional[int],
+) -> Array:
+    x = rms_norm(lp["input_norm"], h, cfg.rms_norm_eps)
+    attn_out = _attention_block_flash(
+        lp["attn"], cfg, x, cos, sin, prefix_lens, valid_lens, window
+    )
+    h = h + rms_norm(lp["post_attn_norm"], attn_out, cfg.rms_norm_eps)
+    x2 = rms_norm(lp["pre_ffn_norm"], h, cfg.rms_norm_eps)
+    h = h + rms_norm(lp["post_ffn_norm"], _mlp_block(lp["mlp"], x2), cfg.rms_norm_eps)
+    return h
+
+
+def forward_flash(
+    params: Params,
+    cfg: Gemma2Config,
+    inputs_embeds: Array,
+    position_ids: Array,
+    prefix_lens: Array,  # (B,) bidirectional-prefix boundary (0 = causal)
+    valid_lens: Array,  # (B,) right-pad boundary
+    *,
+    use_remat: bool = False,
+) -> Array:
+    """Full-sequence forward through the Pallas flash-attention kernel.
+
+    The alternating window/global layers become a scan over layer *pairs*
+    (even layer windowed, odd global — modeling_gemma2.py:343) so the
+    sliding-window size stays a compile-time kernel constant."""
+    B, T, H = inputs_embeds.shape
+    L = cfg.num_layers
+    assert L % 2 == 0, "paired scan expects an even number of layers"
+    normalizer = jnp.asarray(cfg.hidden_size**0.5, dtype=inputs_embeds.dtype)
+    h = inputs_embeds * normalizer
+    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+
+    # stack (L, ...) -> (L/2, 2, ...)
+    paired = jax.tree_util.tree_map(
+        lambda x: x.reshape((L // 2, 2) + x.shape[1:]), params["layers"]
+    )
+
+    def step(carry, lp_pair):
+        lp0 = jax.tree_util.tree_map(lambda x: x[0], lp_pair)
+        lp1 = jax.tree_util.tree_map(lambda x: x[1], lp_pair)
+        hh = _decoder_layer_flash(
+            cfg, carry, lp0, cos, sin, prefix_lens, valid_lens, cfg.sliding_window
+        )
+        hh = _decoder_layer_flash(
+            cfg, hh, lp1, cos, sin, prefix_lens, valid_lens, None
+        )
+        return hh, None
+
+    if use_remat:
+        step = jax.checkpoint(step, prevent_cse=False)
+    h, _ = jax.lax.scan(step, h, paired)
+    return rms_norm(params["final_norm"], h, cfg.rms_norm_eps)
+
+
 def forward(
     params: Params,
     cfg: Gemma2Config,

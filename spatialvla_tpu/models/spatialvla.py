@@ -181,6 +181,7 @@ def forward(
     depth: Optional[Array] = None,
     use_remat: bool = False,
     compute_dtype=None,
+    attn_backend: str = "xla",  # "xla" | "flash" (Pallas fused kernel)
 ) -> Dict[str, Array]:
     """Full forward (no cache). Returns {'logits', 'loss'?, 'hidden'}."""
     B, T = input_ids.shape
@@ -195,15 +196,30 @@ def forward(
 
     embeds = merge_input_embeddings(params, cfg, input_ids, image_features, dtype=compute_dtype)
 
-    if token_type_ids is not None:
-        base_mask = prefix_lm_mask(attention_mask, token_type_ids)
-    else:
-        base_mask = gemma2_mod.causal_base_mask(attention_mask)
-
     position_ids = jnp.cumsum(attention_mask, axis=1)  # 1-indexed (PaliGemma)
-    hidden, _ = gemma2_mod.forward(
-        params["lm"], cfg.text, embeds, position_ids, base_mask, use_remat=use_remat
-    )
+
+    if attn_backend == "flash":
+        valid_lens = attention_mask.sum(axis=1).astype(jnp.int32)
+        if token_type_ids is not None:
+            # contiguous prefix [0, P): first suffix position, or valid len
+            has_suffix = (token_type_ids == 1).any(axis=1)
+            first_suffix = jnp.argmax(token_type_ids == 1, axis=1)
+            prefix_lens = jnp.where(has_suffix, first_suffix, valid_lens)
+        else:
+            prefix_lens = jnp.zeros((B,), jnp.int32)
+        hidden = gemma2_mod.forward_flash(
+            params["lm"], cfg.text, embeds, position_ids,
+            prefix_lens.astype(jnp.int32), valid_lens, use_remat=use_remat,
+        )
+    else:
+        if token_type_ids is not None:
+            base_mask = prefix_lm_mask(attention_mask, token_type_ids)
+        else:
+            base_mask = gemma2_mod.causal_base_mask(attention_mask)
+        hidden, _ = gemma2_mod.forward(
+            params["lm"], cfg.text, embeds, position_ids, base_mask,
+            use_remat=use_remat,
+        )
     logits = gemma2_mod.compute_logits(params["lm"], cfg.text, hidden)
 
     out = {"logits": logits, "hidden": hidden}

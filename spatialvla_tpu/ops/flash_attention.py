@@ -1,0 +1,263 @@
+"""Fused flash attention for TPU (Pallas/Mosaic).
+
+The TPU-native replacement for the reference's flash-attn CUDA kernels
+(model/modeling_gemma2.py:198-241) with the Gemma2 specifics the stock
+kernels lack bundled in:
+
+  - tanh logit soft-capping (cap * tanh(x / cap)) applied pre-mask
+    (modeling_gemma2.py:182-185 / flash-attn >= 2.6 softcap param);
+  - grouped-query attention: kv heads are indexed as q_head // group, no
+    repeat_kv materialization;
+  - sliding-window masking from absolute positions (only *past* tokens
+    beyond the window are dropped — modeling_gemma2.py:461-473);
+  - prefix-LM masks: every query may attend to keys < prefix_len;
+    causal afterwards; keys >= valid_len (right padding) are masked.
+
+Online-softmax tiling: queries are blocked on the grid; each block streams
+kv tiles with running (max, sum, acc) fp32 statistics in VMEM scratch, so
+the T x T score matrix never exists in HBM.
+
+The backward pass recomputes attention in XLA (jax.custom_vjp): with
+per-layer remat the reference semantics already recompute activations, and
+seq lens here (<= 2048) keep the transient score matrix cheap; a fused
+Pallas backward is a further optimization, not a correctness need.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _attention_reference(q, k, v, prefix_lens, valid_lens, q_offset, *,
+                         scale, logit_softcap, window, causal):
+    """XLA reference with identical mask semantics (used for the VJP and as
+    the fallback/parity oracle)."""
+    B, Tq, Nq, D = q.shape
+    Tk = k.shape[1]
+    g = Nq // k.shape[2]
+    qg = q.reshape(B, Tq, k.shape[2], g, D)
+    logits = jnp.einsum("btngd,bsnd->bngts", qg, k,
+                        preferred_element_type=jnp.float32) * scale
+    if logit_softcap is not None:
+        logits = jnp.tanh(logits / logit_softcap) * logit_softcap
+    q_pos = q_offset[:, None] + jnp.arange(Tq)[None, :]  # (B, Tq)
+    k_pos = jnp.arange(Tk)[None, :]  # (1, Tk)
+    mask = k_pos[:, None, :] < valid_lens[:, None, None]  # (B, Tq, Tk)
+    if causal:
+        allowed = k_pos[:, None, :] <= q_pos[:, :, None]
+        if prefix_lens is not None:
+            allowed |= k_pos[:, None, :] < prefix_lens[:, None, None]
+        mask &= allowed
+    if window is not None:
+        mask &= (q_pos[:, :, None] - k_pos[:, None, :]) < window
+    logits = jnp.where(mask[:, None, None], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bngts,bsnd->btngd", probs, v)
+    return out.reshape(B, Tq, Nq, D)
+
+
+def _fa_kernel(
+    # scalar prefetch
+    prefix_ref, valid_ref, qoff_ref,
+    # inputs
+    q_ref, k_ref, v_ref,
+    # outputs
+    o_ref,
+    # scratch
+    m_ref, l_ref, acc_ref,
+    *,
+    scale: float,
+    logit_softcap: Optional[float],
+    window: Optional[int],
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    kv_len: int,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    num_k = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32)  # (block_q, D)
+    k = k_ref[0, 0].astype(jnp.float32)  # (block_k, D)
+    v = v_ref[0, 0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (block_q, block_k)
+    if logit_softcap is not None:
+        s = jnp.tanh(s / logit_softcap) * logit_softcap
+
+    q_pos = (
+        qoff_ref[b]
+        + qi * block_q
+        + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    )
+    k_pos = ki * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
+    mask = k_pos < valid_ref[b]
+    if causal:
+        allowed = k_pos <= q_pos
+        allowed |= k_pos < prefix_ref[b]
+        mask &= allowed
+    if window is not None:
+        mask &= (q_pos - k_pos) < window
+    s = jnp.where(mask, s, NEG_INF)
+
+    m_prev = m_ref[:]  # (block_q, 1)
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    correction = jnp.exp(m_prev - m_new)
+    l_new = correction * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * correction + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_new
+    l_ref[:] = l_new
+
+    @pl.when(ki == num_k - 1)
+    def _finish():
+        l = l_ref[:]
+        l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> 0 output
+        o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11)
+)
+def flash_attention(
+    q: jnp.ndarray,  # (B, Tq, Nq, D)
+    k: jnp.ndarray,  # (B, Tk, Nkv, D)
+    v: jnp.ndarray,
+    prefix_lens: jnp.ndarray,  # (B,) int32; 0 -> pure causal
+    valid_lens: jnp.ndarray,  # (B,) int32 right-pad boundary
+    q_offset: jnp.ndarray,  # (B,) int32 absolute position of q[0]
+    scale: float = 1.0,
+    logit_softcap: Optional[float] = None,
+    window: Optional[int] = None,
+    causal: bool = True,
+    block_q: int = 128,
+    block_k: int = 128,
+) -> jnp.ndarray:
+    return _flash_attention_impl(
+        q, k, v, prefix_lens, valid_lens, q_offset, scale, logit_softcap,
+        window, causal, block_q, block_k,
+    )
+
+
+def _flash_attention_impl(
+    q, k, v, prefix_lens, valid_lens, q_offset, scale, logit_softcap,
+    window, causal, block_q, block_k, interpret: bool = False,
+):
+    B, Tq, Nq, D = q.shape
+    Tk, Nkv = k.shape[1], k.shape[2]
+    g = Nq // Nkv
+    block_q = min(block_q, Tq)
+    block_k = min(block_k, Tk)
+    if Tq % block_q or Tk % block_k:
+        # pad to block multiples (valid_lens masks the padding keys)
+        pad_q = (-Tq) % block_q
+        pad_k = (-Tk) % block_k
+        qp = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+        kp = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+        out = _flash_attention_impl(
+            qp, kp, vp, prefix_lens, valid_lens, q_offset, scale,
+            logit_softcap, window, causal, block_q, block_k, interpret,
+        )
+        return out[:, :Tq]
+
+    # layout: (B, N, T, D) per-head blocks
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    grid = (B, Nq, Tq // block_q, Tk // block_k)
+
+    kernel = functools.partial(
+        _fa_kernel,
+        scale=scale,
+        logit_softcap=logit_softcap,
+        window=window,
+        causal=causal,
+        block_q=block_q,
+        block_k=block_k,
+        kv_len=Tk,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, D), lambda b, h, qi, ki, *_: (b, h, qi, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, D), lambda b, h, qi, ki, *_: (b, h // g, ki, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, D), lambda b, h, qi, ki, *_: (b, h // g, ki, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, D), lambda b, h, qi, ki, *_: (b, h, qi, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Nq, Tq, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        prefix_lens.astype(jnp.int32),
+        valid_lens.astype(jnp.int32),
+        q_offset.astype(jnp.int32),
+        qt, kt, vt,
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
+def _fa_fwd(q, k, v, prefix_lens, valid_lens, q_offset, scale, logit_softcap,
+            window, causal, block_q, block_k):
+    out = _flash_attention_impl(
+        q, k, v, prefix_lens, valid_lens, q_offset, scale, logit_softcap,
+        window, causal, block_q, block_k,
+    )
+    return out, (q, k, v, prefix_lens, valid_lens, q_offset)
+
+
+def _fa_bwd(scale, logit_softcap, window, causal, block_q, block_k, res, g_out):
+    q, k, v, prefix_lens, valid_lens, q_offset = res
+    f = lambda q, k, v: _attention_reference(
+        q, k, v, prefix_lens, valid_lens, q_offset,
+        scale=scale, logit_softcap=logit_softcap, window=window, causal=causal,
+    )
+    _, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(g_out)
+    return dq, dk, dv, None, None, None
+
+
+flash_attention.defvjp(_fa_fwd, _fa_bwd)

@@ -28,6 +28,7 @@ class TrainStepConfig:
     use_remat: bool = True
     compute_dtype: Any = jnp.bfloat16
     micro_steps: int = 1  # gradient accumulation
+    attn_backend: str = "xla"  # "xla" | "flash" (Pallas fused attention)
 
 
 def make_loss_fn(cfg: SpatialVLAConfig, step_cfg: TrainStepConfig, luts=None):
@@ -44,6 +45,7 @@ def make_loss_fn(cfg: SpatialVLAConfig, step_cfg: TrainStepConfig, luts=None):
             depth=batch.get("depth"),
             use_remat=step_cfg.use_remat,
             compute_dtype=step_cfg.compute_dtype,
+            attn_backend=step_cfg.attn_backend,
         )
         metrics = action_metrics(
             out["logits"],

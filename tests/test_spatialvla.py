@@ -102,6 +102,55 @@ def test_ego3d_path_changes_features(params3d):
     assert np.isfinite(np.asarray(f_with)).all()
 
 
+def test_flash_backend_matches_xla(params):
+    """attn_backend='flash' (Pallas kernel, interpret mode on CPU) must match
+    the XLA masked-attention path, incl. the alternating sliding-window
+    layers (tiny config window=8 < T)."""
+    import functools
+    import sys
+
+    fa = sys.modules.get("spatialvla_tpu.ops.flash_attention")
+    if fa is None:
+        import spatialvla_tpu.ops.flash_attention  # noqa: F401
+
+        fa = sys.modules["spatialvla_tpu.ops.flash_attention"]
+
+    rng = np.random.RandomState(7)
+    ids, ttype, pixels = _make_inputs(rng, B=2, n_text=3, n_action=4)
+    attn = np.ones_like(np.asarray(ids))
+    attn[1, -2:] = 0  # right padding on row 1
+    ids_pad = np.asarray(ids).copy()
+    ttype_pad = np.asarray(ttype).copy()
+    ttype_pad[1, -2:] = 0
+
+    kw = dict(
+        pixel_values=pixels,
+        attention_mask=jnp.asarray(attn),
+        token_type_ids=jnp.asarray(ttype_pad),
+    )
+    ref = spatialvla.forward(params, CFG, jnp.asarray(ids_pad), **kw)
+
+    orig = fa._flash_attention_impl
+    fa._flash_attention_impl = functools.partial(orig, interpret=True)
+    try:
+        got = spatialvla.forward(
+            params, CFG, jnp.asarray(ids_pad), attn_backend="flash", **kw
+        )
+    finally:
+        fa._flash_attention_impl = orig
+
+    valid0 = attn[0].sum()
+    np.testing.assert_allclose(
+        np.asarray(got["logits"])[0, :valid0], np.asarray(ref["logits"])[0, :valid0],
+        atol=2e-4, rtol=2e-4,
+    )
+    valid1 = attn[1].sum()
+    np.testing.assert_allclose(
+        np.asarray(got["logits"])[1, :valid1], np.asarray(ref["logits"])[1, :valid1],
+        atol=2e-4, rtol=2e-4,
+    )
+
+
 def test_greedy_decode_matches_iterated_full_forward(params):
     rng = np.random.RandomState(3)
     B, n_text = 1, 4
