@@ -218,7 +218,7 @@ def spatialvla_tiny(use_vision_zoe: bool = False) -> SpatialVLAConfig:
         projection_dim=48,
     )
     text = Gemma2Config(
-        vocab_size=1024 + 66,
+        vocab_size=1024 + 8194,
         hidden_size=48,
         intermediate_size=96,
         num_layers=4,
@@ -257,7 +257,7 @@ def spatialvla_tiny(use_vision_zoe: bool = False) -> SpatialVLAConfig:
         ego3d=Ego3DConfig(patch_reso=2, n_freqs=4, num_pos_feats=32),
         zoe=zoe,
         image_token_index=1000,
-        spatial_token_num=66,  # 2*4*2 + 2*... toy grid (set by action config)
+        spatial_token_num=8194,  # full action grid; embedding rows stay tiny
         action_token_begin_idx=1024,
         use_spatial_token=True,
         use_vision_zoe=use_vision_zoe,

@@ -37,8 +37,8 @@ class MeshConfig:
         if -1 in dims:
             known = int(np.prod([d for d in dims if d != -1]))
             dims[dims.index(-1)] = n_devices // known
-        assert int(np.prod(dims)) == n_devices, (
-            f"mesh {dims} does not cover {n_devices} devices"
+        assert int(np.prod(dims)) <= n_devices, (
+            f"mesh {dims} needs more than the {n_devices} available devices"
         )
         return tuple(dims)
 
@@ -46,9 +46,12 @@ class MeshConfig:
 def make_mesh(
     cfg: MeshConfig = MeshConfig(), devices: Optional[Sequence] = None
 ) -> Mesh:
+    """Builds the named mesh; an explicit shape smaller than the device count
+    uses the first prod(shape) devices."""
     devices = list(devices if devices is not None else jax.devices())
     shape = cfg.resolve(len(devices))
-    arr = np.asarray(devices).reshape(shape)
+    n = int(np.prod(shape))
+    arr = np.asarray(devices[:n]).reshape(shape)
     return Mesh(arr, AXES)
 
 

@@ -33,6 +33,8 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, step: int, state: Dict[str, Any], *, sidecar: Optional[Dict] = None, force: bool = False) -> bool:
+        if step in (self._mgr.all_steps() or []):
+            return False  # already saved (e.g. final save == last interval save)
         saved = self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force
         )

@@ -1,0 +1,117 @@
+"""Training orchestration: the step loop around the compiled train step.
+
+Replaces the reference's HF Trainer + monkey patches (train/monkey_patch.py)
+with a plain loop: host-side data iterator -> device batches -> jitted step
+-> metrics logging (JSONL + stdout) -> Orbax checkpoints (+ processor
+artifacts sidecar) -> auto-resume. Profiling via jax.profiler traces over a
+configurable step window (the XProf equivalent of the reference's
+torch.profiler schedule, monkey_patch.py:344-359).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    output_dir: str = "output"
+    max_steps: int = 1000
+    log_every: int = 50
+    save_every: int = 500
+    save_total_limit: int = 3
+    profile_steps: Optional[tuple] = None  # (start, stop) step window
+    resume: bool = True
+
+
+class MetricsLogger:
+    """JSONL metrics log + periodic stdout line (the tensorboard-free
+    default; events are trivially importable into TB later)."""
+
+    def __init__(self, output_dir: str):
+        os.makedirs(output_dir, exist_ok=True)
+        self.path = os.path.join(output_dir, "metrics.jsonl")
+        self._f = open(self.path, "a")
+
+    def log(self, step: int, metrics: Dict[str, Any], *, echo: bool = True):
+        row = {"step": int(step)}
+        for k, v in metrics.items():
+            try:
+                row[k] = float(v)
+            except (TypeError, ValueError):
+                continue
+        self._f.write(json.dumps(row) + "\n")
+        self._f.flush()
+        if echo and jax.process_index() == 0:
+            parts = " ".join(f"{k}={v:.4f}" for k, v in row.items() if k != "step")
+            print(f"[step {row['step']}] {parts}", flush=True)
+
+    def close(self):
+        self._f.close()
+
+
+def train_loop(
+    *,
+    state,
+    train_step: Callable,
+    batches: Iterator[Dict[str, np.ndarray]],
+    config: TrainerConfig,
+    checkpoint_manager=None,
+    sidecar: Optional[Dict] = None,
+    step_args: tuple = (),
+    on_metrics: Optional[Callable] = None,
+):
+    """Runs the loop; returns the final state.
+
+    step signature: train_step(state, *step_args, batch) -> (state, metrics).
+    """
+    logger = MetricsLogger(config.output_dir)
+    start_step = int(state["step"])
+
+    if checkpoint_manager is not None and config.resume:
+        latest = checkpoint_manager.latest_step()
+        if latest is not None and latest > start_step:
+            state = checkpoint_manager.restore(state)
+            start_step = int(state["step"])
+            if jax.process_index() == 0:
+                print(f"resumed from checkpoint step {start_step}", flush=True)
+
+    t_last = time.perf_counter()
+    step = start_step
+    for step in range(start_step, config.max_steps):
+        if config.profile_steps and step == config.profile_steps[0]:
+            jax.profiler.start_trace(os.path.join(config.output_dir, "traces"))
+        batch = next(batches, None)
+        if batch is None:
+            break
+        state, metrics = train_step(state, *step_args, batch)
+
+        if config.profile_steps and step == config.profile_steps[1]:
+            jax.profiler.stop_trace()
+
+        if (step + 1) % config.log_every == 0 or step == start_step:
+            metrics = jax.tree_util.tree_map(np.asarray, metrics)  # sync
+            now = time.perf_counter()
+            metrics = dict(metrics)
+            metrics["steps_per_sec"] = (
+                config.log_every / (now - t_last) if step > start_step else 0.0
+            )
+            t_last = now
+            logger.log(step + 1, metrics)
+            if on_metrics is not None:
+                on_metrics(step + 1, metrics)
+
+        if checkpoint_manager is not None and (step + 1) % config.save_every == 0:
+            checkpoint_manager.save(step + 1, state, sidecar=sidecar)
+
+    if checkpoint_manager is not None:
+        checkpoint_manager.save(int(state["step"]), state, sidecar=sidecar, force=True)
+        checkpoint_manager.wait()
+    logger.close()
+    return state
