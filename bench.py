@@ -31,15 +31,14 @@ def main():
     prefix_len = int(batch["input_ids"].shape[1])
 
     @jax.jit
-    def predict(params, input_ids, pixel_values, intrinsic, depth):
+    def predict(params, input_ids, pixel_values, intrinsic):
         return spatialvla.predict_action(
             params, cfg, input_ids,
-            pixel_values=pixel_values, intrinsic=intrinsic, depth=depth,
+            pixel_values=pixel_values, intrinsic=intrinsic,
             action_chunk_size=ACTION_CHUNK, compute_dtype=jnp.bfloat16,
         )
 
-    args = (params, batch["input_ids"], batch["pixel_values"], batch["intrinsic"],
-            batch["depth"])
+    args = (params, batch["input_ids"], batch["pixel_values"], batch["intrinsic"])
     # warmup/compile (sync via host transfer: block_until_ready is not
     # reliable on the experimental axon backend)
     np.asarray(predict(*args))

@@ -242,9 +242,9 @@ def spatialvla_tiny(use_vision_zoe: bool = False) -> SpatialVLAConfig:
             bottleneck_features=16,
             num_relative_features=8,
             bin_embedding_dim=8,
-            num_patch_transformer_layers=1,
-            patch_transformer_hidden_size=16,
-            patch_transformer_intermediate_size=32,
+            num_patch_transformer_layers=4,
+            patch_transformer_hidden_size=128,
+            patch_transformer_intermediate_size=64,
             patch_transformer_num_attention_heads=2,
             num_bins=16,
         )
