@@ -1,0 +1,133 @@
+"""User-facing inference API.
+
+The TPU-native equivalent of the reference quick start
+(README.md:93-111 / test/test_huggingface.py):
+
+    policy = SpatialVLAPolicy.load("path/to/checkpoint")
+    out = policy.predict(image, "move the cup", unnorm_key="bridge_orig/1.0.0")
+    out["actions"]  # (chunk, 7) continuous end-effector deltas
+
+A checkpoint directory contains Orbax params ('params/'), 'config.json'
+(SpatialVLAConfig), and 'processor_config.json' (statistics / bin policy /
+intrinsics / chunking) — exactly the artifact set the reference ships with
+its HF checkpoints (SURVEY.md §2.4).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import SpatialVLAConfig
+from .models import spatialvla
+from .processor import SpatialVLAProcessor, TextTokenizer
+
+
+class SpatialVLAPolicy:
+    def __init__(
+        self,
+        params,
+        config: SpatialVLAConfig,
+        processor: SpatialVLAProcessor,
+        *,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.config = config
+        self.processor = processor
+        self.compute_dtype = compute_dtype
+        self._predict_cache: Dict = {}
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def load(
+        cls,
+        checkpoint_dir: str,
+        *,
+        text_tokenizer: Optional[TextTokenizer] = None,
+        param_dtype=jnp.bfloat16,
+    ) -> "SpatialVLAPolicy":
+        from .train.checkpoints import load_params
+
+        with open(os.path.join(checkpoint_dir, "config.json")) as f:
+            config = SpatialVLAConfig.from_json(f.read())
+        processor = SpatialVLAProcessor.load(checkpoint_dir, text_tokenizer)
+        template = jax.tree_util.tree_map(
+            np.asarray, spatialvla.init_params(jax.random.PRNGKey(0), config)
+        )
+        params = load_params(checkpoint_dir, template)
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype=param_dtype)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+            else jnp.asarray(x),
+            params,
+        )
+        return cls(params, config, processor)
+
+    @classmethod
+    def from_hf_checkpoint(
+        cls,
+        hf_dir: str,
+        *,
+        text_tokenizer: Optional[TextTokenizer] = None,
+        param_dtype=jnp.bfloat16,
+    ) -> "SpatialVLAPolicy":
+        """Load directly from a reference-format HF checkpoint directory
+        (safetensors + config.json + processor files)."""
+        from .convert.hf_checkpoint import load_hf_checkpoint
+
+        params, config, processor = load_hf_checkpoint(
+            hf_dir, text_tokenizer=text_tokenizer, dtype=param_dtype
+        )
+        return cls(params, config, processor)
+
+    # ------------------------------------------------------------------
+    def _jitted_predict(self, prefix_len: int, chunk: int):
+        key = (prefix_len, chunk)
+        if key not in self._predict_cache:
+            cfg = self.config
+
+            @jax.jit
+            def fn(params, input_ids, pixel_values, intrinsic):
+                return spatialvla.predict_action(
+                    params, cfg, input_ids,
+                    pixel_values=pixel_values, intrinsic=intrinsic,
+                    action_chunk_size=chunk, compute_dtype=self.compute_dtype,
+                )
+
+            self._predict_cache[key] = fn
+        return self._predict_cache[key]
+
+    def predict(
+        self,
+        image,
+        instruction: str,
+        *,
+        unnorm_key: Optional[str] = None,
+    ) -> Dict[str, np.ndarray]:
+        """One observation -> {'actions': (chunk, 7), 'action_ids'}."""
+        inputs = self.processor(image, instruction, unnorm_key=unnorm_key)
+        ids = jnp.asarray(inputs["input_ids"])
+        fn = self._jitted_predict(int(ids.shape[1]), self.processor.action_chunk_size)
+        generated = fn(
+            self.params,
+            ids,
+            jnp.asarray(inputs["pixel_values"]),
+            jnp.asarray(inputs["intrinsic"]),
+        )
+        out = self.processor.decode_actions(np.asarray(generated), unnorm_key=unnorm_key)
+        return {"actions": out["actions"][0], "action_ids": out["action_ids"][0]}
+
+    def predict_batch(self, images, instructions, *, unnorm_key=None) -> Dict[str, np.ndarray]:
+        inputs = self.processor(list(images), list(instructions), unnorm_key=unnorm_key)
+        ids = jnp.asarray(inputs["input_ids"])
+        fn = self._jitted_predict(int(ids.shape[1]), self.processor.action_chunk_size)
+        generated = fn(
+            self.params, ids,
+            jnp.asarray(inputs["pixel_values"]), jnp.asarray(inputs["intrinsic"]),
+        )
+        return self.processor.decode_actions(np.asarray(generated), unnorm_key=unnorm_key)
