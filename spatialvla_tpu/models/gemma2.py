@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Gemma2Config
+from ..ops.quant import is_quantized, qmatmul
 from .attention import multi_head_attention
 from .layers import gelu_tanh, normal_init, rms_norm, softcap
 from .rope import apply_rope, rope_cos_sin
@@ -106,9 +107,9 @@ def _attention_block(
 ) -> Tuple[Array, Optional[Tuple[Array, Array]]]:
     B, T, H = x.shape
     Nq, Nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = (x @ lp["q"].astype(x.dtype)).reshape(B, T, Nq, D)
-    k = (x @ lp["k"].astype(x.dtype)).reshape(B, T, Nkv, D)
-    v = (x @ lp["v"].astype(x.dtype)).reshape(B, T, Nkv, D)
+    q = qmatmul(x, lp["q"]).reshape(B, T, Nq, D)
+    k = qmatmul(x, lp["k"]).reshape(B, T, Nkv, D)
+    v = qmatmul(x, lp["v"]).reshape(B, T, Nkv, D)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -124,14 +125,14 @@ def _attention_block(
     out = multi_head_attention(
         q, k, v, mask, scale=scale, logit_softcap=cfg.attn_logit_softcap
     )
-    out = out.reshape(B, T, Nq * D) @ lp["o"].astype(x.dtype)
+    out = qmatmul(out.reshape(B, T, Nq * D), lp["o"])
     return out, new_cache
 
 
 def _mlp_block(lp: Params, x: Array) -> Array:
-    gate = gelu_tanh(x @ lp["gate"].astype(x.dtype))
-    up = x @ lp["up"].astype(x.dtype)
-    return (gate * up) @ lp["down"].astype(x.dtype)
+    gate = gelu_tanh(qmatmul(x, lp["gate"]))
+    up = qmatmul(x, lp["up"])
+    return qmatmul(gate * up, lp["down"])
 
 
 def _decoder_layer(
@@ -195,14 +196,14 @@ def _attention_block_flash(
 
     B, T, H = x.shape
     Nq, Nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = apply_rope((x @ lp["q"].astype(x.dtype)).reshape(B, T, Nq, D), cos, sin)
-    k = apply_rope((x @ lp["k"].astype(x.dtype)).reshape(B, T, Nkv, D), cos, sin)
-    v = (x @ lp["v"].astype(x.dtype)).reshape(B, T, Nkv, D)
+    q = apply_rope(qmatmul(x, lp["q"]).reshape(B, T, Nq, D), cos, sin)
+    k = apply_rope(qmatmul(x, lp["k"]).reshape(B, T, Nkv, D), cos, sin)
+    v = qmatmul(x, lp["v"]).reshape(B, T, Nkv, D)
     out = flash_attention(
         q, k, v, prefix_lens, valid_lens, jnp.zeros_like(prefix_lens),
         cfg.query_pre_attn_scalar**-0.5, cfg.attn_logit_softcap, window, True,
     )
-    return out.reshape(B, T, Nq * D) @ lp["o"].astype(x.dtype)
+    return qmatmul(out.reshape(B, T, Nq * D), lp["o"])
 
 
 def _decoder_layer_flash(
@@ -342,10 +343,13 @@ def compute_logits(
 ) -> Array:
     """lm_head + final logit softcap. fp32 MXU accumulation."""
     head = params["lm_head"] if "lm_head" in params else params["embed"].T
-    logits = jnp.einsum(
-        "bth,hv->btv", hidden, head.astype(hidden.dtype),
-        preferred_element_type=dtype,
-    )
+    if is_quantized(head):
+        logits = qmatmul(hidden, head).astype(dtype)
+    else:
+        logits = jnp.einsum(
+            "bth,hv->btv", hidden, head.astype(hidden.dtype),
+            preferred_element_type=dtype,
+        )
     return softcap(logits, cfg.final_logit_softcap)
 
 

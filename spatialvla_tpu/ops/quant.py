@@ -1,0 +1,129 @@
+"""Weight-only int8 quantization for serving.
+
+Greedy action decoding is HBM-bandwidth bound: every decode step streams the
+full LM (weights dominate — the 265k-row lm_head alone is ~1.2 GB in bf16).
+Symmetric per-output-channel int8 halves the streamed bytes; dequantization
+happens on-chip inside a Pallas kernel (int8 tiles -> VMEM -> convert ->
+MXU), so the bf16 copy never exists in HBM.
+
+The reference has no quantization path (it serves torch bf16 on an A100,
+README.md:93); this is a TPU-serving extension, off by default.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QuantW = Dict[str, Any]  # {"q": int8 (..., K, N), "scale": f32 (..., N)}
+
+
+def quantize_int8(w: jnp.ndarray) -> QuantW:
+    """(..., K, N) float -> symmetric per-N-channel int8."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # (..., 1, N)
+    scale = amax / 127.0
+    q = jnp.round(wf / jnp.maximum(scale, 1e-12)).astype(jnp.int8)
+    return {"q": q, "scale": scale[..., 0, :]}
+
+
+def dequantize(qw: QuantW, dtype=jnp.float32) -> jnp.ndarray:
+    return (qw["q"].astype(jnp.float32) * qw["scale"][..., None, :]).astype(dtype)
+
+
+def is_quantized(w) -> bool:
+    return isinstance(w, dict) and "q" in w and "scale" in w
+
+
+# ---------------------------------------------------------------------------
+# pallas kernel: x (M, K) bf16 @ wq (K, N) int8 * scale (N,) -> (M, N)
+# ---------------------------------------------------------------------------
+
+def _q8_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
+    x = x_ref[:].astype(jnp.float32)  # (M, K)
+    w = w_ref[:].astype(jnp.float32)  # (K, bn)
+    acc = jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[:] = (acc * s_ref[0, :].astype(jnp.float32)[None, :]).astype(out_dtype)
+
+
+def _pick_block_n(K: int, N: int) -> int:
+    # keep the int8 tile + fp32 convert comfortably inside VMEM
+    budget = 4 * 1024 * 1024  # bytes for the int8 block
+    bn = max(128, min(N, budget // max(K, 1)))
+    return (bn // 128) * 128
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def int8_matmul(
+    x: jnp.ndarray,  # (M, K)
+    q: jnp.ndarray,  # (K, N) int8
+    scale: jnp.ndarray,  # (N,)
+    *,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    M, K = x.shape
+    N = q.shape[1]
+    bn = _pick_block_n(K, N)
+    # non-divisible N: pallas pads boundary blocks automatically
+    grid = (pl.cdiv(N, bn),)
+    return pl.pallas_call(
+        functools.partial(_q8_kernel, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        interpret=interpret,
+    )(x, q, scale.reshape(1, -1))
+
+
+def qmatmul(x: jnp.ndarray, w, *, use_kernel=None) -> jnp.ndarray:
+    """x (..., K) @ w, where w is a plain array or a QuantW dict."""
+    if not is_quantized(w):
+        return x @ w.astype(x.dtype)
+    if use_kernel is None:  # Pallas path only off-CPU
+        use_kernel = jax.devices()[0].platform != "cpu"
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    if use_kernel and x2.shape[0] <= 256:
+        y = int8_matmul(x2, w["q"], w["scale"], out_dtype=x.dtype)
+    else:  # XLA path (prefill / training shapes)
+        y = (
+            jnp.einsum(
+                "mk,kn->mn", x2.astype(jnp.float32), w["q"].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            * w["scale"][None, :]
+        ).astype(x.dtype)
+    return y.reshape(lead + (y.shape[-1],))
+
+
+# ---------------------------------------------------------------------------
+# parameter-tree quantization
+# ---------------------------------------------------------------------------
+
+LM_QUANT_KEYS = ("attn/q", "attn/k", "attn/v", "attn/o", "mlp/gate", "mlp/up", "mlp/down")
+
+
+def quantize_lm_params(lm_params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize the Gemma2 weight matrices (stacked layer tensors and the
+    lm_head); embeddings/norms stay high precision (gather/elementwise)."""
+    out = dict(lm_params)
+    layers = dict(lm_params["layers"])
+    layers["attn"] = {k: quantize_int8(v) for k, v in lm_params["layers"]["attn"].items()}
+    layers["mlp"] = {k: quantize_int8(v) for k, v in lm_params["layers"]["mlp"].items()}
+    out["layers"] = layers
+    if "lm_head" in lm_params:
+        out["lm_head"] = quantize_int8(lm_params["lm_head"])
+    return out
