@@ -146,6 +146,99 @@ DATASET_CONFIGS: Dict[str, OXEDatasetConfig] = {
         primary="image", wrist="wrist_image", state=["EEF_state", None, "gripper_state"], se=PE),
     "simpler_env/0.1.0": _cfg(
         primary="image", state=[None] * 8, se=NONE),
+    # long-tail OXE coverage (reference configs.py entries beyond the
+    # SpatialVLA mixtures)
+    "bridge_oxe/0.1.0": _cfg(
+        primary="image", secondary="image_1",
+        state=["EEF_state", None, "gripper_state"], se=PE),
+    "roboturk_tiny/0.1.0": _cfg(primary="front_rgb", state=[None] * 8, se=NONE),
+    "nyu_door_opening_surprising_effectiveness/0.1.0": _cfg(
+        wrist="image", state=[None] * 8, se=NONE),
+    "columbia_cairlab_pusht_real/0.1.0": _cfg(
+        primary="image", wrist="wrist_image",
+        state=["robot_state"] + [None] * 6, se=PE),
+    "stanford_kuka_multimodal_dataset_converted_externally_to_rlds/0.1.0": _cfg(
+        primary="image", d_primary="depth_image",
+        state=["ee_position", "ee_orientation", None], se=PQ),
+    "nyu_rot_dataset_converted_externally_to_rlds/0.1.0": _cfg(
+        primary="image", state=["eef_state", None, "gripper_state"], se=PE),
+    "maniskill_dataset_converted_externally_to_rlds/0.1.0": _cfg(
+        primary="image", wrist="wrist_image", d_primary="depth",
+        d_wrist="wrist_depth", state=["tcp_pose", "gripper_state"], se=PQ),
+    "cmu_franka_exploration_dataset_converted_externally_to_rlds/0.1.0": _cfg(
+        primary="highres_image", state=[None] * 8, se=NONE),
+    "ucsd_pick_and_place_dataset_converted_externally_to_rlds/0.1.0": _cfg(
+        primary="image", state=["eef_state", None, "gripper_state"], se=PE),
+    "utokyo_pr2_opening_fridge_converted_externally_to_rlds/0.1.0": _cfg(
+        primary="image", state=["eef_state", None, "gripper_state"], se=PE),
+    "utokyo_pr2_tabletop_manipulation_converted_externally_to_rlds/0.1.0": _cfg(
+        primary="image", state=["eef_state", None, "gripper_state"], se=PE),
+    "utokyo_xarm_pick_and_place_converted_externally_to_rlds/0.1.0": _cfg(
+        primary="image", secondary="image2", wrist="hand_image",
+        state=["end_effector_pose", None, None], se=PE),
+    "utokyo_xarm_bimanual_converted_externally_to_rlds/0.1.0": _cfg(
+        primary="image", state=["pose_r", None, None], se=PE),
+    "robo_net/0.1.0": _cfg(
+        primary="image", secondary="image1",
+        state=["eef_state", None, "gripper_state"], se=PE),
+    "berkeley_mvp_converted_externally_to_rlds/0.1.0": _cfg(
+        wrist="hand_image", state=["pose", "gripper"], se=PQ,
+        ae=ActionEncoding.JOINT_POS),
+    "berkeley_rpt_converted_externally_to_rlds/0.1.0": _cfg(
+        wrist="hand_image", state=["joint_pos", "gripper"], se=JT,
+        ae=ActionEncoding.JOINT_POS),
+    "kaist_nonprehensile_converted_externally_to_rlds/0.1.0": _cfg(
+        primary="image", state=["state", None], se=PQ),
+    "stanford_mask_vit_converted_externally_to_rlds/0.1.0": _cfg(
+        primary="image", state=["eef_state", None, "gripper_state"], se=PE),
+    "tokyo_u_lsmo_converted_externally_to_rlds/0.1.0": _cfg(
+        primary="image", state=["eef_state", None, "gripper_state"], se=PE),
+    "dlr_sara_pour_converted_externally_to_rlds/0.1.0": _cfg(
+        primary="image", state=["state", None, None], se=PE),
+    "dlr_sara_grid_clamp_converted_externally_to_rlds/0.1.0": _cfg(
+        primary="image", state=["state", None, None], se=PE),
+    "asu_table_top_converted_externally_to_rlds/0.1.0": _cfg(
+        primary="image", state=["eef_state", None, "gripper_state"], se=PE),
+    "stanford_robocook_converted_externally_to_rlds/0.1.0": _cfg(
+        primary="image_1", secondary="image_2", d_primary="depth_1",
+        d_secondary="depth_2", state=["eef_state", None, "gripper_state"], se=PE),
+    "imperialcollege_sawyer_wrist_cam/0.1.0": _cfg(
+        primary="image", wrist="wrist_image",
+        state=[None] * 7 + ["state"], se=NONE),
+    "cmu_playing_with_food/0.1.0": _cfg(
+        primary="image", wrist="finger_vision_1",
+        state=["state", None, None], se=PE),
+    "cmu_play_fusion/0.1.0": _cfg(primary="image", state=["state"], se=JT),
+    "berkeley_gnm_recon/0.1.0": _cfg(
+        wrist="image", state=["state", None, None], se=PE),
+    "berkeley_gnm_cory_hall/0.1.0": _cfg(
+        wrist="image", state=["state", None, None], se=PE),
+    "berkeley_gnm_sac_son/0.1.0": _cfg(
+        wrist="image", state=["state", None, None], se=PE),
+    "roboset/0.1.0": _cfg(
+        primary="image_left", secondary="image_right", wrist="image_wrist",
+        state=["proprio"], se=JT, ae=ActionEncoding.JOINT_POS),
+    "tdroid_carrot_in_bowl/0.1.0": _cfg(
+        primary="static_image", d_primary="static_depth_image",
+        state=["EEF_state", None, "gripper_state"], se=PE),
+    "tdroid_pour_corn_in_pot/0.1.0": _cfg(
+        primary="static_image", d_primary="static_depth_image",
+        state=["EEF_state", None, "gripper_state"], se=PE),
+    "tdroid_flip_pot_upright/0.1.0": _cfg(
+        primary="static_image", d_primary="static_depth_image",
+        state=["EEF_state", None, "gripper_state"], se=PE),
+    "tdroid_move_object_onto_plate/0.1.0": _cfg(
+        primary="static_image", d_primary="static_depth_image",
+        state=["EEF_state", None, "gripper_state"], se=PE),
+    "tdroid_knock_object_over/0.1.0": _cfg(
+        primary="static_image", d_primary="static_depth_image",
+        state=["EEF_state", None, "gripper_state"], se=PE),
+    "tdroid_cover_object_with_towel/0.1.0": _cfg(
+        primary="static_image", d_primary="static_depth_image",
+        state=["EEF_state", None, "gripper_state"], se=PE),
+    "droid_wipe/0.1.0": _cfg(
+        primary="exterior_image_2_left", wrist="wrist_image_left",
+        state=["proprio"], se=PE),
 }
 
 

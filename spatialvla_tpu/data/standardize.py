@@ -373,6 +373,195 @@ def identity(traj: Traj) -> Traj:
     return traj
 
 
+def bridge_oxe(traj: Traj) -> Traj:
+    """OXE-bucket Bridge variant: drop t=0, assemble action from the
+    world_vector/rotation_delta/open_gripper dict, relabel from state."""
+    traj = _drop_first(traj)
+    act = traj["action"]
+    traj["action"] = _cat(
+        act["world_vector"], act["rotation_delta"],
+        np.asarray(act["open_gripper"], dtype=np.float32)[:, None],
+    )
+    traj["language_instruction"] = traj["observation"]["natural_language_instruction"]
+    traj = relabel_bridge_actions(traj)
+    state = np.asarray(traj["observation"]["state"], dtype=np.float32)
+    traj["observation"]["EEF_state"] = state[:, :6]
+    traj["observation"]["gripper_state"] = state[:, -1:]
+    return traj
+
+
+def nyu_door_opening(traj: Traj) -> Traj:
+    act = traj["action"]
+    grip = rel2abs_gripper_actions(np.asarray(act["gripper_closedness_action"])[:, 0])
+    traj["action"] = _cat(act["world_vector"], act["rotation_delta"], grip[:, None])
+    traj["language_instruction"] = traj["observation"]["natural_language_instruction"]
+    return traj
+
+
+def pusht(traj: Traj) -> Traj:
+    act = traj["action"]
+    traj["action"] = _cat(
+        act["world_vector"], act["rotation_delta"],
+        np.asarray(act["gripper_closedness_action"], dtype=np.float32)[:, None],
+    )
+    traj["language_instruction"] = traj["observation"]["natural_language_instruction"]
+    return traj
+
+
+def stanford_kuka_multimodal(traj: Traj) -> Traj:
+    obs = traj["observation"]
+    if "depth_image" in obs and not isinstance(obs["depth_image"], list):
+        obs["depth_image"] = np.asarray(obs["depth_image"])[..., 0]
+    a = np.asarray(traj["action"], dtype=np.float32)
+    traj["action"] = _cat(a[:, :3], np.zeros_like(a[:, :3]), a[:, -1:])
+    return traj
+
+
+def eef_gripper_state_split(traj: Traj) -> Traj:
+    """Common pattern: observation.state = [eef(6), ..., gripper(1)]."""
+    state = np.asarray(traj["observation"]["state"], dtype=np.float32)
+    traj["observation"]["eef_state"] = state[:, :6]
+    traj["observation"]["gripper_state"] = state[:, -1:]
+    return traj
+
+
+def nyu_rot(traj: Traj) -> Traj:
+    traj = eef_gripper_state_split(traj)
+    traj["action"] = np.asarray(traj["action"], dtype=np.float32)[..., :7]
+    return traj
+
+
+def maniskill(traj: Traj) -> Traj:
+    state = np.asarray(traj["observation"]["state"], dtype=np.float32)
+    traj["observation"]["gripper_state"] = state[..., 7:8]
+    return traj
+
+
+def cmu_franka_exploration(traj: Traj) -> Traj:
+    traj["action"] = np.asarray(traj["action"], dtype=np.float32)[..., :-1]
+    return traj
+
+
+def ucsd_pick_place(traj: Traj) -> Traj:
+    traj = eef_gripper_state_split(traj)
+    a = np.asarray(traj["action"], dtype=np.float32)
+    traj["action"] = _cat(a[:, :3], np.zeros_like(a[:, :3]), a[:, -1:])
+    return traj
+
+
+def tokyo_pr2(traj: Traj) -> Traj:
+    traj = eef_gripper_state_split(traj)
+    traj["action"] = np.asarray(traj["action"], dtype=np.float32)[..., :-1]
+    return traj
+
+
+def utokyo_xarm_pick_place(traj: Traj) -> Traj:
+    return traj
+
+
+def utokyo_xarm_bimanual(traj: Traj) -> Traj:
+    traj["action"] = np.asarray(traj["action"], dtype=np.float32)[..., -7:]
+    return traj
+
+
+def robo_net(traj: Traj) -> Traj:
+    state = np.asarray(traj["observation"]["state"], dtype=np.float32)
+    traj["observation"]["eef_state"] = _cat(state[:, :4], np.zeros_like(state[:, :2]))
+    traj["observation"]["gripper_state"] = state[:, -1:]
+    a = np.asarray(traj["action"], dtype=np.float32)
+    traj["action"] = _cat(a[:, :4], np.zeros_like(a[:, :2]), a[:, -1:])
+    return traj
+
+
+def kaist_nonprehensile(traj: Traj) -> Traj:
+    state = np.asarray(traj["observation"]["state"], dtype=np.float32)
+    traj["observation"]["state"] = state[:, -7:]
+    a = np.asarray(traj["action"], dtype=np.float32)
+    traj["action"] = _cat(a[:, :6], np.zeros_like(a[:, :1]))
+    return traj
+
+
+def stanford_mask_vit(traj: Traj) -> Traj:
+    eef = np.asarray(traj["observation"]["end_effector_pose"], dtype=np.float32)
+    traj["observation"]["eef_state"] = _cat(eef[:, :4], np.zeros_like(eef[:, :2]))
+    traj["observation"]["gripper_state"] = eef[:, -1:]
+    a = np.asarray(traj["action"], dtype=np.float32)
+    traj["action"] = _cat(a[:, :4], np.zeros_like(a[:, :2]), a[:, -1:])
+    return traj
+
+
+def dlr_sara_pour(traj: Traj) -> Traj:
+    return traj
+
+
+def dlr_sara_grid_clamp(traj: Traj) -> Traj:
+    traj["observation"]["state"] = np.asarray(
+        traj["observation"]["state"], dtype=np.float32
+    )[:, :6]
+    return traj
+
+
+def asu_table_top(traj: Traj) -> Traj:
+    if "ground_truth_states" in traj and "EE" in traj["ground_truth_states"]:
+        traj["observation"]["eef_state"] = np.asarray(
+            traj["ground_truth_states"]["EE"], dtype=np.float32
+        )
+    state = np.asarray(traj["observation"]["state"], dtype=np.float32)
+    traj["observation"]["gripper_state"] = state[:, -1:]
+    return traj
+
+
+def robocook(traj: Traj) -> Traj:
+    return eef_gripper_state_split(traj)
+
+
+def imperial_wristcam(traj: Traj) -> Traj:
+    traj["action"] = np.asarray(traj["action"], dtype=np.float32)[..., :-1]
+    return traj
+
+
+def cmu_playing_with_food(traj: Traj) -> Traj:
+    a = np.asarray(traj["action"], dtype=np.float32)
+    traj["action"] = _cat(a[:, :3], euler_from_quaternion(a[:, 3:7]), a[:, -1:])
+    return traj
+
+
+def playfusion(traj: Traj) -> Traj:
+    a = np.asarray(traj["action"], dtype=np.float32)
+    traj["action"] = _cat(a[:, :3], a[:, -4:])
+    return traj
+
+
+def gnm(traj: Traj) -> Traj:
+    obs = traj["observation"]
+    state = np.asarray(obs["state"], dtype=np.float32)
+    obs["state"] = _cat(
+        obs["position"], np.zeros_like(state[:, :3]), obs["yaw"]
+    )
+    a = np.asarray(traj["action"], dtype=np.float32)
+    traj["action"] = _cat(a, np.zeros_like(a), np.zeros_like(a), np.zeros_like(a[:, :1]))
+    return traj
+
+
+def tdroid(traj: Traj) -> Traj:
+    a = np.asarray(traj["action"], dtype=np.float32)
+    traj["action"] = _cat(a[:, :6], binarize_gripper_actions(a[:, -1])[:, None])
+    obs = traj["observation"]
+    obs["EEF_state"] = np.asarray(obs["cartesian_position"], dtype=np.float32)[:, :6]
+    obs["gripper_state"] = np.asarray(obs["gripper_position"], dtype=np.float32)[:, -1:]
+    return traj
+
+
+def droid_finetuning(traj: Traj) -> Traj:
+    act = traj["action_dict"]
+    vel = np.asarray(act["cartesian_velocity"], dtype=np.float32)
+    grip = 1 - np.asarray(act["gripper_position"], dtype=np.float32)
+    traj["action"] = _cat(vel[:, :3], vel[:, 3:6], grip)
+    obs = traj["observation"]
+    obs["proprio"] = _cat(obs["cartesian_position"], obs["gripper_position"])
+    return traj
+
+
 STANDARDIZE_FNS: Dict[str, Callable[[Traj], Traj]] = {
     "fractal20220817_data/0.1.0": rt1,
     "kuka/0.1.0": kuka,
@@ -409,6 +598,44 @@ STANDARDIZE_FNS: Dict[str, Callable[[Traj], Traj]] = {
     "libero_goal_no_noops/1.0.0": libero,
     "libero_10_no_noops/1.0.0": libero,
     "simpler_env/0.1.0": identity,
+    # long-tail OXE coverage
+    "bridge_oxe/0.1.0": bridge_oxe,
+    "roboturk_tiny/0.1.0": roboturk,
+    "nyu_door_opening_surprising_effectiveness/0.1.0": nyu_door_opening,
+    "columbia_cairlab_pusht_real/0.1.0": pusht,
+    "stanford_kuka_multimodal_dataset_converted_externally_to_rlds/0.1.0": stanford_kuka_multimodal,
+    "nyu_rot_dataset_converted_externally_to_rlds/0.1.0": nyu_rot,
+    "maniskill_dataset_converted_externally_to_rlds/0.1.0": maniskill,
+    "cmu_franka_exploration_dataset_converted_externally_to_rlds/0.1.0": cmu_franka_exploration,
+    "ucsd_pick_and_place_dataset_converted_externally_to_rlds/0.1.0": ucsd_pick_place,
+    "utokyo_pr2_opening_fridge_converted_externally_to_rlds/0.1.0": tokyo_pr2,
+    "utokyo_pr2_tabletop_manipulation_converted_externally_to_rlds/0.1.0": tokyo_pr2,
+    "utokyo_xarm_pick_and_place_converted_externally_to_rlds/0.1.0": utokyo_xarm_pick_place,
+    "utokyo_xarm_bimanual_converted_externally_to_rlds/0.1.0": utokyo_xarm_bimanual,
+    "robo_net/0.1.0": robo_net,
+    "berkeley_mvp_converted_externally_to_rlds/0.1.0": identity,
+    "berkeley_rpt_converted_externally_to_rlds/0.1.0": identity,
+    "kaist_nonprehensile_converted_externally_to_rlds/0.1.0": kaist_nonprehensile,
+    "stanford_mask_vit_converted_externally_to_rlds/0.1.0": stanford_mask_vit,
+    "tokyo_u_lsmo_converted_externally_to_rlds/0.1.0": eef_gripper_state_split,
+    "dlr_sara_pour_converted_externally_to_rlds/0.1.0": dlr_sara_pour,
+    "dlr_sara_grid_clamp_converted_externally_to_rlds/0.1.0": dlr_sara_grid_clamp,
+    "asu_table_top_converted_externally_to_rlds/0.1.0": asu_table_top,
+    "stanford_robocook_converted_externally_to_rlds/0.1.0": robocook,
+    "imperialcollege_sawyer_wrist_cam/0.1.0": imperial_wristcam,
+    "cmu_playing_with_food/0.1.0": cmu_playing_with_food,
+    "cmu_play_fusion/0.1.0": playfusion,
+    "berkeley_gnm_recon/0.1.0": gnm,
+    "berkeley_gnm_cory_hall/0.1.0": gnm,
+    "berkeley_gnm_sac_son/0.1.0": gnm,
+    "roboset/0.1.0": identity,
+    "tdroid_carrot_in_bowl/0.1.0": tdroid,
+    "tdroid_pour_corn_in_pot/0.1.0": tdroid,
+    "tdroid_flip_pot_upright/0.1.0": tdroid,
+    "tdroid_move_object_onto_plate/0.1.0": tdroid,
+    "tdroid_knock_object_over/0.1.0": tdroid,
+    "tdroid_cover_object_with_towel/0.1.0": tdroid,
+    "droid_wipe/0.1.0": droid_finetuning,
 }
 
 
