@@ -182,8 +182,11 @@ def forward(
     use_remat: bool = False,
     compute_dtype=None,
     attn_backend: str = "xla",  # "xla" | "flash" (Pallas fused kernel)
+    with_logits: bool = True,
 ) -> Dict[str, Array]:
-    """Full forward (no cache). Returns {'logits', 'loss'?, 'hidden'}."""
+    """Full forward (no cache). Returns {'logits'?, 'loss'?, 'hidden'}.
+    with_logits=False skips the lm_head projection (the chunked-CE training
+    path computes logits per sequence chunk instead)."""
     B, T = input_ids.shape
     if attention_mask is None:
         attention_mask = jnp.ones((B, T), dtype=jnp.int32)
@@ -220,13 +223,14 @@ def forward(
             params["lm"], cfg.text, embeds, position_ids, base_mask,
             use_remat=use_remat,
         )
-    logits = gemma2_mod.compute_logits(params["lm"], cfg.text, hidden)
-
-    out = {"logits": logits, "hidden": hidden}
-    if labels is not None:
-        out["loss"] = cross_entropy_loss(
-            logits, labels, attention_mask, ignore_index=cfg.ignore_index
-        )
+    out = {"hidden": hidden}
+    if with_logits:
+        logits = gemma2_mod.compute_logits(params["lm"], cfg.text, hidden)
+        out["logits"] = logits
+        if labels is not None:
+            out["loss"] = cross_entropy_loss(
+                logits, labels, attention_mask, ignore_index=cfg.ignore_index
+            )
     return out
 
 

@@ -29,28 +29,43 @@ class TrainStepConfig:
     compute_dtype: Any = jnp.bfloat16
     micro_steps: int = 1  # gradient accumulation
     attn_backend: str = "xla"  # "xla" | "flash" (Pallas fused attention)
+    # sequence-chunked CE: caps logits memory at B x chunk x vocab (needed
+    # for the 265k vocab at long seq); 0 = full-sequence logits
+    loss_chunk_size: int = 0
 
 
 def make_loss_fn(cfg: SpatialVLAConfig, step_cfg: TrainStepConfig, luts=None):
     def loss_fn(params: Params, batch: Dict[str, jnp.ndarray]):
+        attn = batch.get("attention_mask", jnp.ones_like(batch["input_ids"]))
+        chunked = step_cfg.loss_chunk_size > 0
         out = spatialvla.forward(
             params,
             cfg,
             batch["input_ids"],
             pixel_values=batch.get("pixel_values"),
             intrinsic=batch.get("intrinsic"),
-            attention_mask=batch.get("attention_mask"),
+            attention_mask=attn,
             token_type_ids=batch.get("token_type_ids"),
-            labels=batch["labels"],
+            labels=None if chunked else batch["labels"],
             depth=batch.get("depth"),
             use_remat=step_cfg.use_remat,
             compute_dtype=step_cfg.compute_dtype,
             attn_backend=step_cfg.attn_backend,
+            with_logits=not chunked,
         )
+        if chunked:
+            from .loss import chunked_loss_and_metrics
+
+            loss, metrics = chunked_loss_and_metrics(
+                params["lm"], cfg.text, out["hidden"], batch["labels"], attn,
+                begin_idx=cfg.action_token_begin_idx, luts=luts,
+                chunk_size=step_cfg.loss_chunk_size,
+            )
+            return loss, metrics
         metrics = action_metrics(
             out["logits"],
             batch["labels"],
-            batch.get("attention_mask", jnp.ones_like(batch["input_ids"])),
+            attn,
             begin_idx=cfg.action_token_begin_idx,
             luts=luts,
         )

@@ -159,3 +159,31 @@ def test_action_metrics_values():
     assert float(m["gripper_accuracy"]) == 1.0
     assert abs(float(m["accuracy"]) - 2 / 3) < 1e-6
     assert float(m["l1_loss"]) > 0.0
+
+
+def test_chunked_loss_matches_full():
+    """loss_chunk_size > 0 must reproduce the full-logits loss and metrics."""
+    from spatialvla_tpu.train.train_step import make_loss_fn
+    from spatialvla_tpu.action import SpatialActionTokenizer
+
+    params = spatialvla.init_params(jax.random.PRNGKey(5), CFG)
+    tok = SpatialActionTokenizer(token_begin_idx=CFG.action_token_begin_idx)
+    luts = {k: jnp.asarray(v) for k, v in build_decode_luts(tok).items()}
+    batch = make_batch(np.random.RandomState(5), B=2)
+
+    full = make_loss_fn(CFG, TrainStepConfig(use_remat=False, compute_dtype=jnp.float32), luts=luts)
+    chunked = make_loss_fn(
+        CFG, TrainStepConfig(use_remat=False, compute_dtype=jnp.float32, loss_chunk_size=7),
+        luts=luts,
+    )
+    l1, m1 = full(params, batch)
+    l2, m2 = chunked(params, batch)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for k in ("accuracy", "translation_accuracy", "rotation_accuracy",
+              "gripper_accuracy", "l1_loss"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-5, err_msg=k)
+    # gradients agree too
+    g1 = jax.grad(lambda p: full(p, batch)[0])(params)
+    g2 = jax.grad(lambda p: chunked(p, batch)[0])(params)
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g1, g2)
+    assert max(jax.tree_util.tree_leaves(d)) < 1e-5
