@@ -107,9 +107,16 @@ def _attention_block(
 ) -> Tuple[Array, Optional[Tuple[Array, Array]]]:
     B, T, H = x.shape
     Nq, Nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = qmatmul(x, lp["q"]).reshape(B, T, Nq, D)
-    k = qmatmul(x, lp["k"]).reshape(B, T, Nkv, D)
-    v = qmatmul(x, lp["v"]).reshape(B, T, Nkv, D)
+    if "qkv" in lp:  # fused quantized serving tree
+        qkv = qmatmul(x, lp["qkv"])
+        q, k, v = jnp.split(qkv, [Nq * D, Nq * D + Nkv * D], axis=-1)
+        q = q.reshape(B, T, Nq, D)
+        k = k.reshape(B, T, Nkv, D)
+        v = v.reshape(B, T, Nkv, D)
+    else:
+        q = qmatmul(x, lp["q"]).reshape(B, T, Nq, D)
+        k = qmatmul(x, lp["k"]).reshape(B, T, Nkv, D)
+        v = qmatmul(x, lp["v"]).reshape(B, T, Nkv, D)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -130,6 +137,10 @@ def _attention_block(
 
 
 def _mlp_block(lp: Params, x: Array) -> Array:
+    if "gate_up" in lp:  # fused quantized serving tree
+        gu = qmatmul(x, lp["gate_up"])
+        gate, up = jnp.split(gu, 2, axis=-1)
+        return qmatmul(gelu_tanh(gate) * up, lp["down"])
     gate = gelu_tanh(qmatmul(x, lp["gate"]))
     up = qmatmul(x, lp["up"])
     return qmatmul(gate * up, lp["down"])

@@ -96,7 +96,7 @@ def qmatmul(x: jnp.ndarray, w, *, use_kernel=None) -> jnp.ndarray:
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    if use_kernel and x2.shape[0] <= 256:
+    if use_kernel and x2.shape[0] <= 512:
         y = int8_matmul(x2, w["q"], w["scale"], out_dtype=x.dtype)
     else:  # XLA path (prefill / training shapes)
         y = (
@@ -116,13 +116,33 @@ def qmatmul(x: jnp.ndarray, w, *, use_kernel=None) -> jnp.ndarray:
 LM_QUANT_KEYS = ("attn/q", "attn/k", "attn/v", "attn/o", "mlp/gate", "mlp/up", "mlp/down")
 
 
-def quantize_lm_params(lm_params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_lm_params(
+    lm_params: Dict[str, Any], *, fuse: bool = True
+) -> Dict[str, Any]:
     """Quantize the Gemma2 weight matrices (stacked layer tensors and the
-    lm_head); embeddings/norms stay high precision (gather/elementwise)."""
+    lm_head); embeddings/norms stay high precision (gather/elementwise).
+
+    fuse=True additionally concatenates q|k|v and gate|up along the output
+    dim so the decode step issues one kernel per projection group (kernel
+    launch count dominates the bandwidth win otherwise)."""
     out = dict(lm_params)
+    attn = lm_params["layers"]["attn"]
+    mlp = lm_params["layers"]["mlp"]
     layers = dict(lm_params["layers"])
-    layers["attn"] = {k: quantize_int8(v) for k, v in lm_params["layers"]["attn"].items()}
-    layers["mlp"] = {k: quantize_int8(v) for k, v in lm_params["layers"]["mlp"].items()}
+    if fuse:
+        qkv = jnp.concatenate([attn["q"], attn["k"], attn["v"]], axis=-1)
+        gate_up = jnp.concatenate([mlp["gate"], mlp["up"]], axis=-1)
+        layers["attn"] = {
+            "qkv": quantize_int8(qkv),
+            "o": quantize_int8(attn["o"]),
+        }
+        layers["mlp"] = {
+            "gate_up": quantize_int8(gate_up),
+            "down": quantize_int8(mlp["down"]),
+        }
+    else:
+        layers["attn"] = {k: quantize_int8(v) for k, v in attn.items()}
+        layers["mlp"] = {k: quantize_int8(v) for k, v in mlp.items()}
     out["layers"] = layers
     if "lm_head" in lm_params:
         out["lm_head"] = quantize_int8(lm_params["lm_head"])

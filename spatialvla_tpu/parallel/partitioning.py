@@ -52,16 +52,7 @@ DEFAULT_RULES: Rules = [
 ]
 
 
-def _path_str(path) -> str:
-    parts = []
-    for k in path:
-        if hasattr(k, "key"):
-            parts.append(str(k.key))
-        elif hasattr(k, "idx"):
-            parts.append(str(k.idx))
-        else:
-            parts.append(str(k))
-    return "/".join(parts)
+from ..utils.tree import path_str as _path_str
 
 
 def spec_for(path_str: str, ndim: int, rules: Rules = None) -> P:

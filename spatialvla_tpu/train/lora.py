@@ -39,8 +39,7 @@ TARGET_PRESETS["linear+emb+h"] = TARGET_PRESETS["linear+emb"] + [r"lm/lm_head$"]
 DEFAULT_SAVED = (r"^spatial_embed$",)
 
 
-def _path_str(path) -> str:
-    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+from ..utils.tree import path_str as _path_str
 
 
 def _matches(p: str, patterns) -> bool:
