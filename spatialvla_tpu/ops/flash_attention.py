@@ -92,44 +92,58 @@ def _fa_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0].astype(jnp.float32)  # (block_q, D)
-    k = k_ref[0, 0].astype(jnp.float32)  # (block_k, D)
-    v = v_ref[0, 0].astype(jnp.float32)
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (block_q, block_k)
-    if logit_softcap is not None:
-        s = jnp.tanh(s / logit_softcap) * logit_softcap
-
-    q_pos = (
-        qoff_ref[b]
-        + qi * block_q
-        + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-    )
-    k_pos = ki * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 1
-    )
-    mask = k_pos < valid_ref[b]
+    # skip compute on fully-masked kv blocks (beyond causal+prefix reach,
+    # older than the sliding window, or entirely in the right padding) —
+    # at T=2048 causal skipping halves the attention FLOPs
+    q_start = qoff_ref[b] + qi * block_q
+    k_start = ki * block_k
+    k_end = k_start + block_k - 1
+    dead = k_start >= valid_ref[b]
     if causal:
-        allowed = k_pos <= q_pos
-        allowed |= k_pos < prefix_ref[b]
-        mask &= allowed
+        dead |= (k_start > q_start + block_q - 1) & (k_start >= prefix_ref[b])
     if window is not None:
-        mask &= (q_pos - k_pos) < window
-    s = jnp.where(mask, s, NEG_INF)
+        dead |= (q_start - k_end) >= window
 
-    m_prev = m_ref[:]  # (block_q, 1)
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    correction = jnp.exp(m_prev - m_new)
-    l_new = correction * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * correction + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    m_ref[:] = m_new
-    l_ref[:] = l_new
+    @pl.when(jnp.logical_not(dead))
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)  # (block_q, D)
+        k = k_ref[0, 0].astype(jnp.float32)  # (block_k, D)
+        v = v_ref[0, 0].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (block_q, block_k)
+        if logit_softcap is not None:
+            s = jnp.tanh(s / logit_softcap) * logit_softcap
+
+        q_pos = (
+            qoff_ref[b]
+            + qi * block_q
+            + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        )
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = k_pos < valid_ref[b]
+        if causal:
+            allowed = k_pos <= q_pos
+            allowed |= k_pos < prefix_ref[b]
+            mask &= allowed
+        if window is not None:
+            mask &= (q_pos - k_pos) < window
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:]  # (block_q, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        correction = jnp.exp(m_prev - m_new)
+        l_new = correction * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * correction + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_ref[:] = m_new
+        l_ref[:] = l_new
 
     @pl.when(ki == num_k - 1)
     def _finish():
