@@ -86,6 +86,19 @@ class SpatialVLAPolicy:
         return cls(params, config, processor)
 
     # ------------------------------------------------------------------
+    def quantize(self) -> "SpatialVLAPolicy":
+        """Switch the LM to int8 weight-only serving (halves decode HBM
+        traffic; dequantization fused on-chip — ops/quant.py). In-place;
+        returns self."""
+        from .ops.quant import quantize_lm_params
+
+        params = dict(self.params)
+        params["lm"] = jax.jit(quantize_lm_params)(self.params["lm"])
+        self.params = params
+        self._predict_cache.clear()
+        return self
+
+    # ------------------------------------------------------------------
     def _jitted_predict(self, prefix_len: int, chunk: int):
         key = (prefix_len, chunk)
         if key not in self._predict_cache:

@@ -52,10 +52,11 @@ def _q8_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
     o_ref[:] = (acc * s_ref[0, :].astype(jnp.float32)[None, :]).astype(out_dtype)
 
 
-def _pick_block_n(K: int, N: int) -> int:
-    # keep the int8 tile + fp32 convert comfortably inside VMEM
-    budget = 4 * 1024 * 1024  # bytes for the int8 block
-    bn = max(128, min(N, budget // max(K, 1)))
+def _pick_block_n(K: int, N: int, M: int) -> int:
+    # VMEM per grid step ≈ x_f32 (M*K*4) + w_int8 (K*bn) + w_f32 convert
+    # (K*bn*4) + out (M*bn*4); stay well under the 16MB scoped limit
+    budget = 10 * 1024 * 1024 - M * K * 4
+    bn = max(128, min(N, budget // max(5 * K + 4 * M, 1)))
     return (bn // 128) * 128
 
 
@@ -70,7 +71,7 @@ def int8_matmul(
 ) -> jnp.ndarray:
     M, K = x.shape
     N = q.shape[1]
-    bn = _pick_block_n(K, N)
+    bn = _pick_block_n(K, N, M)
     # non-divisible N: pallas pads boundary blocks automatically
     grid = (pl.cdiv(N, bn),)
     return pl.pallas_call(
@@ -96,7 +97,9 @@ def qmatmul(x: jnp.ndarray, w, *, use_kernel=None) -> jnp.ndarray:
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    if use_kernel and x2.shape[0] <= 512:
+    # the kernel is the decode (small-M matvec) path; prefill/training
+    # shapes go through XLA (transient f32 dequant is cheap vs the matmul)
+    if use_kernel and x2.shape[0] <= 16:
         y = int8_matmul(x2, w["q"], w["scale"], out_dtype=x.dtype)
     else:  # XLA path (prefill / training shapes)
         y = (

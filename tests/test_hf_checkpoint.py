@@ -201,3 +201,17 @@ def test_loaded_params_match_submodule_parity(tmp_path):
 
     got = siglip.forward(params["vision"], config.vision, jnp.asarray(imgs.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4, rtol=2e-4)
+
+
+def test_policy_quantize(tmp_path):
+    _build_reference_style_checkpoint(tmp_path)
+    from spatialvla_tpu.inference import SpatialVLAPolicy
+
+    rng = np.random.RandomState(3)
+    image = (rng.rand(64, 80, 3) * 255).astype(np.uint8)
+    policy = SpatialVLAPolicy.from_hf_checkpoint(str(tmp_path), param_dtype=None)
+    out_fp = policy.predict(image, "pick", unnorm_key="bridge_orig/1.0.0")
+    policy.quantize()
+    out_q8 = policy.predict(image, "pick", unnorm_key="bridge_orig/1.0.0")
+    assert out_q8["actions"].shape == out_fp["actions"].shape
+    assert np.isfinite(out_q8["actions"]).all()
