@@ -44,8 +44,10 @@ def is_quantized(w) -> bool:
 # ---------------------------------------------------------------------------
 
 def _q8_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
-    x = x_ref[:].astype(jnp.float32)  # (M, K)
-    w = w_ref[:].astype(jnp.float32)  # (K, bn)
+    # bf16 MXU with fp32 accumulation: int8 codes [-127, 127] are exact in
+    # bf16, and fp32 MXU would be 4x slower for the same matvec
+    x = x_ref[:].astype(jnp.bfloat16)  # (M, K)
+    w = w_ref[:].astype(jnp.bfloat16)  # (K, bn)
     acc = jax.lax.dot_general(
         x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -53,10 +55,10 @@ def _q8_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
 
 
 def _pick_block_n(K: int, N: int, M: int) -> int:
-    # VMEM per grid step ≈ x_f32 (M*K*4) + w_int8 (K*bn) + w_f32 convert
-    # (K*bn*4) + out (M*bn*4); stay well under the 16MB scoped limit
-    budget = 10 * 1024 * 1024 - M * K * 4
-    bn = max(128, min(N, budget // max(5 * K + 4 * M, 1)))
+    # VMEM per grid step ≈ w_int8 (K*bn) + w_bf16 convert (2*K*bn) +
+    # x_bf16 (M*K*2) + out; stay well under the 16MB scoped limit
+    budget = 10 * 1024 * 1024 - M * K * 2
+    bn = max(128, min(N, budget // max(3 * K + 4 * M, 1)))
     return (bn // 128) * 128
 
 
