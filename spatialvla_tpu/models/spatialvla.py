@@ -102,8 +102,11 @@ def get_image_features(
     *,
     depth: Optional[Array] = None,  # (B, H, W) metric depth, overrides Zoe
     use_remat: bool = False,
+    compute_dtype=None,
 ) -> Array:
     """Returns (B, num_patches, lm_hidden) projected image features."""
+    if compute_dtype is not None:
+        pixel_values = pixel_values.astype(compute_dtype)
     siglip_pixels = (pixel_values - SIGLIP_MEAN) / SIGLIP_STD
     feats = siglip_mod.forward(
         params["vision"], cfg.vision, siglip_pixels, use_remat=use_remat
@@ -194,7 +197,8 @@ def forward(
     image_features = None
     if pixel_values is not None:
         image_features = get_image_features(
-            params, cfg, pixel_values, intrinsic, depth=depth, use_remat=use_remat
+            params, cfg, pixel_values, intrinsic, depth=depth,
+            use_remat=use_remat, compute_dtype=compute_dtype,
         )
 
     embeds = merge_input_embeddings(params, cfg, input_ids, image_features, dtype=compute_dtype)
@@ -279,7 +283,10 @@ def generate_greedy(
 
     image_features = None
     if pixel_values is not None:
-        image_features = get_image_features(params, cfg, pixel_values, intrinsic, depth=depth)
+        image_features = get_image_features(
+            params, cfg, pixel_values, intrinsic, depth=depth,
+            compute_dtype=compute_dtype,
+        )
     embeds = merge_input_embeddings(params, cfg, input_ids, image_features, dtype=compute_dtype)
 
     cache = gemma2_mod.init_cache(cfg.text, B, S, dtype=cache_dtype)

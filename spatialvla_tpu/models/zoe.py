@@ -451,7 +451,10 @@ def _attractor_unnormed(p, x, prev_bin, prev_bin_embedding):
 
 
 def _log_binomial_softmax(probs, temperature, n_classes):
-    """probs (B, H, W), temperature (B, H, W, 1) -> (B, H, W, n_classes)."""
+    """probs (B, H, W), temperature (B, H, W, 1) -> (B, H, W, n_classes).
+    Computed in fp32 (log/exp in bf16 would distort the distribution)."""
+    probs = probs.astype(jnp.float32)
+    temperature = temperature.astype(jnp.float32)
     eps = 1e-4
     k_idx = jnp.arange(n_classes, dtype=jnp.float32)
     k_minus_1 = jnp.asarray(float(n_classes - 1))
