@@ -103,14 +103,9 @@ def qmatmul(x: jnp.ndarray, w, *, use_kernel=None) -> jnp.ndarray:
     # shapes go through XLA (transient f32 dequant is cheap vs the matmul)
     if use_kernel and x2.shape[0] <= 16:
         y = int8_matmul(x2, w["q"], w["scale"], out_dtype=x.dtype)
-    else:  # XLA path (prefill / training shapes)
-        y = (
-            jnp.einsum(
-                "mk,kn->mn", x2.astype(jnp.float32), w["q"].astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            )
-            * w["scale"][None, :]
-        ).astype(x.dtype)
+    else:  # XLA path (prefill / training shapes): transient bf16 dequant
+        wd = w["q"].astype(x.dtype) * w["scale"].astype(x.dtype)[None, :]
+        y = x2 @ wd
     return y.reshape(lead + (y.shape[-1],))
 
 
