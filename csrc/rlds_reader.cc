@@ -21,6 +21,7 @@
 #include <unordered_map>
 #include <vector>
 
+#include <cmath>
 #include <jpeglib.h>
 #include <setjmp.h>
 
@@ -458,6 +459,106 @@ int rlds_decode_jpeg_resize(const uint8_t* jpeg, long len, int out_h,
 
 uint32_t rlds_crc32c(const uint8_t* data, long len) {
   return crc32c(data, (size_t)len);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// fused photometric augmentation
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// In-place-style augmentation of a decoded RGB frame:
+//   1. bilinear-resize the crop box (cy, cx, ch, cw) back to (H, W)
+//   2. brightness += b_delta (in [0,255] scale)
+//   3. contrast: (x - mean) * c_factor + mean (per-channel mean)
+//   4. saturation: gray + (x - gray) * s_factor (Rec.601 gray)
+//   5. hue: arithmetic HSV rotation by h_delta (fraction of a turn)
+// Matches data/augment.py (the reference's fixed photometric recipe).
+int rlds_augment(const uint8_t* in, int H, int W, uint8_t* out, int cy,
+                 int cx, int ch, int cw, float b_delta, float c_factor,
+                 float s_factor, float h_delta) {
+  if (ch <= 0 || cw <= 0 || cy < 0 || cx < 0 || cy + ch > H || cx + cw > W)
+    return -1;
+  std::vector<float> buf((size_t)H * W * 3);
+  // bilinear resize of the crop to (H, W) (half-pixel centers)
+  double mean[3] = {0, 0, 0};
+  for (int oy = 0; oy < H; oy++) {
+    float sy = ((oy + 0.5f) * ch) / H - 0.5f;
+    if (sy < 0) sy = 0;
+    if (sy > ch - 1) sy = (float)(ch - 1);
+    int y0 = (int)sy;
+    int y1 = y0 + 1 < ch ? y0 + 1 : ch - 1;
+    float wy = sy - y0;
+    for (int ox = 0; ox < W; ox++) {
+      float sx = ((ox + 0.5f) * cw) / W - 0.5f;
+      if (sx < 0) sx = 0;
+      if (sx > cw - 1) sx = (float)(cw - 1);
+      int x0 = (int)sx;
+      int x1 = x0 + 1 < cw ? x0 + 1 : cw - 1;
+      float wx = sx - x0;
+      const uint8_t* p00 = in + (((size_t)(cy + y0) * W) + cx + x0) * 3;
+      const uint8_t* p01 = in + (((size_t)(cy + y0) * W) + cx + x1) * 3;
+      const uint8_t* p10 = in + (((size_t)(cy + y1) * W) + cx + x0) * 3;
+      const uint8_t* p11 = in + (((size_t)(cy + y1) * W) + cx + x1) * 3;
+      float* dst = buf.data() + ((size_t)oy * W + ox) * 3;
+      for (int c = 0; c < 3; c++) {
+        float v = (1 - wy) * ((1 - wx) * p00[c] + wx * p01[c]) +
+                  wy * ((1 - wx) * p10[c] + wx * p11[c]);
+        dst[c] = v;
+        mean[c] += v;
+      }
+    }
+  }
+  float m[3];
+  for (int c = 0; c < 3; c++) m[c] = (float)(mean[c] / ((double)H * W));
+
+  for (size_t i = 0; i < (size_t)H * W; i++) {
+    float* px = buf.data() + i * 3;
+    float r = px[0] + b_delta, g = px[1] + b_delta, b = px[2] + b_delta;
+    r = (r - m[0]) * c_factor + m[0];
+    g = (g - m[1]) * c_factor + m[1];
+    b = (b - m[2]) * c_factor + m[2];
+    float gray = 0.299f * r + 0.587f * g + 0.114f * b;
+    r = gray + (r - gray) * s_factor;
+    g = gray + (g - gray) * s_factor;
+    b = gray + (b - gray) * s_factor;
+    if (h_delta != 0.0f) {
+      float r01 = r * (1.0f / 255.0f), g01 = g * (1.0f / 255.0f),
+            b01 = b * (1.0f / 255.0f);
+      float mx = fmaxf(r01, fmaxf(g01, b01));
+      float mn = fminf(r01, fminf(g01, b01));
+      float diff = mx - mn;
+      float h;
+      if (diff <= 0.0f) {
+        h = 0.0f;
+      } else if (mx == r01) {
+        h = fmodf((g01 - b01) / diff + 6.0f, 6.0f);
+      } else if (mx == g01) {
+        h = (b01 - r01) / diff + 2.0f;
+      } else {
+        h = (r01 - g01) / diff + 4.0f;
+      }
+      h = fmodf(h / 6.0f + h_delta + 1.0f, 1.0f);
+      float s = mx > 0 ? diff / mx : 0.0f;
+      float h6 = h * 6.0f;
+      auto chan = [&](float n) {
+        float k = fmodf(n + h6, 6.0f);
+        float t = fminf(k, 4.0f - k);
+        t = fmaxf(0.0f, fminf(1.0f, t));
+        return (mx - mx * s * t) * 255.0f;
+      };
+      r = chan(5.0f);
+      g = chan(3.0f);
+      b = chan(1.0f);
+    }
+    uint8_t* dst = out + i * 3;
+    dst[0] = (uint8_t)fmaxf(0.0f, fminf(255.0f, r));
+    dst[1] = (uint8_t)fmaxf(0.0f, fminf(255.0f, g));
+    dst[2] = (uint8_t)fmaxf(0.0f, fminf(255.0f, b));
+  }
+  return 0;
 }
 
 }  // extern "C"

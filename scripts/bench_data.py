@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Input-pipeline throughput benchmark (target: >2k frames/sec/host,
+BASELINE.md). Measures the native loader + transforms + decode/augment on a
+synthetic bridge-like dataset (or a real dataset dir if given)."""
+import argparse
+import itertools
+import tempfile
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_root_dir", default=None)
+    p.add_argument("--dataset", default="bridge_orig/1.0.0")
+    p.add_argument("--n_frames", type=int, default=2000)
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--no_augment", action="store_true")
+    args = p.parse_args()
+
+    from spatialvla_tpu.data import (
+        FrameTransformConfig,
+        InterleavedRLDSDataset,
+        TrajTransformConfig,
+    )
+
+    root = args.data_root_dir
+    if root is None:
+        import sys
+        sys.path.insert(0, "tests")
+        from fixtures import make_bridge_like_dataset
+
+        tmp = tempfile.mkdtemp()
+        make_bridge_like_dataset(
+            tmp, n_shards=4, episodes_per_shard=16, steps_per_episode=32,
+            img_hw=(256, 320),
+        )
+        root = tmp
+
+    ds = InterleavedRLDSDataset(
+        [(args.dataset, 1.0)], root,
+        traj_config=TrajTransformConfig(forward_window_size=3),
+        frame_config=FrameTransformConfig(
+            resize_size=(args.image_size, args.image_size),
+            augment=not args.no_augment,
+        ),
+        shuffle_buffer_size=256,
+    )
+    it = ds.frames()
+    next(it)  # warm
+    t0 = time.perf_counter()
+    for _ in itertools.islice(it, args.n_frames):
+        pass
+    dt = time.perf_counter() - t0
+    print(f"{args.n_frames / dt:.1f} frames/sec (single process)")
+
+
+if __name__ == "__main__":
+    main()

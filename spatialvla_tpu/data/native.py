@@ -57,6 +57,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
     ]
+    if hasattr(lib, "rlds_augment"):
+        lib.rlds_augment.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float,
+        ]
     _lib = lib
     return lib
 
@@ -192,3 +199,24 @@ def decode_jpeg_resize(jpeg_bytes: bytes, out_h: int, out_w: int) -> np.ndarray:
     img = Image.open(io.BytesIO(jpeg_bytes)).convert("RGB")
     img = img.resize((out_w, out_h), Image.BILINEAR)
     return np.asarray(img)
+
+
+def augment_native(
+    img: np.ndarray, crop_yxhw, b_delta: float, c_factor: float,
+    s_factor: float, h_delta: float,
+) -> Optional[np.ndarray]:
+    """Fused crop-resize + photometric augmentation in C++ (single pass);
+    returns None when the native lib is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rlds_augment"):
+        return None
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    H, W = img.shape[:2]
+    out = np.empty_like(img)
+    rc = lib.rlds_augment(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), H, W,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(crop_yxhw[0]), int(crop_yxhw[1]), int(crop_yxhw[2]), int(crop_yxhw[3]),
+        float(b_delta), float(c_factor), float(s_factor), float(h_delta),
+    )
+    return out if rc == 0 else None

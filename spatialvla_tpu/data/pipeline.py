@@ -60,6 +60,10 @@ class FrameTransformConfig:
     augment_kwargs: Dict = dataclasses.field(
         default_factory=lambda: dict(DEFAULT_AUGMENT_KWARGS)
     )
+    # decode/augment worker threads (the native C calls release the GIL, so
+    # this scales with host cores like tf.data's num_parallel_calls)
+    num_workers: int = 8
+    prefetch: int = 32
 
 
 # ---------------------------------------------------------------------------
@@ -348,13 +352,15 @@ class InterleavedRLDSDataset:
             yield from traj_to_frames(traj, chunk_filter)
 
     def frames(self) -> Iterator[Dict]:
-        """Infinite interleaved + shuffled + decoded frame stream."""
+        """Infinite interleaved + shuffled + decoded frame stream. Decode +
+        augmentation run on a thread pool (native code releases the GIL)."""
         rng = np.random.default_rng(self.seed)
         streams = [self._frame_stream(i) for i in range(len(self.sources))]
         buffer: List[Dict] = []
         H, W = self.frame_config.resize_size
 
-        def decode(frame: Dict) -> Dict:
+        def decode(frame: Dict, seed: int) -> Dict:
+            frame_rng = np.random.default_rng(seed)
             img = frame["image_primary"]
             if isinstance(img, bytes):
                 if len(img) == 0:
@@ -368,23 +374,44 @@ class InterleavedRLDSDataset:
 
                     arr = np.clip(_resize_bilinear(arr, H, W), 0, 255).astype(np.uint8)
             if self.frame_config.augment and arr.any():
-                arr = augment_image(arr, rng, self.frame_config.augment_kwargs)
+                arr = augment_image(arr, frame_rng, self.frame_config.augment_kwargs)
             frame = dict(frame)
             frame["image_primary"] = arr
             return frame
 
-        while True:
-            idx = rng.choice(len(streams), p=self.sample_weights)
-            try:
-                frame = next(streams[idx])
-            except StopIteration:
-                continue
-            if len(buffer) < self.shuffle_buffer_size:
-                buffer.append(frame)
-                continue
-            swap = rng.integers(0, len(buffer))
-            out, buffer[swap] = buffer[swap], frame
-            yield decode(out)
+        def sampled() -> Iterator[Dict]:
+            while True:
+                idx = rng.choice(len(streams), p=self.sample_weights)
+                try:
+                    frame = next(streams[idx])
+                except StopIteration:
+                    continue
+                if len(buffer) < self.shuffle_buffer_size:
+                    buffer.append(frame)
+                    continue
+                swap = rng.integers(0, len(buffer))
+                out, buffer[swap] = buffer[swap], frame
+                yield out
+
+        src = sampled()
+        n_workers = self.frame_config.num_workers
+        if n_workers <= 0:
+            for frame in src:
+                yield decode(frame, int(rng.integers(0, 2**31)))
+            return
+
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            pending = collections.deque()
+            depth = max(self.frame_config.prefetch, n_workers)
+            for frame in src:
+                pending.append(
+                    pool.submit(decode, frame, int(rng.integers(0, 2**31)))
+                )
+                if len(pending) >= depth:
+                    yield pending.popleft().result()
 
     def __len__(self):
         return self.epoch_length

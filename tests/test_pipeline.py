@@ -113,3 +113,24 @@ def test_batcher_shapes(data_dir):
     act_ids = act_labels[act_labels >= 6000]
     assert len(act_ids) == 3 * 12
     assert (act_ids < 6000 + 8194).all()
+
+
+def test_fit_gaussian_params(data_dir):
+    """Gaussian stats fitting produces the gs_*.json schema with sane values."""
+    from spatialvla_tpu.data.statistics import fit_gaussian_params
+
+    src = RLDSDataSource("bridge_orig/1.0.0", data_dir)
+    actions = np.concatenate([t["action"] for t in src.iter_canonical()])
+    gs = fit_gaussian_params(actions)
+    assert set(gs) == {"x", "y", "z", "theta", "phi", "r", "roll", "pitch", "yaw"}
+    for v in gs.values():
+        assert np.isfinite(v["mu"]) and v["sigma"] >= 0
+    assert 0 <= gs["theta"]["mu"] <= np.pi
+    assert 0 <= gs["r"]["mu"] <= np.sqrt(3)
+
+    # feed the fitted stats straight into a bin policy + tokenizer
+    from spatialvla_tpu.action import SpatialActionTokenizer
+
+    tok = SpatialActionTokenizer(gs_params=gs)
+    ids = tok.encode(np.clip(actions[:8], -1, 1))
+    assert ids.shape == (8, 3)
