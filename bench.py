@@ -1,14 +1,16 @@
 """End-of-round benchmark: flagship spatialvla-4b-224 greedy action
-inference on one TPU chip.
+inference on one TPU chip (full model: SigLIP + ZoeDepth + Ego3D + Gemma2,
+int8 weight-only LM serving — ops/quant.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: the reference serves spatialvla-4b on one A100 (README.md:93,
+Baseline: the reference serves spatialvla-4b bf16 on one A100 (README.md:93,
 8.5 GB inference). No actions/sec number is published; we use a
-roofline-derived A100 estimate for the same workload (prefill ~278 tokens +
-12 greedy decode steps on the ~3B-param bf16 VLM + SigLIP tower, action
-chunk 4): ~57 actions/sec. vs_baseline = ours / 57.
+roofline-derived A100 estimate for the same workload (prefill ~266 tokens +
+12 greedy decode steps on the ~4B-param VLM, action chunk 4):
+~57 actions/sec. vs_baseline = ours / 57.
 """
+import gc
 import json
 import time
 
@@ -24,9 +26,17 @@ ACTION_CHUNK = 4  # actions per generate call (3 tokens each)
 def main():
     from __graft_entry__ import _example_batch, _flagship_cfg
     from spatialvla_tpu.models import spatialvla
+    from spatialvla_tpu.ops.quant import quantize_lm_params
 
     cfg = _flagship_cfg()
     params = spatialvla.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    # int8 weight-only LM (decode is HBM-bandwidth bound)
+    qlm = jax.jit(quantize_lm_params)(params["lm"])
+    params = dict(params)
+    params["lm"] = qlm
+    del qlm
+    gc.collect()
+
     batch = _example_batch(cfg, B=1, n_text=10, n_action=0)
     prefix_len = int(batch["input_ids"].shape[1])
 
@@ -52,7 +62,7 @@ def main():
 
     actions_per_sec = ACTION_CHUNK / dt
     print(json.dumps({
-        "metric": "spatialvla-4b-224 greedy inference (chunk=4, prefix=%d)" % prefix_len,
+        "metric": "spatialvla-4b-224 greedy inference, full model incl. depth (chunk=4, prefix=%d, int8 LM)" % prefix_len,
         "value": round(actions_per_sec, 2),
         "unit": "actions/sec/chip",
         "vs_baseline": round(actions_per_sec / A100_BASELINE_ACTIONS_PER_SEC, 3),
