@@ -39,6 +39,12 @@ def is_quantized(w) -> bool:
     return isinstance(w, dict) and "q" in w and "scale" in w
 
 
+def is_lora_factored(w) -> bool:
+    """{'w': base, 'a': (..., in, r), 'b': (..., r, out)} — applied as
+    x@w + (x@a)@b without materializing the delta (train/lora.py)."""
+    return isinstance(w, dict) and "w" in w and "a" in w and "b" in w
+
+
 # ---------------------------------------------------------------------------
 # pallas kernel: x (M, K) bf16 @ wq (K, N) int8 * scale (N,) -> (M, N)
 # ---------------------------------------------------------------------------
@@ -91,7 +97,12 @@ def int8_matmul(
 
 
 def qmatmul(x: jnp.ndarray, w, *, use_kernel=None) -> jnp.ndarray:
-    """x (..., K) @ w, where w is a plain array or a QuantW dict."""
+    """x (..., K) @ w, where w is a plain array, a QuantW dict, or a LoRA
+    factor dict (base + low-rank delta applied without forming W + AB)."""
+    if is_lora_factored(w):
+        base = qmatmul(x, w["w"], use_kernel=use_kernel)
+        delta = (x @ w["a"].astype(x.dtype)) @ w["b"].astype(x.dtype)
+        return base + delta
     if not is_quantized(w):
         return x @ w.astype(x.dtype)
     if use_kernel is None:  # Pallas path only off-CPU

@@ -90,6 +90,34 @@ def lora_merge(
     return jax.tree_util.tree_map_with_path(merge, params)
 
 
+def lora_apply_tree(
+    params: Params, lora: Params, *, alpha: float = 32.0, rank: int = 32,
+    factored_prefixes: Tuple[str, ...] = ("lm/layers", "lm/lm_head"),
+) -> Params:
+    """Like lora_merge, but big-matrix leaves become factor dicts
+    {'w', 'a', 'b'} applied as x@w + (x@a)@b (ops/quant.qmatmul) — the
+    standard memory-safe LoRA application: no second full weight copy for
+    the LM. Leaves outside factored_prefixes (vision tower, projector,
+    embeddings — gathered, not matmul'd) are merged as dense deltas."""
+    scale = alpha / rank
+
+    def apply(path, leaf):
+        p = _path_str(path)
+        if p not in lora:
+            return leaf
+        a, b = lora[p]["a"], lora[p]["b"]
+        if any(p.startswith(pref) for pref in factored_prefixes):
+            return {
+                "w": jax.lax.stop_gradient(leaf),
+                "a": (a * scale).astype(a.dtype),
+                "b": b,
+            }
+        delta = jnp.einsum("...ir,...ro->...io", a, b) * scale
+        return jax.lax.stop_gradient(leaf) + delta.astype(leaf.dtype)
+
+    return jax.tree_util.tree_map_with_path(apply, params)
+
+
 def lora_fold(params: Params, lora: Params, *, alpha: float = 32.0, rank: int = 32) -> Params:
     """Permanently fold trained factors into the base weights (export)."""
     merged = lora_merge(params, lora, alpha=alpha, rank=rank)

@@ -137,13 +137,13 @@ def make_lora_train_step(
     state for them — the ZeRO-friendly version of peft fine-tuning).
 
     train_step(state, base_params, batch) -> (state, metrics)."""
-    from .lora import insert_saved, lora_merge
+    from .lora import insert_saved, lora_apply_tree
 
     loss_inner = make_loss_fn(cfg, step_cfg, luts=luts)
 
     def loss_fn(trainable, base_params, batch):
         params = insert_saved(base_params, trainable["saved"])
-        params = lora_merge(params, trainable["lora"], alpha=alpha, rank=rank)
+        params = lora_apply_tree(params, trainable["lora"], alpha=alpha, rank=rank)
         return loss_inner(params, batch)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
