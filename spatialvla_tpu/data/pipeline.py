@@ -35,7 +35,9 @@ from .augment import DEFAULT_AUGMENT_KWARGS, augment_image
 from .transforms import (
     add_pad_mask_dict,
     chunk_act_obs,
+    delete_task_conditioning,
     normalize_action_and_proprio,
+    subsample,
     uniform_goal_relabel,
 )
 
@@ -51,6 +53,8 @@ class TrajTransformConfig:
     goal_relabeling: Optional[str] = "uniform"
     max_action: Optional[float] = None
     max_proprio: Optional[float] = None
+    subsample_length: Optional[int] = None  # random traj subsample (train)
+    task_augment_keep_image_prob: Optional[float] = None  # image/lang dropout
 
 
 @dataclasses.dataclass
@@ -230,12 +234,18 @@ def apply_trajectory_transforms(
     traj = add_pad_mask_dict(traj)
     if cfg.goal_relabeling == "uniform":
         traj = uniform_goal_relabel(traj, rng)
+    # task augmentation runs before chunking (it can move goal timesteps);
+    # subsampling after (data/rlds.py:309-346)
+    if cfg.task_augment_keep_image_prob is not None:
+        traj = delete_task_conditioning(traj, cfg.task_augment_keep_image_prob, rng)
     traj = chunk_act_obs(
         traj,
         backward_window_size=cfg.backward_window_size,
         backward_delta=cfg.backward_delta,
         forward_window_size=cfg.forward_window_size,
     )
+    if cfg.subsample_length is not None:
+        traj = subsample(traj, cfg.subsample_length, rng)
     return traj
 
 
