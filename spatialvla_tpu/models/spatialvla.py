@@ -104,9 +104,20 @@ def get_image_features(
     use_remat: bool = False,
     compute_dtype=None,
 ) -> Array:
-    """Returns (B, num_patches, lm_hidden) projected image features."""
+    """Returns (B, k*num_patches, lm_hidden) projected image features.
+    pixel_values may be (B, H, W, 3) or (B, k, H, W, 3) for k observation
+    steps (the reference concatenates multi-obs pixel_values through the
+    collator, monkey_patch.py:21-75)."""
     if compute_dtype is not None:
         pixel_values = pixel_values.astype(compute_dtype)
+    multi_obs = pixel_values.ndim == 5
+    if multi_obs:
+        B, k = pixel_values.shape[:2]
+        pixel_values = pixel_values.reshape((B * k,) + pixel_values.shape[2:])
+        if intrinsic is not None:
+            intrinsic = jnp.repeat(intrinsic, k, axis=0)
+        if depth is not None:
+            depth = depth.reshape((B * k,) + depth.shape[2:])
     siglip_pixels = (pixel_values - SIGLIP_MEAN) / SIGLIP_STD
     feats = siglip_mod.forward(
         params["vision"], cfg.vision, siglip_pixels, use_remat=use_remat
@@ -133,7 +144,10 @@ def get_image_features(
 
     proj = params["projector"]
     feats = feats @ proj["w"].astype(feats.dtype) + proj["b"].astype(feats.dtype)
-    return feats / (cfg.text.hidden_size**0.5)
+    feats = feats / (cfg.text.hidden_size**0.5)
+    if multi_obs:
+        feats = feats.reshape(B, -1, feats.shape[-1])
+    return feats
 
 
 # ---------------------------------------------------------------------------

@@ -112,11 +112,11 @@ class SpatialVLAProcessor:
         return self.dataset_intrinsics["default"]
 
     # ------------------------------------------------------------------
-    def build_prompt_ids(self, text: str) -> List[int]:
-        """<image>*N + BOS + text + '\\n' as ids."""
+    def build_prompt_ids(self, text: str, n_images: int = 1) -> List[int]:
+        """<image>*(n_images*N) + BOS + text + '\\n' as ids."""
         tok = self.text_tokenizer
         return (
-            [self.image_token_id] * self.image_seq_length
+            [self.image_token_id] * (self.image_seq_length * n_images)
             + [tok.bos_id]
             + tok.encode(text)
             + tok.encode("\n")
@@ -150,9 +150,13 @@ class SpatialVLAProcessor:
         if return_labels is None:
             return_labels = suffix_ids is not None
 
+        # multi-observation samples arrive as a list of images per sample
+        n_images = [
+            len(im) if isinstance(im, (list, tuple)) else 1 for im in images
+        ]
         rows = []
         for i, t in enumerate(text):
-            prefix = self.build_prompt_ids(t)
+            prefix = self.build_prompt_ids(t, n_images=n_images[i])
             suffix = suffix_ids[i] if suffix_ids is not None else []
             rows.append((prefix, suffix))
 
@@ -170,7 +174,14 @@ class SpatialVLAProcessor:
             attention_mask[i, :n] = 1
             token_type_ids[i, len(p) : n] = 1
 
-        pixel_values = preprocess_images(images, self.image_size)
+        if any(n > 1 for n in n_images):
+            assert len(set(n_images)) == 1, "mixed obs counts in one batch"
+            pixel_values = np.stack(
+                [preprocess_images(im, self.image_size) for im in images]
+            )  # (B, k, H, W, 3)
+        else:
+            flat = [im[0] if isinstance(im, (list, tuple)) else im for im in images]
+            pixel_values = preprocess_images(flat, self.image_size)
         K = self.intrinsic_for(unnorm_key)
         out = {
             "input_ids": input_ids,

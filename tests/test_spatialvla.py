@@ -183,3 +183,43 @@ def test_greedy_decode_matches_iterated_full_forward(params):
         cur = np.concatenate([cur, nxt[:, None]], axis=1)
 
     np.testing.assert_array_equal(gen, cur[:, P:])
+
+
+def test_multi_obs_forward(params):
+    """(B, k, H, W, 3) pixel_values: k observation frames fill k image-token
+    blocks (num_obs_steps > 1 parity)."""
+    rng = np.random.RandomState(9)
+    B, k = 1, 2
+    N = CFG.num_image_tokens
+    ids = np.concatenate(
+        [np.full((B, k * N), CFG.image_token_index), rng.randint(0, 1000, (B, 3))],
+        axis=1,
+    )
+    pixels = rng.rand(B, k, CFG.vision.image_size, CFG.vision.image_size, 3).astype(np.float32)
+    out = spatialvla.forward(
+        params, CFG, jnp.asarray(ids), pixel_values=jnp.asarray(pixels)
+    )
+    assert out["logits"].shape == (B, ids.shape[1], CFG.text.vocab_size)
+    assert np.isfinite(np.asarray(out["logits"])).all()
+
+    # frame order matters: swapping the two obs changes the prefix states
+    swapped = pixels[:, ::-1]
+    out2 = spatialvla.forward(
+        params, CFG, jnp.asarray(ids), pixel_values=jnp.asarray(swapped)
+    )
+    assert not np.allclose(np.asarray(out["logits"]), np.asarray(out2["logits"]))
+
+
+def test_processor_multi_obs():
+    from spatialvla_tpu.processor import ByteTokenizer, SpatialVLAProcessor
+
+    proc = SpatialVLAProcessor(
+        ByteTokenizer(), image_token_id=5000, action_token_begin_idx=6000,
+        image_seq_length=16, image_size=28, num_obs_steps=2,
+    )
+    rng = np.random.RandomState(0)
+    imgs = [(rng.rand(32, 48, 3) * 255).astype(np.uint8) for _ in range(2)]
+    out = proc([imgs], ["do it"])
+    assert out["pixel_values"].shape == (1, 2, 28, 28, 3)
+    assert (out["input_ids"][0, :32] == 5000).all()
+    assert out["input_ids"][0, 32] == proc.text_tokenizer.bos_id
