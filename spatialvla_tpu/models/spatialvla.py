@@ -275,6 +275,18 @@ def cross_entropy_loss(
 # greedy generation (prefill + static scanned decode)
 # ---------------------------------------------------------------------------
 
+def _slice_head(lm_params: Params, begin: int, size: int):
+    """Slice the lm_head output channels [begin, begin+size) — works for
+    plain and int8-quantized heads."""
+    head = lm_params["lm_head"] if "lm_head" in lm_params else lm_params["embed"].T
+    from ..ops.quant import is_quantized
+
+    if is_quantized(head):
+        return {"q": head["q"][:, begin : begin + size],
+                "scale": head["scale"][begin : begin + size]}
+    return head[:, begin : begin + size]
+
+
 def generate_greedy(
     params: Params,
     cfg: SpatialVLAConfig,
@@ -286,12 +298,19 @@ def generate_greedy(
     max_new_tokens: int = 12,
     cache_dtype=jnp.bfloat16,
     compute_dtype=None,
+    token_range: Optional[Tuple[int, int]] = None,
 ) -> Array:
     """Returns (B, max_new_tokens) generated token ids.
 
     Static-shape two-program structure (prefill + scanned decode steps), the
     TPU-idiomatic replacement for HF generate() with HybridCache
-    (modeling_spatialvla.py:444-492)."""
+    (modeling_spatialvla.py:444-492).
+
+    token_range=(begin, size) restricts greedy argmax to an id block —
+    predict_action only consumes spatial action ids, so slicing the 265k-row
+    lm_head to the 8194-token action block removes ~1.2 GB of weight
+    streaming per decode step (argmax within the block is unchanged: the
+    final tanh softcap is monotonic)."""
     B, P = input_ids.shape
     S = P + max_new_tokens
 
@@ -309,8 +328,22 @@ def generate_greedy(
     hidden, cache = gemma2_mod.forward(
         params["lm"], cfg.text, embeds, position_ids, mask, cache=cache, cache_position=0
     )
-    logits = gemma2_mod.compute_logits(params["lm"], cfg.text, hidden[:, -1:])
-    next_token = jnp.argmax(logits[:, 0], axis=-1)  # (B,)
+
+    if token_range is not None:
+        from ..ops.quant import qmatmul
+
+        begin, size = token_range
+        head = _slice_head(params["lm"], begin, size)
+
+        def next_from(hidden_last):
+            logits = qmatmul(hidden_last[:, 0], head)
+            return jnp.argmax(logits, axis=-1) + begin
+    else:
+        def next_from(hidden_last):
+            logits = gemma2_mod.compute_logits(params["lm"], cfg.text, hidden_last)
+            return jnp.argmax(logits[:, 0], axis=-1)
+
+    next_token = next_from(hidden[:, -1:])  # (B,)
 
     k_idx = jnp.arange(S)
 
@@ -324,8 +357,7 @@ def generate_greedy(
             params["lm"], cfg.text, embeds, pos, step_mask,
             cache=cache, cache_position=P + t,
         )
-        logits = gemma2_mod.compute_logits(params["lm"], cfg.text, hidden)
-        nxt = jnp.argmax(logits[:, 0], axis=-1)
+        nxt = next_from(hidden)
         return (new_cache, nxt), tok
 
     (_, last), toks = jax.lax.scan(step, (cache, next_token), jnp.arange(max_new_tokens - 1))
@@ -344,11 +376,22 @@ def predict_action(
     depth: Optional[Array] = None,
     action_chunk_size: int = 4,
     compute_dtype=jnp.bfloat16,
+    restrict_to_action_tokens: bool = True,
 ) -> Array:
     """Greedy-decode exactly 3 * chunk spatial action token ids
-    (3 tokens per action step: translation, rotation, gripper)."""
+    (3 tokens per action step: translation, rotation, gripper).
+
+    restrict_to_action_tokens slices the lm_head to the action block
+    (decode_actions only consumes action ids anyway; the reference asserts
+    no EOS appears inside the chunk, processing_spatialvla.py:223)."""
+    token_range = (
+        (cfg.action_token_begin_idx, cfg.spatial_token_num)
+        if restrict_to_action_tokens
+        else None
+    )
     return generate_greedy(
         params, cfg, input_ids,
         pixel_values=pixel_values, intrinsic=intrinsic, depth=depth,
         max_new_tokens=3 * action_chunk_size, compute_dtype=compute_dtype,
+        token_range=token_range,
     )

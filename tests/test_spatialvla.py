@@ -223,3 +223,34 @@ def test_processor_multi_obs():
     assert out["pixel_values"].shape == (1, 2, 28, 28, 3)
     assert (out["input_ids"][0, :32] == 5000).all()
     assert out["input_ids"][0, 32] == proc.text_tokenizer.bos_id
+
+
+def test_restricted_decode_stays_in_action_block(params):
+    rng = np.random.RandomState(11)
+    B = 1
+    N = CFG.num_image_tokens
+    ids = np.concatenate(
+        [np.full((B, N), CFG.image_token_index), rng.randint(0, 1000, (B, 4))], axis=1
+    )
+    pixels = rng.rand(B, CFG.vision.image_size, CFG.vision.image_size, 3).astype(np.float32)
+    gen = np.asarray(
+        spatialvla.generate_greedy(
+            params, CFG, jnp.asarray(ids), pixel_values=jnp.asarray(pixels),
+            max_new_tokens=6, cache_dtype=jnp.float32,
+            token_range=(CFG.action_token_begin_idx, CFG.spatial_token_num),
+        )
+    )
+    assert gen.shape == (B, 6)
+    assert (gen >= CFG.action_token_begin_idx).all()
+    assert (gen < CFG.action_token_begin_idx + CFG.spatial_token_num).all()
+    # restricted argmax == full argmax masked to the block
+    # oracle: full forward with an all-prefix (bidirectional) mask, matching
+    # the inference prefill semantics
+    out = spatialvla.forward(
+        params, CFG, jnp.asarray(ids), pixel_values=jnp.asarray(pixels),
+        token_type_ids=jnp.zeros_like(jnp.asarray(ids)),
+    )
+    logits = np.asarray(out["logits"])[0, -1]
+    begin = CFG.action_token_begin_idx
+    expected = begin + np.argmax(logits[begin : begin + CFG.spatial_token_num])
+    assert gen[0, 0] == expected
