@@ -47,6 +47,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--shuffle_buffer_size", type=int, default=2048)
     p.add_argument("--attn_backend", type=str, default="flash", choices=["xla", "flash"])
     p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--loss_chunk_size", type=int, default=256)
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_fsdp", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)
@@ -140,6 +141,7 @@ def build_everything(args):
         use_remat=not args.no_remat,
         compute_dtype=jnp.bfloat16,
         attn_backend=args.attn_backend,
+        loss_chunk_size=args.loss_chunk_size,
     )
 
     if args.use_lora:

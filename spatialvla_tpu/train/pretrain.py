@@ -60,6 +60,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--max_steps", type=int, default=100_000)
     p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--loss_chunk_size", type=int, default=256,
+                   help="sequence-chunked CE (0 = full logits)")
     # mesh
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_fsdp", type=int, default=-1)
@@ -180,6 +182,7 @@ def build_everything(args):
             compute_dtype=jnp.bfloat16,
             micro_steps=args.grad_accum,
             attn_backend=args.attn_backend or "flash",
+            loss_chunk_size=args.loss_chunk_size,
         ),
         luts=luts,
     )
