@@ -1,0 +1,217 @@
+"""Golden tests: numpy standardize transforms vs the reference TF
+implementations (executed read-only as oracles), plus scipy-anchored
+rotation-convention checks for the tf-graphics-dependent paths."""
+import sys
+import types
+import zlib
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+from spatialvla_tpu.data import standardize as S
+
+
+@pytest.fixture(scope="module")
+def ref():
+    dl = sys.modules.setdefault("dlimp", types.ModuleType("dlimp"))
+    if not hasattr(dl, "transforms"):
+        dl.transforms = types.SimpleNamespace()
+    if not hasattr(dl, "DLataset"):
+        dl.DLataset = object
+    # tensorflow_graphics: only needed at import time by droid_utils; the
+    # transforms we golden-test never call it
+    if "tensorflow_graphics" not in sys.modules:
+        tfg = types.ModuleType("tensorflow_graphics")
+        geom = types.ModuleType("tensorflow_graphics.geometry")
+        tr = types.ModuleType("tensorflow_graphics.geometry.transformation")
+        tr.euler = types.SimpleNamespace()
+        tr.quaternion = types.SimpleNamespace()
+        tr.rotation_matrix_3d = types.SimpleNamespace()
+        tfg.geometry = geom
+        geom.transformation = tr
+        sys.modules["tensorflow_graphics"] = tfg
+        sys.modules["tensorflow_graphics.geometry"] = geom
+        sys.modules["tensorflow_graphics.geometry.transformation"] = tr
+    sys.path.insert(0, "/root/reference")
+    import data.oxe.transforms as ref_transforms
+
+    yield ref_transforms
+    sys.path.remove("/root/reference")
+
+
+def _np(tree):
+    if isinstance(tree, dict):
+        return {k: _np(v) for k, v in tree.items()}
+    if isinstance(tree, tf.Tensor):
+        v = tree.numpy()
+        return v
+    return np.asarray(tree)
+
+
+def _tf(tree):
+    if isinstance(tree, dict):
+        return {k: _tf(v) for k, v in tree.items()}
+    return tf.constant(tree)
+
+
+def _cmp(got, want, keys=("action",), rtol=1e-5):
+    for k in keys:
+        g, w = got, want
+        for part in k.split("."):
+            g = g[part]
+            w = w[part]
+        np.testing.assert_allclose(np.asarray(g, np.float64),
+                                   np.asarray(w, np.float64),
+                                   rtol=rtol, atol=1e-6, err_msg=k)
+
+
+def test_rt1_parity(ref):
+    rng = np.random.RandomState(0)
+    T = 9
+    raw = lambda: {
+        "observation": {"natural_language_instruction": [b"x"] * T},
+        "action": {
+            "world_vector": rng.randn(T, 3).astype(np.float32),
+            "rotation_delta": rng.randn(T, 3).astype(np.float32),
+            "gripper_closedness_action": rng.choice(
+                [-1.0, 0.0, 1.0], (T, 1)).astype(np.float32),
+        },
+    }
+    a = raw()
+    got = S.rt1({"observation": dict(a["observation"]), "action": dict(a["action"])})
+    want = _np(ref.rt1_dataset_transform(_tf(a)))
+    _cmp(got, want)
+
+
+def test_kuka_zlib_parity(ref):
+    rng = np.random.RandomState(1)
+    T = 6
+    eef = rng.randn(T, 7).astype(np.float32)
+    grip = rng.rand(T, 1).astype(np.float32)
+    raw = {
+        "observation": {
+            "natural_language_instruction": [b"x"] * T,
+            "clip_function_input/base_pose_tool_reached": [
+                zlib.compress(eef[i].tobytes()) for i in range(T)
+            ],
+            "gripper_closed": [zlib.compress(grip[i].tobytes()) for i in range(T)],
+        },
+        "action": {
+            "world_vector": rng.randn(T, 3).astype(np.float32),
+            "rotation_delta": rng.randn(T, 3).astype(np.float32),
+            "gripper_closedness_action": rng.choice([-1.0, 0.0, 1.0], (T, 1)).astype(np.float32),
+        },
+    }
+    got = S.kuka({
+        "observation": dict(raw["observation"]), "action": dict(raw["action"])
+    })
+    want = _np(ref.kuka_dataset_transform(_tf(raw)))
+    _cmp(got, want)
+    np.testing.assert_allclose(
+        got["observation"]["clip_function_input/base_pose_tool_reached"], eef
+    )
+
+
+@pytest.mark.parametrize("name,ours", [
+    ("taco_play", S.taco_play),
+    ("jaco_play", S.jaco_play),
+    ("berkeley_cable_routing", S.berkeley_cable_routing),
+    ("roboturk", S.roboturk),
+    ("viola", S.viola),
+    ("toto", S.toto),
+])
+def test_dict_action_transforms_parity(ref, name, ours):
+    rng = np.random.RandomState(hash(name) % 2**31)
+    T = 7
+    obs = {
+        "natural_language_instruction": [b"go"] * T,
+        "robot_obs": rng.randn(T, 15).astype(np.float32),
+        "end_effector_cartesian_pos": rng.randn(T, 7).astype(np.float32),
+    }
+    act = {
+        "world_vector": rng.randn(T, 3).astype(np.float32),
+        "rotation_delta": rng.randn(T, 3).astype(np.float32),
+        "gripper_closedness_action": rng.choice([-1.0, 0.0, 1.0], (T,)).astype(np.float32)
+        if name in ("berkeley_autolab_ur5",)
+        else rng.choice([-1.0, 0.0, 1.0], (T, 1)).astype(np.float32),
+        "rel_actions_world": rng.randn(T, 7).astype(np.float32),
+        "open_gripper": rng.rand(T) > 0.5,
+    }
+    if name == "viola":
+        act["gripper_closedness_action"] = rng.choice([-1.0, 1.0], (T,)).astype(np.float32)
+    if name == "jaco_play":
+        act["gripper_closedness_action"] = rng.choice([-1.0, 0.0, 1.0], (T, 1)).astype(np.float32)
+    ref_fn = getattr(ref, f"{name}_dataset_transform")
+    got = ours({"observation": dict(obs), "action": dict(act)})
+    want = _np(ref_fn(_tf({"observation": dict(obs), "action": dict(act)})))
+    _cmp(got, want)
+
+
+@pytest.mark.parametrize("name,ours,dim", [
+    ("stanford_hydra", S.stanford_hydra, 27),
+    ("austin_buds", S.austin_buds, 24),
+    ("austin_sailor", S.austin_sailor_sirius, 8),
+    ("austin_sirius", S.austin_sirius_sirius if hasattr(S, "austin_sirius_sirius") else S.austin_sailor_sirius, 8),
+    ("utaustin_mutex", S.utaustin_mutex, 24),
+    ("libero", S.libero, 8),
+])
+def test_flat_action_transforms_parity(ref, name, ours, dim):
+    rng = np.random.RandomState(hash(name) % 2**31)
+    T = 7
+    traj = {
+        "observation": {"state": rng.randn(T, dim).astype(np.float32)},
+        "action": rng.randn(T, 7).astype(np.float32),
+    }
+    ref_name = {
+        "stanford_hydra": "stanford_hydra_dataset_transform",
+        "austin_buds": "austin_buds_dataset_transform",
+        "austin_sailor": "austin_sailor_dataset_transform",
+        "austin_sirius": "austin_sirius_dataset_transform",
+        "utaustin_mutex": "utaustin_mutex_dataset_transform",
+        "libero": "libero_dataset_transform",
+    }[name]
+    ref_fn = getattr(ref, ref_name)
+    got = ours({"observation": dict(traj["observation"]), "action": traj["action"].copy()})
+    want = _np(ref_fn(_tf(traj)))
+    _cmp(got, want)
+
+
+def test_bc_z_parity(ref):
+    rng = np.random.RandomState(5)
+    T = 6
+    raw = {
+        "observation": {"natural_language_instruction": [b"z"] * T},
+        "action": {
+            "future/xyz_residual": rng.randn(T, 9).astype(np.float32),
+            "future/axis_angle_residual": rng.randn(T, 9).astype(np.float32),
+            "future/target_close": rng.randint(0, 2, (T, 3)).astype(np.int64),
+        },
+    }
+    got = S.bc_z({"observation": dict(raw["observation"]), "action": dict(raw["action"])})
+    want = _np(ref.bc_z_dataset_transform(_tf(raw)))
+    _cmp(got, want)
+
+
+def test_euler_from_quaternion_matches_scipy():
+    """tfg convention: R = Rz(yaw) Ry(pitch) Rx(roll) == scipy extrinsic
+    'xyz'. The quaternion->Euler path backs furniture_bench/iamlab/
+    playing_with_food transforms."""
+    from scipy.spatial.transform import Rotation
+
+    from spatialvla_tpu.data.rotation import euler_from_axis_angle, euler_from_quaternion
+
+    rng = np.random.RandomState(6)
+    q = rng.randn(32, 4)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    got = euler_from_quaternion(q)
+    want = Rotation.from_quat(q).as_euler("xyz")  # extrinsic xyz
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    axis = rng.randn(16, 3)
+    axis /= np.linalg.norm(axis, axis=1, keepdims=True)
+    angle = rng.uniform(0, np.pi, (16, 1))
+    got = euler_from_axis_angle(axis, angle)
+    want = Rotation.from_rotvec(axis * angle).as_euler("xyz")
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
