@@ -346,6 +346,17 @@ class InterleavedRLDSDataset:
         self.epoch_length = expected_epoch_length(
             sizes, self.sample_weights, self.raw_weights
         )
+        self._print_mixture_summary(sizes)
+
+    def _print_mixture_summary(self, sizes):
+        """Mixture pretty-printer (reference: data_utils.py:193-207)."""
+        width = max(len(n) for n in self.names)
+        print("#" * (width + 40))
+        print(f"# {'Dataset':<{width}} {'transitions':>12} {'weight':>8}  #")
+        for n, s, w in zip(self.names, sizes, self.sample_weights):
+            print(f"# {n:<{width}} {s:>12} {w:>8.4f}  #")
+        print(f"# effective epoch length: {self.epoch_length:<{width + 10}} #")
+        print("#" * (width + 40))
 
     def _frame_stream(self, idx: int) -> Iterator[Dict]:
         src = self.sources[idx]

@@ -174,6 +174,21 @@ def build_everything(args):
         freeze_zoe=True,
     )
     tx = make_optimizer(ocfg, params, mask)
+    if jax.process_index() == 0:  # trainable-parameter dump (reference
+        # spatialvla_pretrain.py:352-354)
+        from ..utils import param_summary
+
+        total = sum(param_summary(params, max_depth=1).values())
+        trainable = {
+            k: v for k, v in param_summary(
+                jax.tree_util.tree_map(
+                    lambda p, t: p if t else None, params, mask,
+                    is_leaf=lambda x: x is None,
+                ), max_depth=1,
+            ).items()
+        }
+        print(f"params: {total/1e6:.1f}M total; trainable by module: "
+              + ", ".join(f"{k}={v/1e6:.1f}M" for k, v in trainable.items()))
     luts = {k: jnp.asarray(v) for k, v in build_decode_luts(action_tokenizer).items()}
     step = make_train_step(
         cfg, tx,
