@@ -452,12 +452,18 @@ def _attractor_unnormed(p, x, prev_bin, prev_bin_embedding):
 
 def _log_binomial_softmax(probs, temperature, n_classes):
     """probs (B, H, W), temperature (B, H, W, 1) -> (B, H, W, n_classes).
-    Computed in fp32 (log/exp in bf16 would distort the distribution)."""
-    probs = probs.astype(jnp.float32)
-    temperature = temperature.astype(jnp.float32)
+
+    Computed in the input dtype: the reference serves the whole ZoeDepth in
+    bf16 (predict_action casts to bf16, modeling_spatialvla.py:489), so bf16
+    here matches its serving precision; fp32 inputs (parity tests) stay
+    fp32. The (B, H, W, n_classes) intermediate at 384^2 is HBM-bound, so
+    the dtype halves the metric head's traffic in serving."""
+    dt = probs.dtype if probs.dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
+    probs = probs.astype(dt)
+    temperature = temperature.astype(dt)
     eps = 1e-4
-    k_idx = jnp.arange(n_classes, dtype=jnp.float32)
-    k_minus_1 = jnp.asarray(float(n_classes - 1))
+    k_idx = jnp.arange(n_classes, dtype=dt)
+    k_minus_1 = jnp.asarray(float(n_classes - 1), dtype=dt)
     p = jnp.clip(probs, eps, 1.0)[..., None]
     one_minus = jnp.clip(1 - probs, eps, 1.0)[..., None]
 
