@@ -282,7 +282,7 @@ def _slice_head(lm_params: Params, begin: int, size: int):
     from ..ops.quant import is_quantized
 
     if is_quantized(head):
-        return {"q": head["q"][:, begin : begin + size],
+        return {"qt": head["qt"][begin : begin + size],
                 "scale": head["scale"][begin : begin + size]}
     return head[:, begin : begin + size]
 

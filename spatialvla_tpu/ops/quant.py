@@ -19,24 +19,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-QuantW = Dict[str, Any]  # {"q": int8 (..., K, N), "scale": f32 (..., N)}
+# {"qt": int8 (..., N, K) — *transposed* so each output-channel block is a
+#  contiguous row range (sequential DMA), "scale": f32 (..., N)}
+QuantW = Dict[str, Any]
 
 
 def quantize_int8(w: jnp.ndarray) -> QuantW:
-    """(..., K, N) float -> symmetric per-N-channel int8."""
+    """(..., K, N) float -> symmetric per-N-channel int8, stored (..., N, K)."""
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # (..., 1, N)
     scale = amax / 127.0
     q = jnp.round(wf / jnp.maximum(scale, 1e-12)).astype(jnp.int8)
-    return {"q": q, "scale": scale[..., 0, :]}
+    return {"qt": jnp.swapaxes(q, -1, -2), "scale": scale[..., 0, :]}
 
 
 def dequantize(qw: QuantW, dtype=jnp.float32) -> jnp.ndarray:
-    return (qw["q"].astype(jnp.float32) * qw["scale"][..., None, :]).astype(dtype)
+    """-> (..., K, N) float."""
+    q = jnp.swapaxes(qw["qt"], -1, -2).astype(jnp.float32)
+    return (q * qw["scale"][..., None, :]).astype(dtype)
 
 
 def is_quantized(w) -> bool:
-    return isinstance(w, dict) and "q" in w and "scale" in w
+    return isinstance(w, dict) and "qt" in w and "scale" in w
 
 
 def is_lora_factored(w) -> bool:
@@ -53,9 +57,9 @@ def _q8_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
     # bf16 MXU with fp32 accumulation: int8 codes [-127, 127] are exact in
     # bf16, and fp32 MXU would be 4x slower for the same matvec
     x = x_ref[:].astype(jnp.bfloat16)  # (M, K)
-    w = w_ref[:].astype(jnp.bfloat16)  # (K, bn)
+    w = w_ref[:].astype(jnp.bfloat16)  # (bn, K) — contiguous rows
     acc = jax.lax.dot_general(
-        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     o_ref[:] = (acc * s_ref[0, :].astype(jnp.float32)[None, :]).astype(out_dtype)
 
@@ -71,14 +75,14 @@ def _pick_block_n(K: int, N: int, M: int) -> int:
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
 def int8_matmul(
     x: jnp.ndarray,  # (M, K)
-    q: jnp.ndarray,  # (K, N) int8
+    qt: jnp.ndarray,  # (N, K) int8 (transposed weight)
     scale: jnp.ndarray,  # (N,)
     *,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jnp.ndarray:
     M, K = x.shape
-    N = q.shape[1]
+    N = qt.shape[0]
     bn = _pick_block_n(K, N, M)
     # non-divisible N: pallas pads boundary blocks automatically
     grid = (pl.cdiv(N, bn),)
@@ -87,13 +91,13 @@ def int8_matmul(
         grid=grid,
         in_specs=[
             pl.BlockSpec((M, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((M, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         interpret=interpret,
-    )(x, q, scale.reshape(1, -1))
+    )(x, qt, scale.reshape(1, -1))
 
 
 def qmatmul(x: jnp.ndarray, w, *, use_kernel=None) -> jnp.ndarray:
@@ -113,10 +117,10 @@ def qmatmul(x: jnp.ndarray, w, *, use_kernel=None) -> jnp.ndarray:
     # the kernel is the decode (small-M matvec) path; prefill/training
     # shapes go through XLA (transient f32 dequant is cheap vs the matmul)
     if use_kernel and x2.shape[0] <= 16:
-        y = int8_matmul(x2, w["q"], w["scale"], out_dtype=x.dtype)
+        y = int8_matmul(x2, w["qt"], w["scale"], out_dtype=x.dtype)
     else:  # XLA path (prefill / training shapes): transient bf16 dequant
-        wd = w["q"].astype(x.dtype) * w["scale"].astype(x.dtype)[None, :]
-        y = x2 @ wd
+        wd = w["qt"].astype(x.dtype) * w["scale"].astype(x.dtype)[:, None]
+        y = jnp.einsum("mk,nk->mn", x2, wd)
     return y.reshape(lead + (y.shape[-1],))
 
 

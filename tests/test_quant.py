@@ -23,7 +23,8 @@ def test_quantize_round_trip_error():
     rng = np.random.RandomState(0)
     w = jnp.asarray(rng.randn(128, 256).astype(np.float32))
     qw = quantize_int8(w)
-    assert qw["q"].dtype == jnp.int8
+    assert qw["qt"].dtype == jnp.int8
+    assert qw["qt"].shape == (256, 128)  # stored transposed
     err = np.abs(np.asarray(dequantize(qw)) - np.asarray(w))
     # error bounded by half a quantization step per channel
     step = np.asarray(qw["scale"])
@@ -39,10 +40,10 @@ def test_int8_matmul_kernel_parity():
     # activations round to bf16 like the serving baseline)
     xb = x.astype(jnp.bfloat16).astype(jnp.float32)
     ref = np.asarray(
-        (xb @ qw["q"].astype(jnp.float32)) * qw["scale"][None, :]
+        (xb @ qw["qt"].T.astype(jnp.float32)) * qw["scale"][None, :]
     )
     got = np.asarray(
-        int8_matmul(x, qw["q"], qw["scale"], out_dtype=jnp.float32, interpret=True)
+        int8_matmul(x, qw["qt"], qw["scale"], out_dtype=jnp.float32, interpret=True)
     )
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
 
