@@ -28,13 +28,18 @@ def main():
     from spatialvla_tpu.models import spatialvla
     from spatialvla_tpu.ops.quant import quantize_lm_params
 
+    from spatialvla_tpu.models.zoe import precompute_rel_bias
+
     cfg = _flagship_cfg()
     params = spatialvla.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    # int8 weight-only LM (decode is HBM-bandwidth bound)
+    # int8 weight-only LM (decode is HBM-bandwidth bound) + precomputed
+    # ZoeDepth relative-position bias (gather-free backbone)
     qlm = jax.jit(quantize_lm_params)(params["lm"])
+    qzoe = jax.jit(lambda zp: precompute_rel_bias(zp, cfg.zoe))(params["zoe"])
     params = dict(params)
     params["lm"] = qlm
-    del qlm
+    params["zoe"] = qzoe
+    del qlm, qzoe
     gc.collect()
 
     batch = _example_batch(cfg, B=1, n_text=10, n_action=0)

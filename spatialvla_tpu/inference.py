@@ -87,13 +87,20 @@ class SpatialVLAPolicy:
 
     # ------------------------------------------------------------------
     def quantize(self) -> "SpatialVLAPolicy":
-        """Switch the LM to int8 weight-only serving (halves decode HBM
-        traffic; dequantization fused on-chip — ops/quant.py). In-place;
-        returns self."""
+        """Switch to the serving-optimized parameterization: int8 weight-only
+        LM (halves decode HBM traffic; on-chip dequant — ops/quant.py) and a
+        precomputed ZoeDepth relative-position bias (drops the per-forward
+        5M-row gather). In-place; returns self."""
         from .ops.quant import quantize_lm_params
 
         params = dict(self.params)
         params["lm"] = jax.jit(quantize_lm_params)(self.params["lm"])
+        if "zoe" in params and "rel_pos_table" in params["zoe"]["backbone"]["layers"]:
+            from .models.zoe import precompute_rel_bias
+
+            params["zoe"] = jax.jit(
+                lambda zp: precompute_rel_bias(zp, self.config.zoe)
+            )(params["zoe"])
         self.params = params
         self._predict_cache.clear()
         return self

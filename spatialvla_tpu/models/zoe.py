@@ -135,6 +135,25 @@ def init_backbone(key, cfg: ZoeDepthConfig, dtype=jnp.float32) -> Params:
     }
 
 
+def precompute_rel_bias(zoe_params: Params, cfg: ZoeDepthConfig, dtype=jnp.bfloat16) -> Params:
+    """Serving-time transform: materialize the (static) relative-position
+    bias (L, nh, N+1, N+1) once, replacing the per-forward 5M-row gather
+    from the (num_rel, nh) table — the gather's tiny-row DMA dominates the
+    backbone otherwise. Costs ~(L * nh * 578^2) of HBM (bf16 ~256 MB for
+    beit-large/384)."""
+    window = cfg.image_size // cfg.patch_size
+    rel_idx = jnp.asarray(beit_relative_position_index(window))
+    layers = dict(zoe_params["backbone"]["layers"])
+    table = layers.pop("rel_pos_table")  # (L, num_rel, nh)
+    bias = table[:, rel_idx]  # (L, N+1, N+1, nh)
+    layers["rel_pos_bias"] = jnp.transpose(bias, (0, 3, 1, 2)).astype(dtype)
+    backbone = dict(zoe_params["backbone"])
+    backbone["layers"] = layers
+    out = dict(zoe_params)
+    out["backbone"] = backbone
+    return out
+
+
 def backbone_forward(
     params: Params, cfg: ZoeDepthConfig, pixel_values: Array,
     out_indices: Tuple[int, ...],
@@ -162,8 +181,11 @@ def backbone_forward(
         v = linear(lp["v"], x).reshape(B, -1, nh, hd)
         logits = jnp.einsum("bqnd,bknd->bnqk", q, k,
                             preferred_element_type=jnp.float32) * (hd**-0.5)
-        bias = lp["rel_pos_table"].astype(jnp.float32)[rel_idx]  # (N+1, N+1, nh)
-        logits = logits + bias.transpose(2, 0, 1)[None]
+        if "rel_pos_bias" in lp:  # precomputed (nh, N+1, N+1)
+            logits = logits + lp["rel_pos_bias"].astype(jnp.float32)[None]
+        else:
+            bias = lp["rel_pos_table"].astype(jnp.float32)[rel_idx]  # (N+1, N+1, nh)
+            logits = logits + bias.transpose(2, 0, 1)[None]
         probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         attn = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(B, -1, C)
         attn = linear(lp["proj"], attn)

@@ -147,3 +147,22 @@ def test_process_zoe_preprocess_parity():
     np.testing.assert_allclose(
         np.asarray(got).transpose(0, 3, 1, 2), ref, atol=1e-4, rtol=1e-4
     )
+
+
+def test_precomputed_rel_bias_matches_gather(hf_model, jx_params):
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(
+        rng.randn(1, TINY.image_size, TINY.image_size, 3).astype(np.float32) * 0.5
+    )
+    ref = zoe.forward(jx_params, TINY, x)
+    pre = zoe.precompute_rel_bias(jx_params, TINY, dtype=jnp.float32)
+    assert "rel_pos_bias" in pre["backbone"]["layers"]
+    assert "rel_pos_table" not in pre["backbone"]["layers"]
+    got = zoe.forward(pre, TINY, x)
+    np.testing.assert_allclose(
+        np.asarray(got["predicted_depth"]), np.asarray(ref["predicted_depth"]),
+        rtol=1e-5, atol=1e-5,
+    )
