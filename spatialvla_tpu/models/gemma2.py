@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Gemma2Config
-from ..ops.quant import is_quantized, qmatmul
+from ..ops.quant import is_quantized, qmatmul, qnorm_matmul
 from .attention import multi_head_attention
 from .layers import gelu_tanh, normal_init, rms_norm, softcap
 from .rope import apply_rope, rope_cos_sin
@@ -98,22 +98,24 @@ def embed_tokens(params: Params, input_ids: Array, dtype=None) -> Array:
 def _attention_block(
     lp: Params,
     cfg: Gemma2Config,
-    x: Array,  # (B, T, H) post input-norm
+    h: Array,  # (B, T, H) pre input-norm (norm fused where possible)
+    norm_w: Array,
     cos: Array,
     sin: Array,
     mask: Array,  # (B, 1, T, S) bool
     cache_kv: Optional[Tuple[Array, Array]],
     cache_position: Optional[Array],
 ) -> Tuple[Array, Optional[Tuple[Array, Array]]]:
-    B, T, H = x.shape
+    B, T, H = h.shape
     Nq, Nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    if "qkv" in lp:  # fused quantized serving tree
-        qkv = qmatmul(x, lp["qkv"])
+    if "qkv" in lp:  # fused quantized serving tree (norm fused into kernel)
+        qkv = qnorm_matmul(h, norm_w, lp["qkv"], eps=cfg.rms_norm_eps)
         q, k, v = jnp.split(qkv, [Nq * D, Nq * D + Nkv * D], axis=-1)
         q = q.reshape(B, T, Nq, D)
         k = k.reshape(B, T, Nkv, D)
         v = v.reshape(B, T, Nkv, D)
     else:
+        x = rms_norm(norm_w, h, cfg.rms_norm_eps)
         q = qmatmul(x, lp["q"]).reshape(B, T, Nq, D)
         k = qmatmul(x, lp["k"]).reshape(B, T, Nkv, D)
         v = qmatmul(x, lp["v"]).reshape(B, T, Nkv, D)
@@ -125,22 +127,24 @@ def _attention_block(
         ck, cv = cache_kv
         ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_position, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_position, 0, 0))
-        k, v = ck.astype(x.dtype), cv.astype(x.dtype)
+        k, v = ck.astype(h.dtype), cv.astype(h.dtype)
         new_cache = (ck, cv)
 
     scale = cfg.query_pre_attn_scalar**-0.5
     out = multi_head_attention(
         q, k, v, mask, scale=scale, logit_softcap=cfg.attn_logit_softcap
     )
-    out = qmatmul(out.reshape(B, T, Nq * D), lp["o"])
+    attn_dtype = h.dtype
+    out = qmatmul(out.reshape(B, T, Nq * D).astype(attn_dtype), lp["o"])
     return out, new_cache
 
 
-def _mlp_block(lp: Params, x: Array) -> Array:
-    if "gate_up" in lp:  # fused quantized serving tree
-        gu = qmatmul(x, lp["gate_up"])
+def _mlp_block(lp: Params, h: Array, norm_w: Array, eps: float) -> Array:
+    if "gate_up" in lp:  # fused quantized serving tree (norm fused)
+        gu = qnorm_matmul(h, norm_w, lp["gate_up"], eps=eps)
         gate, up = jnp.split(gu, 2, axis=-1)
         return qmatmul(gelu_tanh(gate) * up, lp["down"])
+    x = rms_norm(norm_w, h, eps)
     gate = gelu_tanh(qmatmul(x, lp["gate"]))
     up = qmatmul(x, lp["up"])
     return qmatmul(gate * up, lp["down"])
@@ -159,13 +163,12 @@ def _decoder_layer(
     cache_position: Optional[Array],
 ):
     mask = jnp.where(is_sliding, mask_sliding, mask_global)
-    x = rms_norm(lp["input_norm"], h, cfg.rms_norm_eps)
     attn_out, new_cache = _attention_block(
-        lp["attn"], cfg, x, cos, sin, mask, cache_kv, cache_position
+        lp["attn"], cfg, h, lp["input_norm"], cos, sin, mask, cache_kv,
+        cache_position,
     )
     h = h + rms_norm(lp["post_attn_norm"], attn_out, cfg.rms_norm_eps)
-    x2 = rms_norm(lp["pre_ffn_norm"], h, cfg.rms_norm_eps)
-    mlp_out = _mlp_block(lp["mlp"], x2)
+    mlp_out = _mlp_block(lp["mlp"], h, lp["pre_ffn_norm"], cfg.rms_norm_eps)
     h = h + rms_norm(lp["post_ffn_norm"], mlp_out, cfg.rms_norm_eps)
     return h, new_cache
 
@@ -232,8 +235,8 @@ def _decoder_layer_flash(
         lp["attn"], cfg, x, cos, sin, prefix_lens, valid_lens, window
     )
     h = h + rms_norm(lp["post_attn_norm"], attn_out, cfg.rms_norm_eps)
-    x2 = rms_norm(lp["pre_ffn_norm"], h, cfg.rms_norm_eps)
-    h = h + rms_norm(lp["post_ffn_norm"], _mlp_block(lp["mlp"], x2), cfg.rms_norm_eps)
+    mlp_out = _mlp_block(lp["mlp"], h, lp["pre_ffn_norm"], cfg.rms_norm_eps)
+    h = h + rms_norm(lp["post_ffn_norm"], mlp_out, cfg.rms_norm_eps)
     return h
 
 

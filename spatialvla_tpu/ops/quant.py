@@ -100,6 +100,69 @@ def int8_matmul(
     )(x, qt, scale.reshape(1, -1))
 
 
+def _q8_norm_kernel(x_ref, nw_ref, w_ref, s_ref, o_ref, *, out_dtype, eps):
+    # gemma RMSNorm fused in front of the matvec (recomputed per block — the
+    # norm is O(M*K) VPU work vs the block's DMA)
+    xf = x_ref[:].astype(jnp.float32)  # (M, K)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xn = xf * jax.lax.rsqrt(var + eps) * (1.0 + nw_ref[0, :].astype(jnp.float32))
+    x = xn.astype(jnp.bfloat16)
+    w = w_ref[:].astype(jnp.bfloat16)  # (bn, K)
+    acc = jax.lax.dot_general(
+        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[:] = (acc * s_ref[0, :].astype(jnp.float32)[None, :]).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "out_dtype", "interpret"))
+def int8_rmsnorm_matmul(
+    x: jnp.ndarray,  # (M, K) *unnormed*
+    norm_w: jnp.ndarray,  # (K,) gemma rms weight (stored as offset from 1)
+    qt: jnp.ndarray,  # (N, K) int8
+    scale: jnp.ndarray,  # (N,)
+    *,
+    eps: float = 1e-6,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """rms_norm(x) @ dequant(qt) in one kernel (decode fast path)."""
+    M, K = x.shape
+    N = qt.shape[0]
+    bn = _pick_block_n(K, N, M)
+    grid = (pl.cdiv(N, bn),)
+    return pl.pallas_call(
+        functools.partial(_q8_norm_kernel, out_dtype=out_dtype, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        interpret=interpret,
+    )(x, norm_w.reshape(1, -1), qt, scale.reshape(1, -1))
+
+
+def qnorm_matmul(x, norm_w, w, *, eps: float = 1e-6, use_kernel=None):
+    """Fused rms_norm + matmul when w is quantized and the shape fits the
+    decode kernel; otherwise norm in XLA then qmatmul."""
+    from ..models.layers import rms_norm
+
+    if use_kernel is None:
+        use_kernel = jax.devices()[0].platform != "cpu"
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    if is_quantized(w) and use_kernel and x2.shape[0] <= 16:
+        y = int8_rmsnorm_matmul(
+            x2, norm_w, w["qt"], w["scale"], eps=eps, out_dtype=x.dtype
+        )
+        return y.reshape(lead + (y.shape[-1],))
+    return qmatmul(rms_norm(norm_w, x, eps), w, use_kernel=use_kernel)
+
+
 def qmatmul(x: jnp.ndarray, w, *, use_kernel=None) -> jnp.ndarray:
     """x (..., K) @ w, where w is a plain array, a QuantW dict, or a LoRA
     factor dict (base + low-rank delta applied without forming W + AB)."""
