@@ -90,3 +90,22 @@ def test_quantized_decode_matches_bf16_tokens():
         cache_dtype=jnp.float32,
     )
     assert np.asarray(gen).shape == (1, 3)
+
+
+def test_int8_rmsnorm_matmul_kernel_parity():
+    """Fused rms_norm+matvec kernel (interpret mode) == norm-then-qmatmul."""
+    from spatialvla_tpu.models.layers import rms_norm
+    from spatialvla_tpu.ops.quant import int8_rmsnorm_matmul
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 128).astype(np.float32))
+    nw = jnp.asarray(rng.randn(128).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.randn(128, 256).astype(np.float32))
+    qw = quantize_int8(w)
+    got = np.asarray(
+        int8_rmsnorm_matmul(x, nw, qw["qt"], qw["scale"],
+                            out_dtype=jnp.float32, interpret=True)
+    )
+    xn = rms_norm(nw, x).astype(jnp.bfloat16).astype(jnp.float32)
+    ref = np.asarray((xn @ qw["qt"].T.astype(jnp.float32)) * qw["scale"][None, :])
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
