@@ -42,8 +42,9 @@ DEFAULT_NUM_BINS: Dict = {
 
 
 def cartesian_to_spherical(x, y, z):
-    theta = np.arctan2(np.sqrt(x**2 + y**2), z)  # polar angle
-    phi = np.arctan2(y, x)  # azimuthal angle
+    # physics convention: theta measured from +z, phi in the xy-plane
+    theta = np.arctan2(np.sqrt(x**2 + y**2), z)
+    phi = np.arctan2(y, x)
     r = np.sqrt(x**2 + y**2 + z**2)
     return theta, phi, r
 

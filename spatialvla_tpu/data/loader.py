@@ -7,32 +7,55 @@ step reuses a single compiled XLA program.
 """
 from __future__ import annotations
 
+import logging
 from typing import Dict, Iterator, Optional
 
 import numpy as np
 
 from ..processor import IGNORE_INDEX, SpatialVLAProcessor
 
+logger = logging.getLogger(__name__)
+
 
 class VLABatcher:
+    """Training-prompt parity with the reference: the model is trained on
+    the bare LOWERCASED instruction (reference data/dataset.py:130 —
+    ``lang.lower()``, no template). A template (e.g. the inference demo's
+    "What action should the robot take to {}?") is opt-in via
+    ``prompt_template``.
+
+    Truncation safety: a sample whose prefix+suffix exceeds ``seq_len`` is
+    DROPPED and counted (``self.dropped``) — action-suffix labels, the
+    entire supervision signal, are never silently cut (the reference
+    truncates at max_length 2048 where this is unreachable; at our compact
+    static seq_len it would not be)."""
+
     def __init__(
         self,
         processor: SpatialVLAProcessor,
         *,
         batch_size: int,
         seq_len: int,
-        default_prompt: str = "What action should the robot take to {}?",
+        prompt_template: Optional[str] = None,
     ):
         self.proc = processor
         self.batch_size = batch_size
         self.seq_len = seq_len
-        self.default_prompt = default_prompt
+        self.prompt_template = prompt_template
+        self.dropped = 0
+        self.encoded = 0
 
-    def encode_frame(self, frame: Dict) -> Dict[str, np.ndarray]:
+    def encode_frame(self, frame: Dict) -> Optional[Dict[str, np.ndarray]]:
+        """Returns None (and counts the drop) if the sample does not fit."""
         instruction = frame.get("language_instruction", "")
         if isinstance(instruction, bytes):
             instruction = instruction.decode("utf-8")
-        text = self.default_prompt.format(instruction) if "{}" in self.default_prompt else instruction
+        instruction = instruction.lower()
+        text = (
+            self.prompt_template.format(instruction)
+            if self.prompt_template
+            else instruction
+        )
         tok = self.proc.text_tokenizer
         prefix = self.proc.build_prompt_ids(text)
         actions = np.asarray(frame["action"], dtype=np.float64)
@@ -41,17 +64,27 @@ class VLABatcher:
             + [tok.eos_id]
         )
         T = self.seq_len
+        n = len(prefix) + len(suffix)
+        if n > T:
+            self.dropped += 1
+            if self.dropped in (1, 10, 100) or self.dropped % 1000 == 0:
+                logger.warning(
+                    "dropped %d sample(s) whose prompt+action suffix (%d tokens)"
+                    " exceeds seq_len=%d — raise --seq_len if this persists"
+                    " (instruction: %.60r)",
+                    self.dropped, n, T, instruction,
+                )
+            return None
         ids = np.full((T,), tok.pad_id, dtype=np.int32)
         attn = np.zeros((T,), dtype=np.int32)
         ttype = np.zeros((T,), dtype=np.int32)
-        n = min(len(prefix) + len(suffix), T)
-        seq = (prefix + suffix)[:T]
-        ids[:n] = seq
+        ids[:n] = prefix + suffix
         attn[:n] = 1
-        ttype[min(len(prefix), T) : n] = 1
+        ttype[len(prefix) : n] = 1
         labels = np.where(ttype == 0, IGNORE_INDEX, ids)
         img = np.asarray(frame["image_primary"], dtype=np.float32) / 255.0
         K = self.proc.intrinsic_for(frame.get("dataset_name"))
+        self.encoded += 1
         return {
             "input_ids": ids,
             "attention_mask": attn,
@@ -65,11 +98,13 @@ class VLABatcher:
     def batches(self, frames: Iterator[Dict]) -> Iterator[Dict[str, np.ndarray]]:
         while True:
             rows = []
-            for _ in range(self.batch_size):
+            while len(rows) < self.batch_size:
                 try:
-                    rows.append(self.encode_frame(next(frames)))
+                    row = self.encode_frame(next(frames))
                 except StopIteration:
                     return
+                if row is not None:
+                    rows.append(row)
             yield {
                 k: np.stack([r[k] for r in rows]) for k in rows[0].keys()
             }

@@ -1,6 +1,11 @@
 from .image import preprocess_image, preprocess_images
 from .processor import IGNORE_INDEX, SpatialVLAProcessor, scale_intrinsics
-from .text_tokenizer import ByteTokenizer, HFTokenizerAdapter, TextTokenizer
+from .text_tokenizer import (
+    ByteTokenizer,
+    HFTokenizerAdapter,
+    TextTokenizer,
+    load_text_tokenizer,
+)
 
 __all__ = [
     "IGNORE_INDEX",
@@ -8,6 +13,7 @@ __all__ = [
     "HFTokenizerAdapter",
     "SpatialVLAProcessor",
     "TextTokenizer",
+    "load_text_tokenizer",
     "preprocess_image",
     "preprocess_images",
     "scale_intrinsics",

@@ -229,6 +229,14 @@ class SpatialVLAProcessor:
     # persistence (checkpoint artifacts, SURVEY.md §5.4)
     def save(self, directory: str):
         os.makedirs(directory, exist_ok=True)
+        # tokenizer artifacts travel with the processor (reference
+        # SaveProcessorCallback + tokenizer.save_pretrained semantics,
+        # monkey_patch.py:332-342)
+        if hasattr(self.text_tokenizer, "save_pretrained"):
+            self.text_tokenizer.add_action_tokens(
+                self.action_token_begin_idx, self.action_tokenizer.vocab_size
+            )
+            self.text_tokenizer.save_pretrained(os.path.join(directory, "tokenizer"))
         state = {
             "image_token_id": self.image_token_id,
             "action_token_begin_idx": self.action_token_begin_idx,
@@ -250,6 +258,13 @@ class SpatialVLAProcessor:
     def load(cls, directory: str, text_tokenizer: Optional[TextTokenizer] = None):
         with open(os.path.join(directory, "processor_config.json")) as f:
             state = json.load(f)
+        if text_tokenizer is None:
+            from .text_tokenizer import load_text_tokenizer
+
+            tok_dir = os.path.join(directory, "tokenizer")
+            text_tokenizer = load_text_tokenizer(
+                tok_dir if os.path.isdir(tok_dir) else None
+            )
         return cls(
             text_tokenizer,
             image_token_id=state["image_token_id"],

@@ -35,6 +35,12 @@ def build_argparser() -> argparse.ArgumentParser:
     # adaptation
     p.add_argument("--adapt_emb", type=str, default=None,
                    help="gaussian stats json to re-grid spatial embeddings to")
+    p.add_argument("--tokenizer_path", type=str, default=None,
+                   help="override the tokenizer persisted beside the "
+                        "pretrained checkpoint")
+    p.add_argument("--prompt_template", type=str, default=None,
+                   help="opt-in prompt template; default is the bare "
+                        "lowercased instruction (reference parity)")
     p.add_argument("--min_sigma", type=float, default=0.0)
     # optimization
     p.add_argument("--learning_rate", type=float, default=5e-4)
@@ -72,7 +78,8 @@ def build_everything(args):
     )
     from ..models import spatialvla
     from ..parallel import MeshConfig, make_mesh, shard_params
-    from ..processor import ByteTokenizer, SpatialVLAProcessor
+    from ..processor import SpatialVLAProcessor
+    from ..processor.text_tokenizer import load_text_tokenizer
     from . import (
         OptimizerConfig,
         TrainStepConfig,
@@ -91,8 +98,12 @@ def build_everything(args):
     if args.no_vision_zoe:
         cfg = dataclasses.replace(cfg, use_vision_zoe=False, zoe=None)
 
-    # processor from pretrained dir
-    processor = SpatialVLAProcessor.load(args.pretrained_dir, ByteTokenizer())
+    # processor from pretrained dir (restores the persisted tokenizer unless
+    # overridden)
+    text_tokenizer = (
+        load_text_tokenizer(args.tokenizer_path) if args.tokenizer_path else None
+    )
+    processor = SpatialVLAProcessor.load(args.pretrained_dir, text_tokenizer)
     processor.action_chunk_size = args.action_forward_steps + 1
 
     mesh = make_mesh(MeshConfig(args.mesh_data, args.mesh_fsdp, args.mesh_model))
@@ -166,7 +177,8 @@ def build_everything(args):
 
     n_dp = mesh.shape["data"] * mesh.shape["fsdp"]
     batcher = VLABatcher(
-        processor, batch_size=args.per_device_batch_size * n_dp, seq_len=args.seq_len
+        processor, batch_size=args.per_device_batch_size * n_dp,
+        seq_len=args.seq_len, prompt_template=args.prompt_template,
     )
 
     def batches():

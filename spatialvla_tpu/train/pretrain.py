@@ -45,6 +45,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--gs_params", type=str, default=None,
                    help="gaussian stats json for the adaptive bin policy")
     p.add_argument("--intrinsics", type=str, default=None)
+    p.add_argument("--tokenizer_path", type=str, default=None,
+                   help="dir with the HF Gemma/PaliGemma2 tokenizer files; "
+                        "REQUIRED for reference-ecosystem compatibility "
+                        "(omitting it falls back to the offline byte "
+                        "tokenizer, test use only)")
+    p.add_argument("--prompt_template", type=str, default=None,
+                   help="opt-in prompt template with one '{}' slot; default "
+                        "trains on the bare lowercased instruction like the "
+                        "reference (data/dataset.py:130)")
     p.add_argument("--min_sigma", type=float, default=0.0)
     p.add_argument("--freeze_vision_tower", action="store_true")
     p.add_argument("--no_freeze_llm_embed", action="store_true")
@@ -87,7 +96,8 @@ def build_everything(args):
     )
     from ..models import spatialvla
     from ..parallel import MeshConfig, make_mesh, shard_params
-    from ..processor import ByteTokenizer, SpatialVLAProcessor
+    from ..processor import SpatialVLAProcessor
+    from ..processor.text_tokenizer import load_text_tokenizer
     from . import (
         OptimizerConfig,
         TrainStepConfig,
@@ -146,8 +156,15 @@ def build_everything(args):
         min_sigma=args.min_sigma,
         token_begin_idx=cfg.action_token_begin_idx,
     )
+    text_tokenizer = load_text_tokenizer(args.tokenizer_path)
+    if args.tokenizer_path is None and jax.process_index() == 0:
+        print(
+            "WARNING: no --tokenizer_path given; using the byte-level test "
+            "tokenizer. The trained model's text interface will NOT be "
+            "compatible with reference (PaliGemma2) checkpoints."
+        )
     processor = SpatialVLAProcessor(
-        ByteTokenizer(),
+        text_tokenizer,
         action_tokenizer=action_tokenizer,
         image_token_id=cfg.image_token_index,
         action_token_begin_idx=cfg.action_token_begin_idx,
@@ -206,7 +223,10 @@ def build_everything(args):
 
     n_dp = mesh.shape["data"] * mesh.shape["fsdp"]
     batch_size = args.per_device_batch_size * n_dp
-    batcher = VLABatcher(processor, batch_size=batch_size, seq_len=args.seq_len)
+    batcher = VLABatcher(
+        processor, batch_size=batch_size, seq_len=args.seq_len,
+        prompt_template=args.prompt_template,
+    )
 
     def batches():
         frames = ds.frames()
