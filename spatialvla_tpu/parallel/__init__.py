@@ -2,6 +2,8 @@ from .mesh import (
     AXES,
     MeshConfig,
     batch_sharding,
+    form_global_batch,
+    honor_jax_platforms_env,
     initialize_distributed,
     make_mesh,
     replicated,
@@ -19,6 +21,8 @@ __all__ = [
     "DEFAULT_RULES",
     "MeshConfig",
     "batch_sharding",
+    "form_global_batch",
+    "honor_jax_platforms_env",
     "initialize_distributed",
     "make_mesh",
     "param_pspecs",

@@ -17,6 +17,7 @@ Axes:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -59,15 +60,75 @@ def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
-):
-    """Multi-host bootstrap (replaces dist_utils.init_dist). On single-host
-    or preconfigured TPU pods the args are auto-detected."""
-    if num_processes is not None and num_processes > 1 or coordinator_address:
+) -> tuple:
+    """Multi-host bootstrap (replaces the reference's init_dist,
+    train/dist_utils.py:29-99, which rendezvouses via torchrun/OMPI/SLURM
+    env). Resolution order:
+
+      1. explicit args (or SPATIALVLA_COORDINATOR / _NUM_PROCESSES /
+         _PROCESS_ID env vars) -> jax.distributed.initialize with them;
+      2. a cluster launcher environment (SLURM, OMPI, or a TPU pod) ->
+         jax.distributed.initialize() with JAX's built-in auto-detection;
+      3. otherwise single-process: no-op.
+
+    On the CPU backend, cross-process collectives use the gloo transport.
+    Returns (process_index, process_count). Must run before any other JAX
+    backend touch in multi-process settings.
+    """
+    env = os.environ
+    coordinator_address = coordinator_address or env.get("SPATIALVLA_COORDINATOR")
+    if num_processes is None and env.get("SPATIALVLA_NUM_PROCESSES"):
+        num_processes = int(env["SPATIALVLA_NUM_PROCESSES"])
+    if process_id is None and env.get("SPATIALVLA_PROCESS_ID"):
+        process_id = int(env["SPATIALVLA_PROCESS_ID"])
+
+    explicit = coordinator_address is not None and num_processes is not None
+    auto = (
+        int(env.get("SLURM_NTASKS", "1")) > 1
+        or int(env.get("OMPI_COMM_WORLD_SIZE", "1")) > 1
+        or len(env.get("TPU_WORKER_HOSTNAMES", "").split(",")) > 1
+    )
+    if not (explicit or auto):
+        return jax.process_index(), jax.process_count()
+
+    platforms = jax.config.jax_platforms or env.get("JAX_PLATFORMS", "")
+    if "cpu" in str(platforms):
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    if explicit:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+    else:
+        jax.distributed.initialize()
+    return jax.process_index(), jax.process_count()
+
+
+def honor_jax_platforms_env() -> None:
+    """CLI-entry helper: make the JAX_PLATFORMS env var win over a
+    sitecustomize that force-registers an accelerator plugin and overwrites
+    the jax_platforms config at interpreter start. Called only from the
+    ``__main__`` blocks of the training CLIs — library callers (tests,
+    notebooks) manage jax.config themselves."""
+    envp = os.environ.get("JAX_PLATFORMS")
+    cfgp = jax.config.jax_platforms
+    if envp and (not cfgp or cfgp.split(",")[0] != envp.split(",")[0]):
+        jax.config.update("jax_platforms", envp)
+
+
+def form_global_batch(mesh: Mesh, batch: dict, pspec=None) -> dict:
+    """Assemble per-process host-local batch shards into global jax.Arrays
+    (the multi-host replacement for feeding numpy straight into jit: each
+    host contributes batch_global/process_count rows, mirroring the
+    reference's per-rank dataset sharding, data/dataset.py:82,115-119)."""
+    if jax.process_count() == 1:
+        return batch
+    sharding = NamedSharding(mesh, pspec if pspec is not None else P(("data", "fsdp")))
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in batch.items()
+    }
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

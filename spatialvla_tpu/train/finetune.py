@@ -63,6 +63,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["spatialvla_4b", "spatialvla_tiny"])
     p.add_argument("--no_vision_zoe", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--coordinator_address", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
@@ -77,7 +80,13 @@ def build_everything(args):
         VLABatcher,
     )
     from ..models import spatialvla
-    from ..parallel import MeshConfig, make_mesh, shard_params
+    from ..parallel import (
+        MeshConfig,
+        form_global_batch,
+        initialize_distributed,
+        make_mesh,
+        shard_params,
+    )
     from ..processor import SpatialVLAProcessor
     from ..processor.text_tokenizer import load_text_tokenizer
     from . import (
@@ -93,6 +102,10 @@ def build_everything(args):
     from .checkpoints import CheckpointManager, load_params
     from .lora import TARGET_PRESETS
     from .train_step import init_lora_train_state, make_lora_train_step
+
+    initialize_distributed(
+        args.coordinator_address, args.num_processes, args.process_id
+    )
 
     cfg = spatialvla_4b() if args.model_preset == "spatialvla_4b" else spatialvla_tiny()
     if args.no_vision_zoe:
@@ -176,22 +189,26 @@ def build_everything(args):
         step_args = ()
 
     n_dp = mesh.shape["data"] * mesh.shape["fsdp"]
+    global_rows = args.per_device_batch_size * n_dp
+    nproc = jax.process_count()
+    assert global_rows % nproc == 0, (global_rows, nproc)
     batcher = VLABatcher(
-        processor, batch_size=args.per_device_batch_size * n_dp,
+        processor, batch_size=global_rows // nproc,
         seq_len=args.seq_len, prompt_template=args.prompt_template,
     )
 
     def batches():
         for batch in batcher.batches(ds.frames()):
             batch.pop("actions", None)
-            yield batch
+            yield form_global_batch(mesh, batch)
 
     ckpt = CheckpointManager(
         os.path.join(args.output_dir, "checkpoints"),
         save_interval_steps=args.save_steps,
         max_to_keep=3,
     )
-    processor.save(args.output_dir)
+    if jax.process_index() == 0:
+        processor.save(args.output_dir)
     return dict(
         cfg=cfg, state=state, jstep=jstep, step_args=step_args,
         batches=batches(), ckpt=ckpt, processor=processor, dataset=ds,
@@ -221,4 +238,7 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    from ..parallel import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     main()

@@ -82,6 +82,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--logging_steps", type=int, default=500)
     p.add_argument("--profile_steps", type=int, nargs=2, default=None)
     p.add_argument("--seed", type=int, default=0)
+    # multi-host bootstrap (reference train/dist_utils.py:29-99); normally
+    # auto-detected from SLURM/OMPI/TPU-pod env, explicit flags for manual
+    # launches
+    p.add_argument("--coordinator_address", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
@@ -95,7 +101,13 @@ def build_everything(args):
         VLABatcher,
     )
     from ..models import spatialvla
-    from ..parallel import MeshConfig, make_mesh, shard_params
+    from ..parallel import (
+        MeshConfig,
+        form_global_batch,
+        initialize_distributed,
+        make_mesh,
+        shard_params,
+    )
     from ..processor import SpatialVLAProcessor
     from ..processor.text_tokenizer import load_text_tokenizer
     from . import (
@@ -109,6 +121,10 @@ def build_everything(args):
         trainable_mask,
     )
     from .checkpoints import CheckpointManager, load_params
+
+    initialize_distributed(
+        args.coordinator_address, args.num_processes, args.process_id
+    )
 
     cfg = spatialvla_4b() if args.model_preset == "spatialvla_4b" else spatialvla_tiny()
     if args.no_vision_zoe:
@@ -218,13 +234,23 @@ def build_everything(args):
         ),
         luts=luts,
     )
-    state = init_train_state(params, tx)
-    jstep, state = jit_train_step(step, mesh, state)
+    from jax.sharding import PartitionSpec as P
 
+    state = init_train_state(params, tx)
+    bspec = (
+        P(None, ("data", "fsdp")) if args.grad_accum > 1 else P(("data", "fsdp"))
+    )
+    jstep, state = jit_train_step(step, mesh, state, batch_pspec=bspec)
+
+    # global step batch = per_device * dp * grad_accum (reference batch-size
+    # arithmetic, torchrun_pretrain.sh:15-20); each host contributes
+    # global/process_count rows
     n_dp = mesh.shape["data"] * mesh.shape["fsdp"]
-    batch_size = args.per_device_batch_size * n_dp
+    global_rows = args.per_device_batch_size * n_dp * args.grad_accum
+    nproc = jax.process_count()
+    assert global_rows % nproc == 0, (global_rows, nproc)
     batcher = VLABatcher(
-        processor, batch_size=batch_size, seq_len=args.seq_len,
+        processor, batch_size=global_rows // nproc, seq_len=args.seq_len,
         prompt_template=args.prompt_template,
     )
 
@@ -237,7 +263,7 @@ def build_everything(args):
                     k: v.reshape((args.grad_accum, -1) + v.shape[1:])
                     for k, v in batch.items()
                 }
-            yield batch
+            yield form_global_batch(mesh, batch, bspec)
 
     ckpt = CheckpointManager(
         os.path.join(args.output_dir, "checkpoints"),
@@ -245,10 +271,13 @@ def build_everything(args):
         max_to_keep=args.save_total_limit,
     )
     sidecar = {"model_config": json.loads(cfg.to_json()), "mixture": args.mixture}
-    processor.save(args.output_dir)
-    from ..data.statistics import save_dataset_statistics
+    if jax.process_index() == 0:
+        processor.save(args.output_dir)
+        from ..data.statistics import save_dataset_statistics
 
-    save_dataset_statistics(ds.statistics, os.path.join(args.output_dir, "ds_stats.json"))
+        save_dataset_statistics(
+            ds.statistics, os.path.join(args.output_dir, "ds_stats.json")
+        )
     return dict(
         cfg=cfg, mesh=mesh, state=state, jstep=jstep, batches=batches(),
         ckpt=ckpt, sidecar=sidecar, processor=processor, dataset=ds,
@@ -284,4 +313,7 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    from ..parallel import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     main()

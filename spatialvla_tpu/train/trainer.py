@@ -35,11 +35,18 @@ class MetricsLogger:
     default; events are trivially importable into TB later)."""
 
     def __init__(self, output_dir: str):
-        os.makedirs(output_dir, exist_ok=True)
+        # metrics are global (replicated) values; process 0 writes, like the
+        # reference's rank-0 logging
+        self._primary = jax.process_index() == 0
         self.path = os.path.join(output_dir, "metrics.jsonl")
-        self._f = open(self.path, "a")
+        self._f = None
+        if self._primary:
+            os.makedirs(output_dir, exist_ok=True)
+            self._f = open(self.path, "a")
 
     def log(self, step: int, metrics: Dict[str, Any], *, echo: bool = True):
+        if not self._primary:
+            return
         row = {"step": int(step)}
         for k, v in metrics.items():
             try:
@@ -48,12 +55,13 @@ class MetricsLogger:
                 continue
         self._f.write(json.dumps(row) + "\n")
         self._f.flush()
-        if echo and jax.process_index() == 0:
+        if echo:
             parts = " ".join(f"{k}={v:.4f}" for k, v in row.items() if k != "step")
             print(f"[step {row['step']}] {parts}", flush=True)
 
     def close(self):
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
 
 
 def train_loop(
