@@ -78,14 +78,36 @@ class VLABatcher:
         ids = np.full((T,), tok.pad_id, dtype=np.int32)
         attn = np.zeros((T,), dtype=np.int32)
         ttype = np.zeros((T,), dtype=np.int32)
+        # gather every decoded view/obs-window image in a fixed order:
+        # primary window (oldest->newest), then secondary, then wrist
+        # (reference obs layout, data/obs_transforms.py:47-113 + the
+        # multi-obs collator concat, monkey_patch.py:21-75)
+        imgs = []
+        for key in ("image_primary", "image_secondary", "image_wrist"):
+            if key not in frame or frame[key] is None:
+                continue
+            v = np.asarray(frame[key], dtype=np.float32) / 255.0
+            imgs.extend(v if v.ndim == 4 else [v])
+        k = len(imgs)
+        # prefix was built for 1 image block; rebuild when k > 1
+        if k > 1:
+            prefix = self.proc.build_prompt_ids(text, n_images=k)
+            n = len(prefix) + len(suffix)
+            if n > T:
+                self.dropped += 1
+                return None
+            ids = np.full((T,), tok.pad_id, dtype=np.int32)
+            attn = np.zeros((T,), dtype=np.int32)
+            ttype = np.zeros((T,), dtype=np.int32)
+
         ids[:n] = prefix + suffix
         attn[:n] = 1
         ttype[len(prefix) : n] = 1
         labels = np.where(ttype == 0, IGNORE_INDEX, ids)
-        img = np.asarray(frame["image_primary"], dtype=np.float32) / 255.0
+        img = np.stack(imgs) if k > 1 else imgs[0]
         K = self.proc.intrinsic_for(frame.get("dataset_name"))
         self.encoded += 1
-        return {
+        out = {
             "input_ids": ids,
             "attention_mask": attn,
             "token_type_ids": ttype,
@@ -94,6 +116,16 @@ class VLABatcher:
             "intrinsic": K,
             "actions": np.asarray(frame["action"], dtype=np.float32),
         }
+        if frame.get("depth_primary") is not None:
+            # only a full per-image depth override is representable in the
+            # model (get_image_features depth arg); partial coverage falls
+            # back to the in-model ZoeDepth estimate
+            d = np.asarray(frame["depth_primary"], dtype=np.float32)
+            if d.ndim == 2:
+                d = d[None]
+            if d.shape[0] == k:
+                out["depth"] = d if k > 1 else d[0]
+        return out
 
     def batches(self, frames: Iterator[Dict]) -> Iterator[Dict[str, np.ndarray]]:
         while True:

@@ -292,6 +292,67 @@ NAMED_MIXTURES: Dict[str, List[Tuple[str, float]]] = {
         ("berkeley_autolab_ur5/0.1.0", 1.0),
         ("toto/0.1.0", 1.0),
     ],
+    "kuka": [("kuka/0.1.0", 1.0)],
+    "droid_wipe": [("droid_wipe/0.1.0", 1.0)],
+    "rtx_franka": [
+        ("fractal20220817_data/0.1.0", 0.54087122203),
+        ("kuka/0.1.0", 0.8341046294),
+        ("bridge_orig/1.0.0", 1.0),
+        ("taco_play/0.1.0", 2.0),
+        ("jaco_play/0.1.0", 2.0),
+        ("berkeley_cable_routing/0.1.0", 3.0),
+        ("roboturk/0.1.0", 1.0),
+        ("viola/0.1.0", 2.0),
+        ("berkeley_autolab_ur5/0.1.0", 1.0),
+        ("toto/0.1.0", 1.0),
+        ("taco_play/0.1.0", 1.0),
+        ("berkeley_cable_routing/0.1.0", 1.0),
+        ("viola/0.1.0", 1.0),
+        ("toto/0.1.0", 1.0),
+        ("stanford_hydra_dataset_converted_externally_to_rlds/0.1.0", 1.0),
+        ("austin_buds_dataset_converted_externally_to_rlds/0.1.0", 3.0),
+        ("nyu_franka_play_dataset_converted_externally_to_rlds/0.1.0", 3.0),
+        ("maniskill_dataset_converted_externally_to_rlds/0.1.0", 0.1),
+        ("furniture_bench_dataset_converted_externally_to_rlds/0.1.0", 0.1),
+        ("cmu_franka_exploration_dataset_converted_externally_to_rlds/0.1.0", 5.0),
+        ("austin_sailor_dataset_converted_externally_to_rlds/0.1.0", 1.0),
+        ("austin_sirius_dataset_converted_externally_to_rlds/0.1.0", 1.0),
+        ("berkeley_rpt_converted_externally_to_rlds/0.1.0", 1.0),
+        ("kaist_nonprehensile_converted_externally_to_rlds/0.1.0", 3.0),
+        ("stanford_robocook_converted_externally_to_rlds/0.1.0", 1.0),
+        ("iamlab_cmu_pickup_insert_converted_externally_to_rlds/0.1.0", 1.0),
+        ("utaustin_mutex/0.1.0", 1.0),
+        ("cmu_play_fusion/0.1.0", 1.0),
+    ],
+    "oxe_magic_soup_plus": [
+        ("fractal20220817_data/0.1.0", 0.54087122203),
+        ("kuka/0.1.0", 0.8341046294),
+        ("bridge_orig/1.0.0", 1.0),
+        ("taco_play/0.1.0", 2.0),
+        ("jaco_play/0.1.0", 1.0),
+        ("berkeley_cable_routing/0.1.0", 1.0),
+        ("roboturk/0.1.0", 2.0),
+        ("viola/0.1.0", 2.0),
+        ("berkeley_autolab_ur5/0.1.0", 2.0),
+        ("toto/0.1.0", 1.0),
+        ("language_table/0.1.0", 0.1),
+        ("stanford_hydra_dataset_converted_externally_to_rlds/0.1.0", 2.0),
+        ("austin_buds_dataset_converted_externally_to_rlds/0.1.0", 1.0),
+        ("nyu_franka_play_dataset_converted_externally_to_rlds/0.1.0", 3.0),
+        ("furniture_bench_dataset_converted_externally_to_rlds/0.1.0", 0.1),
+        ("ucsd_kitchen_dataset_converted_externally_to_rlds/0.1.0", 2.0),
+        ("austin_sailor_dataset_converted_externally_to_rlds/0.1.0", 1.0),
+        ("austin_sirius_dataset_converted_externally_to_rlds/0.1.0", 1.0),
+        ("dlr_edan_shared_control_converted_externally_to_rlds/0.1.0", 1.0),
+        ("iamlab_cmu_pickup_insert_converted_externally_to_rlds/0.1.0", 1.0),
+        ("utaustin_mutex/0.1.0", 1.0),
+        ("berkeley_fanuc_manipulation/0.1.0", 2.0),
+        ("cmu_stretch/0.1.0", 1.0),
+        ("bc_z/0.1.0", 0.2),
+        ("fmb_dataset/1.0.0", 1.0),
+        ("dobbe/0.0.1", 0.2),
+        ("droid/1.0.0", 0.06),
+    ],
     "oxe_spatial_vla_plus": _SPATIAL_VLA_PLUS_CORE + [("droid/1.0.0", 0.06)],
     "oxe_spatial_vla_plus_stage2": list(_SPATIAL_VLA_PLUS_CORE),
     "libero": [

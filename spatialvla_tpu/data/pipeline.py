@@ -85,10 +85,12 @@ class RLDSDataSource:
         config: Optional[OXEDatasetConfig] = None,
         split: str = "train",
         load_camera_views: Sequence[str] = ("primary",),
+        load_depth: bool = False,
         seed: int = 0,
         shard_by_rank: Tuple[int, int] = (0, 1),  # (rank, world)
         n_read_threads: int = 2,
     ):
+        self.load_depth = load_depth
         self.name = name
         self.dataset_dir = os.path.join(data_dir, name)
         self.config = config or get_config(name)
@@ -123,7 +125,7 @@ class RLDSDataSource:
             # (fancy gather) works uniformly with numeric tensors
             new_obs[f"image_{view}"] = _as_object_array(imgs)
             depth_key = self.config.depth_obs_keys.get(view)
-            if depth_key:
+            if self.load_depth and depth_key:
                 new_obs[f"depth_{view}"] = _as_object_array(old_obs[depth_key])
         if any(k is not None for k in self.config.state_obs_keys):
             parts = []
@@ -250,22 +252,34 @@ def apply_trajectory_transforms(
 
 
 def traj_to_frames(traj: Traj, chunk_filter: Optional[Callable] = None) -> Iterator[Dict]:
-    """Flatten a chunked trajectory to per-frame samples."""
+    """Flatten a chunked trajectory to per-frame samples.
+
+    Every loaded camera view (image_primary / image_secondary / image_wrist)
+    and depth obs reaches the frame (reference obs handling:
+    data/obs_transforms.py:47-113). A backward window of size 1 yields a
+    single image per view; k > 1 yields the k-image observation window
+    (oldest first) which the batcher stacks into the model's (B, k, H, W, 3)
+    multi-obs path."""
     T = len(traj["action"])
     obs = traj["observation"]
     lang = traj["task"].get("language_instruction")
+    vis_keys = [
+        k for k in obs if k.startswith("image_") or k.startswith("depth_")
+    ]
     for t in range(T):
         if chunk_filter is not None and not chunk_filter(traj["action"][t]):
             continue
-        yield {
-            # current observation = last entry of the backward window
-            "image_primary": obs["image_primary"][t][-1],
+        frame = {
             "action": traj["action"][t],  # (chunk, 7)
             "language_instruction": (lang[t] if lang is not None else ""),
             "dataset_name": traj["dataset_name"],
             "proprio": obs.get("proprio", [None] * T)[t],
             "pad_mask": obs["pad_mask"][t],
         }
+        for k in vis_keys:
+            window = obs[k][t]
+            frame[k] = window[-1] if len(window) == 1 else list(window)
+        yield frame
 
 
 # ---------------------------------------------------------------------------
@@ -312,6 +326,8 @@ class InterleavedRLDSDataset:
         shard_by_rank: Tuple[int, int] = (0, 1),
         split: str = "train",
         statistics_override: Optional[Dict[str, Dict]] = None,
+        load_camera_views: Sequence[str] = ("primary",),
+        load_depth: bool = False,
     ):
         spec = resolve_mixture(mixture)
         # dedupe (reference get_oxe_dataset_kwargs_and_weights)
@@ -329,7 +345,9 @@ class InterleavedRLDSDataset:
 
         self.sources = [
             RLDSDataSource(
-                n, data_dir, seed=seed + i, shard_by_rank=shard_by_rank, split=split
+                n, data_dir, seed=seed + i, shard_by_rank=shard_by_rank,
+                split=split, load_camera_views=load_camera_views,
+                load_depth=load_depth,
             )
             for i, n in enumerate(self.names)
         ]
@@ -380,9 +398,7 @@ class InterleavedRLDSDataset:
         buffer: List[Dict] = []
         H, W = self.frame_config.resize_size
 
-        def decode(frame: Dict, seed: int) -> Dict:
-            frame_rng = np.random.default_rng(seed)
-            img = frame["image_primary"]
+        def decode_one(img, seed: int) -> np.ndarray:
             if isinstance(img, bytes):
                 if len(img) == 0:
                     arr = np.zeros((H, W, 3), dtype=np.uint8)
@@ -395,9 +411,39 @@ class InterleavedRLDSDataset:
 
                     arr = np.clip(_resize_bilinear(arr, H, W), 0, 255).astype(np.uint8)
             if self.frame_config.augment and arr.any():
-                arr = augment_image(arr, frame_rng, self.frame_config.augment_kwargs)
+                # one shared seed per frame: every view/window image gets the
+                # same augmentation draw (reference obs_transforms.py:17-44)
+                arr = augment_image(
+                    arr, np.random.default_rng(seed), self.frame_config.augment_kwargs
+                )
+            return arr
+
+        def decode_depth_one(d) -> np.ndarray:
+            arr = np.asarray(d, dtype=np.float32)
+            if arr.ndim == 3 and arr.shape[-1] == 1:
+                arr = arr[..., 0]
+            if arr.shape[:2] != (H, W):
+                from .augment import _resize_bilinear
+
+                arr = _resize_bilinear(arr[..., None], H, W)[..., 0]
+            return arr
+
+        def decode(frame: Dict, seed: int) -> Dict:
             frame = dict(frame)
-            frame["image_primary"] = arr
+            for key in list(frame):
+                v = frame[key]
+                if key.startswith("image_"):
+                    frame[key] = (
+                        np.stack([decode_one(x, seed) for x in v])
+                        if isinstance(v, list)
+                        else decode_one(v, seed)
+                    )
+                elif key.startswith("depth_"):
+                    frame[key] = (
+                        np.stack([decode_depth_one(x) for x in v])
+                        if isinstance(v, list)
+                        else decode_depth_one(v)
+                    )
             return frame
 
         def sampled() -> Iterator[Dict]:

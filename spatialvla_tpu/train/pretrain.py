@@ -35,6 +35,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--seq_len", type=int, default=320)
     p.add_argument("--no_augment", action="store_true")
+    p.add_argument("--camera_views", type=str, default="primary",
+                   help="comma-separated views to load (primary,secondary,"
+                        "wrist); each adds an image-token block per frame")
+    p.add_argument("--load_depth", action="store_true",
+                   help="plumb recorded depth observations to the model "
+                        "(overrides the in-model ZoeDepth estimate)")
     # model (reference ModelArguments)
     p.add_argument("--model_preset", type=str, default="spatialvla_4b",
                    choices=["spatialvla_4b", "spatialvla_tiny"])
@@ -153,6 +159,8 @@ def build_everything(args):
         shuffle_buffer_size=args.shuffle_buffer_size,
         seed=args.seed + 3407 * jax.process_index(),
         shard_by_rank=(jax.process_index(), jax.process_count()),
+        load_camera_views=tuple(args.camera_views.split(",")),
+        load_depth=args.load_depth,
     )
 
     # processor (gaussian bin policy from stats json or uniform)
