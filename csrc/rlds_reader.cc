@@ -482,7 +482,20 @@ int rlds_augment(const uint8_t* in, int H, int W, uint8_t* out, int cy,
   if (ch <= 0 || cw <= 0 || cy < 0 || cx < 0 || cy + ch > H || cx + cw > W)
     return -1;
   std::vector<float> buf((size_t)H * W * 3);
-  // bilinear resize of the crop to (H, W) (half-pixel centers)
+  // bilinear resize of the crop to (H, W) (half-pixel centers); x-axis
+  // interpolation coordinates precomputed once per image so the hot inner
+  // loop carries no divides
+  std::vector<int> xs0(W), xs1(W);
+  std::vector<float> wxs(W);
+  for (int ox = 0; ox < W; ox++) {
+    float sx = ((ox + 0.5f) * cw) / W - 0.5f;
+    if (sx < 0) sx = 0;
+    if (sx > cw - 1) sx = (float)(cw - 1);
+    int x0 = (int)sx;
+    xs0[ox] = x0;
+    xs1[ox] = x0 + 1 < cw ? x0 + 1 : cw - 1;
+    wxs[ox] = sx - x0;
+  }
   double mean[3] = {0, 0, 0};
   for (int oy = 0; oy < H; oy++) {
     float sy = ((oy + 0.5f) * ch) / H - 0.5f;
@@ -491,25 +504,32 @@ int rlds_augment(const uint8_t* in, int H, int W, uint8_t* out, int cy,
     int y0 = (int)sy;
     int y1 = y0 + 1 < ch ? y0 + 1 : ch - 1;
     float wy = sy - y0;
+    const uint8_t* row0 = in + (((size_t)(cy + y0) * W) + cx) * 3;
+    const uint8_t* row1 = in + (((size_t)(cy + y1) * W) + cx) * 3;
+    double rsum = 0, gsum = 0, bsum = 0;
     for (int ox = 0; ox < W; ox++) {
-      float sx = ((ox + 0.5f) * cw) / W - 0.5f;
-      if (sx < 0) sx = 0;
-      if (sx > cw - 1) sx = (float)(cw - 1);
-      int x0 = (int)sx;
-      int x1 = x0 + 1 < cw ? x0 + 1 : cw - 1;
-      float wx = sx - x0;
-      const uint8_t* p00 = in + (((size_t)(cy + y0) * W) + cx + x0) * 3;
-      const uint8_t* p01 = in + (((size_t)(cy + y0) * W) + cx + x1) * 3;
-      const uint8_t* p10 = in + (((size_t)(cy + y1) * W) + cx + x0) * 3;
-      const uint8_t* p11 = in + (((size_t)(cy + y1) * W) + cx + x1) * 3;
+      const uint8_t* p00 = row0 + (size_t)xs0[ox] * 3;
+      const uint8_t* p01 = row0 + (size_t)xs1[ox] * 3;
+      const uint8_t* p10 = row1 + (size_t)xs0[ox] * 3;
+      const uint8_t* p11 = row1 + (size_t)xs1[ox] * 3;
+      float wx = wxs[ox];
       float* dst = buf.data() + ((size_t)oy * W + ox) * 3;
-      for (int c = 0; c < 3; c++) {
-        float v = (1 - wy) * ((1 - wx) * p00[c] + wx * p01[c]) +
-                  wy * ((1 - wx) * p10[c] + wx * p11[c]);
-        dst[c] = v;
-        mean[c] += v;
-      }
+      float v0 = (1 - wy) * ((1 - wx) * p00[0] + wx * p01[0]) +
+                 wy * ((1 - wx) * p10[0] + wx * p11[0]);
+      float v1 = (1 - wy) * ((1 - wx) * p00[1] + wx * p01[1]) +
+                 wy * ((1 - wx) * p10[1] + wx * p11[1]);
+      float v2 = (1 - wy) * ((1 - wx) * p00[2] + wx * p01[2]) +
+                 wy * ((1 - wx) * p10[2] + wx * p11[2]);
+      dst[0] = v0;
+      dst[1] = v1;
+      dst[2] = v2;
+      rsum += v0;
+      gsum += v1;
+      bsum += v2;
     }
+    mean[0] += rsum;
+    mean[1] += gsum;
+    mean[2] += bsum;
   }
   float m[3];
   for (int c = 0; c < 3; c++) m[c] = (float)(mean[c] / ((double)H * W));
@@ -530,21 +550,25 @@ int rlds_augment(const uint8_t* in, int H, int W, uint8_t* out, int cy,
       float mx = fmaxf(r01, fmaxf(g01, b01));
       float mn = fminf(r01, fminf(g01, b01));
       float diff = mx - mn;
+      float inv_diff = diff > 0.0f ? 1.0f / diff : 0.0f;
       float h;
       if (diff <= 0.0f) {
         h = 0.0f;
       } else if (mx == r01) {
-        h = fmodf((g01 - b01) / diff + 6.0f, 6.0f);
+        h = (g01 - b01) * inv_diff;  // (-6, 6): wrap below
+        if (h < 0.0f) h += 6.0f;
       } else if (mx == g01) {
-        h = (b01 - r01) / diff + 2.0f;
+        h = (b01 - r01) * inv_diff + 2.0f;
       } else {
-        h = (r01 - g01) / diff + 4.0f;
+        h = (r01 - g01) * inv_diff + 4.0f;
       }
-      h = fmodf(h / 6.0f + h_delta + 1.0f, 1.0f);
+      h = h * (1.0f / 6.0f) + h_delta + 1.0f;  // (0, 3)
+      h -= (float)(int)h;                      // frac -> [0, 1)
       float s = mx > 0 ? diff / mx : 0.0f;
       float h6 = h * 6.0f;
       auto chan = [&](float n) {
-        float k = fmodf(n + h6, 6.0f);
+        float k = n + h6;  // [1, 12)
+        if (k >= 6.0f) k -= 6.0f;
         float t = fminf(k, 4.0f - k);
         t = fmaxf(0.0f, fminf(1.0f, t));
         return (mx - mx * s * t) * 255.0f;
