@@ -58,6 +58,39 @@ def main():
     # reliable on the experimental axon backend)
     np.asarray(predict(*args))
 
+    # on-TPU kernel-vs-XLA parity gate: one fused whole-LM decode step must
+    # match the XLA serving path on the real platform (the CI suite covers
+    # interpret mode only)
+    from spatialvla_tpu.models import gemma2
+    from spatialvla_tpu.ops.decode_step import fused_decode_step
+
+    tcfg = cfg.text
+    S = 32
+    rngp = np.random.RandomState(7)
+    x1 = jnp.asarray(rngp.randn(1, 1, tcfg.hidden_size).astype(np.float32)).astype(jnp.bfloat16)
+    cache = gemma2.init_cache(tcfg, 1, S, dtype=jnp.bfloat16)
+    pos = jnp.arange(1, 9)[None]
+    pre = jnp.asarray(rngp.randn(1, 8, tcfg.hidden_size).astype(np.float32)).astype(jnp.bfloat16)
+    mask = jnp.broadcast_to(jnp.arange(S) < 8, (1, 1, 8, S))
+    _, cache = gemma2.forward(params["lm"], tcfg, pre, pos, mask, cache=cache, cache_position=0)
+    smask = jnp.broadcast_to(jnp.arange(S) <= 8, (1, 1, 1, S))
+    hx, _ = gemma2.forward(
+        params["lm"], tcfg, x1, jnp.full((1, 1), 9), smask, cache=cache, cache_position=8
+    )
+    normalizer = jnp.asarray(tcfg.hidden_size**0.5, dtype=jnp.bfloat16)
+    hf, _, _ = jax.jit(
+        lambda p, x, ck, cv: fused_decode_step(
+            p, tcfg, x, ck, cv, jnp.int32(8), jnp.int32(9)
+        )
+    )(
+        params["lm"], x1[:, 0] * normalizer,
+        jnp.transpose(cache["k"], (0, 1, 3, 2, 4)),
+        jnp.transpose(cache["v"], (0, 1, 3, 2, 4)),
+    )
+    d = np.abs(np.asarray(hf, np.float32) - np.asarray(hx[0], np.float32))
+    scale_ref = np.abs(np.asarray(hx, np.float32)).max() + 1e-6
+    assert d.max() / scale_ref < 0.02, f"fused-decode parity drift: {d.max()} vs {scale_ref}"
+
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):

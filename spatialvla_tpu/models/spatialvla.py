@@ -299,6 +299,7 @@ def generate_greedy(
     cache_dtype=jnp.bfloat16,
     compute_dtype=None,
     token_range: Optional[Tuple[int, int]] = None,
+    use_fused_decode: Optional[bool] = None,  # None = auto-detect
 ) -> Array:
     """Returns (B, max_new_tokens) generated token ids.
 
@@ -328,6 +329,23 @@ def generate_greedy(
     hidden, cache = gemma2_mod.forward(
         params["lm"], cfg.text, embeds, position_ids, mask, cache=cache, cache_position=0
     )
+
+    # whole-LM fused decode (ops/decode_step.py): one Pallas kernel per
+    # token instead of ~105 launches; eligible for the fused-quantized
+    # serving tree at batch 1 off-CPU
+    use_fused = (
+        "qkv" in params["lm"]["layers"]["attn"]
+        and B == 1
+        and S <= cfg.text.sliding_window
+        and jax.devices()[0].platform != "cpu"
+        if use_fused_decode is None
+        else use_fused_decode
+    )
+    if use_fused:
+        return _generate_greedy_fused(
+            params, cfg, cache, hidden, P, max_new_tokens, token_range,
+            compute_dtype=compute_dtype,
+        )
 
     if token_range is not None:
         from ..ops.quant import qmatmul
@@ -363,6 +381,76 @@ def generate_greedy(
     (_, last), toks = jax.lax.scan(step, (cache, next_token), jnp.arange(max_new_tokens - 1))
     # toks: (steps-1, B) tokens emitted at entry of each step; append last
     out = jnp.concatenate([toks.T, last[:, None]], axis=1) if max_new_tokens > 1 else last[:, None]
+    return out
+
+
+def _generate_greedy_fused(
+    params: Params,
+    cfg: SpatialVLAConfig,
+    cache,
+    prefill_hidden: Array,  # (1, P, H) final-normed prefill output
+    P: int,
+    max_new_tokens: int,
+    token_range,
+    *,
+    compute_dtype=None,
+) -> Array:
+    """Decode loop over the whole-LM fused kernel (ops/decode_step.py)."""
+    from ..ops.decode_step import fused_decode_step
+    from ..ops.quant import qmatmul
+
+    tcfg = cfg.text
+    B = 1
+    if token_range is not None:
+        begin, size = token_range
+        head = _slice_head(params["lm"], begin, size)
+        offset = begin
+    else:
+        head = params["lm"]["lm_head"] if "lm_head" in params["lm"] else params["lm"]["embed"].T
+        offset = 0
+
+    def next_from(hidden):  # (1, H) final-normed
+        return jnp.argmax(qmatmul(hidden, head), axis=-1) + offset
+
+    # serving cache layout (L, B, Nkv, S, D)
+    ck = jnp.transpose(cache["k"], (0, 1, 3, 2, 4))
+    cv = jnp.transpose(cache["v"], (0, 1, 3, 2, 4))
+    next_token = next_from(
+        prefill_hidden[:, -1].astype(compute_dtype or prefill_hidden.dtype)
+    )
+    normalizer = jnp.asarray(
+        tcfg.hidden_size**0.5,
+        dtype=compute_dtype or prefill_hidden.dtype,
+    )
+
+    def step(carry, t):
+        ck, cv, tok = carry
+        embeds = merge_input_embeddings(
+            params, cfg, tok[:, None], None, dtype=compute_dtype
+        )  # (1, 1, H) — spatial-token override included
+        x = (embeds[:, 0] * normalizer)
+        slot = P + t
+        hidden, k_new, v_new = fused_decode_step(
+            params["lm"], tcfg, x, ck, cv,
+            slot.astype(jnp.int32), (slot + 1).astype(jnp.int32),
+        )
+        ck = jax.lax.dynamic_update_slice(
+            ck, k_new[:, :, :, None, :], (0, 0, 0, slot, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cv, v_new[:, :, :, None, :], (0, 0, 0, slot, 0)
+        )
+        nxt = next_from(hidden.astype(compute_dtype or hidden.dtype))
+        return (ck, cv, nxt), tok
+
+    (_, _, last), toks = jax.lax.scan(
+        step, (ck, cv, next_token), jnp.arange(max_new_tokens - 1)
+    )
+    out = (
+        jnp.concatenate([toks.T, last[:, None]], axis=1)
+        if max_new_tokens > 1
+        else last[:, None]
+    )
     return out
 
 

@@ -1,0 +1,373 @@
+"""Whole-LM fused greedy-decode step: ONE Pallas kernel for all Gemma2
+layers of a single decode position.
+
+Why: greedy decode is HBM-bandwidth bound (the int8 LM streams ~2 GB of
+weights per token), but round 1 spent ~45% of the step on ~105 XLA kernel
+launches (~12 us each) and inter-kernel glue. This kernel runs the entire
+26-layer stack in a single pallas_call with a (layer, phase-step) grid:
+weight blocks stream HBM->VMEM through the Pallas pipeline while the
+residual stream lives in VMEM scratch for the whole step. Replaces the
+decode path of flash-attn + cuBLAS matvecs in the reference
+(modeling_gemma2.py:198-241 territory).
+
+Per layer the grid walks phases
+    [qkv matvec blocks][attention][o blocks][gate_up blocks][down blocks]
+with the phase boundaries baked in as static constants. The KV cache is a
+read-only input in serving layout (L, M, Nkv, S, D); the kernel emits the
+current position's k/v per layer and the caller scatters them into the
+cache (no aliasing, no full-block writebacks).
+
+Numerics mirror the XLA serving path (ops/quant.py + models/gemma2.py):
+int8 blocks dequantize to bf16 on-chip, matvecs accumulate fp32 on the MXU,
+norms/softmax in fp32, intermediate activations rounded to bf16 at the same
+points as the XLA path. Sliding-window layers are identical to global ones
+at serving lengths (S <= 4096), which the caller asserts.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Params = Dict[str, Any]
+
+_BLOCK_BYTES = 2_700_000  # int8 bytes per streamed weight block; the
+# pallas pipeline double-buffers every ref, so the kernel asks the compiler
+# for a raised scoped-vmem limit (physical VMEM is far larger than the
+# default 16 MB scope)
+
+
+def _pick_bn(N: int, K: int, budget: int = _BLOCK_BYTES) -> int:
+    """Largest divisor of N that is a multiple of 128 (or N itself) with
+    bn*K <= budget."""
+    cands = [d for d in range(N, 0, -1) if N % d == 0 and (d % 128 == 0 or d == N)]
+    for d in cands:
+        if d * K <= budget:
+            return d
+    return cands[-1]
+
+
+def _rms(x, w, eps):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return xf * jax.lax.rsqrt(var + eps) * (1.0 + w.astype(jnp.float32))
+
+
+def _rope(x, cos, sin):
+    # half-rotation convention (models/rope.py); bf16 operands like the XLA
+    # path, fp32 cos/sin source
+    half = x.shape[-1] // 2
+    rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+    return x * cos + rot * sin
+
+
+def _matvec_block(x_bf16, w_ref, s_ref):
+    """(M, K) bf16 @ int8 block (bn, K) -> (M, bn) f32 * scale."""
+    w = w_ref[0].astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(
+        x_bf16, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return acc * s_ref[0, 0].astype(jnp.float32)[None, :]
+
+
+def _decode_kernel(
+    # scalars (SMEM)
+    p_ref,  # (1,) int32: current cache slot / number of valid cached slots
+    # inputs (VMEM blocks)
+    x_ref,  # (M, H) f32 — sqrt(H)-scaled input embedding
+    cos_ref, sin_ref,  # (1, D) f32
+    norm_in_ref, norm_pa_ref, norm_pf_ref, norm_pd_ref,  # (1, H)
+    norm_final_ref,  # (1, H)
+    qkv_qt_ref, qkv_s_ref,
+    o_qt_ref, o_s_ref,
+    gu_qt_ref, gu_s_ref,
+    dn_qt_ref, dn_s_ref,
+    kc_ref, vc_ref,  # (1, M, Nkv, S, D) bf16
+    # outputs
+    h_out_ref,  # (M, H) f32 final-normed hidden
+    knew_ref, vnew_ref,  # (1, M, Nkv, D) f32
+    # scratch
+    h_scr,  # (M, H) f32 residual stream
+    xn_scr,  # (M, H) f32 normed input to qkv / gate_up (bf16-rounded)
+    qkv_scr,  # (M, N0) f32
+    attn_scr,  # (M, NqD) f32
+    oacc_scr,  # (M, H) f32
+    g_scr,  # (M, 2I) f32
+    act_scr,  # (M, I) f32
+    dacc_scr,  # (M, H) f32
+    *,
+    M, H, I, Nq, Nkv, D, S, L,
+    bn0, bn1, bn2, bn3,
+    B0, B1, B2, B3,
+    eps, q_scale, attn_cap,
+):
+    l = pl.program_id(0)
+    t = pl.program_id(1)
+    G = Nq // Nkv
+    NqD, NkvD = Nq * D, Nkv * D
+    A = B0  # attention step
+    O0 = B0 + 1
+    G0 = O0 + B1
+    D0 = G0 + B2
+    T = D0 + B3
+
+    @pl.when((l == 0) & (t == 0))
+    def _init():
+        h_scr[:] = x_ref[:]
+
+    @pl.when(t == 0)
+    def _input_norm():
+        xn = _rms(h_scr[:], norm_in_ref[0, 0], eps)
+        xn_scr[:] = xn.astype(jnp.bfloat16).astype(jnp.float32)
+
+    @pl.when(t < B0)
+    def _qkv():
+        acc = _matvec_block(xn_scr[:].astype(jnp.bfloat16), qkv_qt_ref, qkv_s_ref)
+        # bf16-round like the XLA serving kernels' bf16 outputs
+        acc = acc.astype(jnp.bfloat16).astype(jnp.float32)
+        qkv_scr[:, pl.ds(t * bn0, bn0)] = acc
+
+    @pl.when(t == A)
+    def _attention():
+        p = p_ref[0]
+        cos = cos_ref[0].astype(jnp.bfloat16).astype(jnp.float32)  # (D,)
+        sin = sin_ref[0].astype(jnp.bfloat16).astype(jnp.float32)
+        # slots [0, p) are valid cache; column S is the current token
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (1, S + 1), 1)
+        mask = (kiota < p) | (kiota == S)
+        for m in range(M):
+            for h in range(Nkv):
+                # current k/v for this head
+                k_new = qkv_scr[m : m + 1, NqD + h * D : NqD + (h + 1) * D]
+                v_new = qkv_scr[m : m + 1, NqD + NkvD + h * D : NqD + NkvD + (h + 1) * D]
+                k_new = _rope(
+                    k_new.astype(jnp.bfloat16).astype(jnp.float32),
+                    cos[None], sin[None],
+                )
+                knew_ref[0, m, h] = k_new[0]
+                vnew_ref[0, m, h] = v_new[0]
+                # grouped queries for this kv head: q heads [hG, hG+G)
+                qs = [
+                    _rope(
+                        qkv_scr[m : m + 1, (h * G + g) * D : (h * G + g + 1) * D]
+                        .astype(jnp.bfloat16)
+                        .astype(jnp.float32),
+                        cos[None], sin[None],
+                    )
+                    for g in range(G)
+                ]
+                q = jnp.concatenate(qs, axis=0) * q_scale  # (G, D) f32
+                q16 = q.astype(jnp.bfloat16)
+                K = kc_ref[0, m, h]  # (S, D) bf16
+                V = vc_ref[0, m, h]
+                logits = jax.lax.dot_general(
+                    q16, K, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (G, S)
+                # (G, 1) via VPU reduce — an N=1 MXU matmul trips Mosaic
+                self_logit = jnp.sum(
+                    q16.astype(jnp.float32)
+                    * k_new.astype(jnp.bfloat16).astype(jnp.float32),
+                    axis=-1, keepdims=True,
+                )
+                logits = jnp.concatenate([logits, self_logit], axis=1)
+                logits = jnp.tanh(logits / attn_cap) * attn_cap
+                logits = jnp.where(mask, logits, -1e30)
+                mx = jnp.max(logits, axis=-1, keepdims=True)
+                e = jnp.exp(logits - mx)
+                probs = e / jnp.sum(e, axis=-1, keepdims=True)
+                p16 = probs.astype(jnp.bfloat16)
+                out = jax.lax.dot_general(
+                    p16[:, :S], V, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (G, D)
+                out = out + p16[:, S:].astype(jnp.float32) * v_new
+                out16 = out.astype(jnp.bfloat16).astype(jnp.float32)
+                for g in range(G):
+                    attn_scr[m, pl.ds((h * G + g) * D, D)] = out16[g]
+
+    @pl.when((t >= O0) & (t < G0))
+    def _o_proj():
+        b = t - O0
+        acc = _matvec_block(attn_scr[:].astype(jnp.bfloat16), o_qt_ref, o_s_ref)
+        oacc_scr[:, pl.ds(b * bn1, bn1)] = acc.astype(jnp.bfloat16).astype(jnp.float32)
+
+    @pl.when(t == G0 - 1)
+    def _post_attn():
+        upd = _rms(oacc_scr[:], norm_pa_ref[0, 0], eps).astype(jnp.bfloat16)
+        h = (h_scr[:].astype(jnp.bfloat16) + upd).astype(jnp.float32)
+        h_scr[:] = h
+        xn = _rms(h, norm_pf_ref[0, 0], eps)
+        xn_scr[:] = xn.astype(jnp.bfloat16).astype(jnp.float32)
+
+    @pl.when((t >= G0) & (t < D0))
+    def _gate_up():
+        b = t - G0
+        acc = _matvec_block(xn_scr[:].astype(jnp.bfloat16), gu_qt_ref, gu_s_ref)
+        g_scr[:, pl.ds(b * bn2, bn2)] = acc.astype(jnp.bfloat16).astype(jnp.float32)
+
+    @pl.when(t == D0 - 1)
+    def _activate():
+        gate = g_scr[:, :I].astype(jnp.bfloat16)
+        up = g_scr[:, I:].astype(jnp.bfloat16)
+        act = jax.nn.gelu(gate.astype(jnp.float32), approximate=True).astype(
+            jnp.bfloat16
+        ) * up
+        act_scr[:] = act.astype(jnp.float32)
+
+    @pl.when(t >= D0)
+    def _down():
+        b = t - D0
+        acc = _matvec_block(act_scr[:].astype(jnp.bfloat16), dn_qt_ref, dn_s_ref)
+        dacc_scr[:, pl.ds(b * bn3, bn3)] = acc.astype(jnp.bfloat16).astype(jnp.float32)
+
+    @pl.when(t == T - 1)
+    def _post_ffn():
+        upd = _rms(dacc_scr[:], norm_pd_ref[0, 0], eps).astype(jnp.bfloat16)
+        h = (h_scr[:].astype(jnp.bfloat16) + upd).astype(jnp.float32)
+        h_scr[:] = h
+
+        @pl.when(l == L - 1)
+        def _final():
+            out = _rms(h, norm_final_ref[0], eps).astype(jnp.bfloat16)
+            h_out_ref[:] = out.astype(jnp.float32)
+
+
+def fused_decode_step(
+    lm_params: Params,  # fused-quantized serving tree (quantize_lm_params)
+    cfg,  # Gemma2Config (hashable dataclass)
+    x: jnp.ndarray,  # (M, H) bf16/f32 — embeddings * sqrt(H)
+    cache_k: jnp.ndarray,  # (L, M, Nkv, S, D) bf16, valid slots [0, position)
+    cache_v: jnp.ndarray,
+    position: jnp.ndarray,  # scalar int32 — slot the new token occupies
+    rope_position: jnp.ndarray,  # scalar int32 — RoPE position id
+    *,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (hidden (M, H) bf16 final-normed, k_new, v_new
+    (L, M, Nkv, D) bf16). Caller scatters k_new/v_new into the cache at
+    `position`."""
+    layers = lm_params["layers"]
+    qkv, o = layers["attn"]["qkv"], layers["attn"]["o"]
+    gu, dn = layers["mlp"]["gate_up"], layers["mlp"]["down"]
+    L, M = cfg.num_layers, x.shape[0]
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    Nq, Nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    S = cache_k.shape[3]
+    N0 = Nq * D + 2 * Nkv * D
+    assert S <= cfg.sliding_window, (
+        "serving cache exceeds the sliding window; the fused decode step "
+        "treats window and global layers identically"
+    )
+
+    bn0 = _pick_bn(N0, H)
+    bn1 = _pick_bn(H, Nq * D)
+    bn2 = _pick_bn(2 * I, H)
+    bn3 = _pick_bn(H, I)
+    B0, B1, B2, B3 = N0 // bn0, H // bn1, 2 * I // bn2, H // bn3
+    T = B0 + 1 + B1 + B2 + B3
+
+    # rope tables for the single position
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, D, 2, dtype=jnp.float32) / D)
+    )
+    freqs = rope_position.astype(jnp.float32) * inv_freq  # (D/2,)
+    emb = jnp.concatenate([freqs, freqs])[None]  # (1, D)
+    cos, sin = jnp.cos(emb), jnp.sin(emb)
+
+    f32 = lambda a: a.astype(jnp.float32)
+    norms = layers
+
+    kernel = functools.partial(
+        _decode_kernel,
+        M=M, H=H, I=I, Nq=Nq, Nkv=Nkv, D=D, S=S, L=L,
+        bn0=bn0, bn1=bn1, bn2=bn2, bn3=bn3,
+        B0=B0, B1=B1, B2=B2, B3=B3,
+        eps=cfg.rms_norm_eps,
+        q_scale=cfg.query_pre_attn_scalar**-0.5,
+        attn_cap=cfg.attn_logit_softcap,
+    )
+    A, O0, G0, D0 = B0, B0 + 1, B0 + 1 + B1, B0 + 1 + B1 + B2
+
+    const = lambda *blk: pl.BlockSpec(blk, lambda l, t: (0,) * len(blk))
+    perlayer = lambda *blk: pl.BlockSpec(
+        (1, 1) + blk, lambda l, t: (l, 0) + (0,) * len(blk)
+    )
+
+    def wspec(n_blocks, start, bn, K):
+        return pl.BlockSpec(
+            (1, bn, K),
+            lambda l, t, s=start, nb=n_blocks: (
+                l, jnp.clip(t - s, 0, nb - 1), 0
+            ),
+        )
+
+    def sspec(n_blocks, start, bn):
+        return pl.BlockSpec(
+            (1, 1, bn),
+            lambda l, t, s=start, nb=n_blocks: (l, 0, jnp.clip(t - s, 0, nb - 1)),
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(L, T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # position
+            const(M, H),  # x
+            const(1, D), const(1, D),  # cos, sin
+            perlayer(H), perlayer(H), perlayer(H), perlayer(H),  # layer norms
+            const(1, H),  # final norm
+            wspec(B0, 0, bn0, H), sspec(B0, 0, bn0),
+            wspec(B1, O0, bn1, Nq * D), sspec(B1, O0, bn1),
+            wspec(B2, G0, bn2, H), sspec(B2, G0, bn2),
+            wspec(B3, D0, bn3, I), sspec(B3, D0, bn3),
+            pl.BlockSpec((1, M, Nkv, S, D), lambda l, t: (l, 0, 0, 0, 0)),
+            pl.BlockSpec((1, M, Nkv, S, D), lambda l, t: (l, 0, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((M, H), lambda l, t: (0, 0)),
+            pl.BlockSpec((1, M, Nkv, D), lambda l, t: (l, 0, 0, 0)),
+            pl.BlockSpec((1, M, Nkv, D), lambda l, t: (l, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, H), jnp.float32),
+            jax.ShapeDtypeStruct((L, M, Nkv, D), jnp.float32),
+            jax.ShapeDtypeStruct((L, M, Nkv, D), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((M, H), jnp.float32),
+            pltpu.VMEM((M, H), jnp.float32),
+            pltpu.VMEM((M, N0), jnp.float32),
+            pltpu.VMEM((M, Nq * D), jnp.float32),
+            pltpu.VMEM((M, H), jnp.float32),
+            pltpu.VMEM((M, 2 * I), jnp.float32),
+            pltpu.VMEM((M, I), jnp.float32),
+            pltpu.VMEM((M, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        position.reshape(1).astype(jnp.int32),
+        f32(x),
+        cos, sin,
+        f32(norms["input_norm"])[:, None], f32(norms["post_attn_norm"])[:, None],
+        f32(norms["pre_ffn_norm"])[:, None], f32(norms["post_ffn_norm"])[:, None],
+        f32(lm_params["final_norm"]).reshape(1, H),
+        qkv["qt"], f32(qkv["scale"])[:, None],
+        o["qt"], f32(o["scale"])[:, None],
+        gu["qt"], f32(gu["scale"])[:, None],
+        dn["qt"], f32(dn["scale"])[:, None],
+        cache_k, cache_v,
+    )
+    hidden, k_new, v_new = out
+    return (
+        hidden.astype(jnp.bfloat16),
+        k_new.astype(cache_k.dtype),
+        v_new.astype(cache_v.dtype),
+    )

@@ -1,0 +1,137 @@
+"""Parity of the whole-LM fused decode kernel (ops/decode_step.py,
+interpret mode) against the XLA serving path (gemma2.forward with the
+fused-quantized tree): hidden state, new k/v rows, and greedy-token
+agreement over a short decode."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spatialvla_tpu.config import Gemma2Config
+from spatialvla_tpu.models import gemma2
+from spatialvla_tpu.ops.decode_step import fused_decode_step
+from spatialvla_tpu.ops.quant import quantize_lm_params
+
+CFG = Gemma2Config(
+    vocab_size=512, hidden_size=64, intermediate_size=128, num_layers=4,
+    num_heads=4, num_kv_heads=2, head_dim=32, sliding_window=512,
+    query_pre_attn_scalar=32.0,
+)
+
+
+@pytest.fixture(scope="module")
+def qparams():
+    params = gemma2.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    for i, k in enumerate(
+        ["input_norm", "post_attn_norm", "pre_ffn_norm", "post_ffn_norm"]
+    ):
+        params["layers"][k] = 0.1 * jax.random.normal(
+            jax.random.PRNGKey(i + 1), params["layers"][k].shape
+        )
+    params["final_norm"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(9), params["final_norm"].shape
+    )
+    return quantize_lm_params(params, fuse=True)
+
+
+def prefill(qparams, B, P, Smax, seed=0):
+    rng = np.random.RandomState(seed)
+    embeds = jnp.asarray(
+        rng.randn(B, P, CFG.hidden_size).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    cache = gemma2.init_cache(CFG, B, Smax, dtype=jnp.bfloat16)
+    pos = jnp.arange(1, P + 1)[None]
+    mask = jnp.broadcast_to(jnp.arange(Smax) < P, (B, 1, P, Smax))
+    hid, cache = gemma2.forward(
+        qparams, CFG, embeds, pos, mask, cache=cache, cache_position=0
+    )
+    return hid, cache, rng
+
+
+def test_fused_step_matches_xla_serving_path(qparams):
+    B, P, Smax = 1, 6, 16
+    _, cache, rng = prefill(qparams, B, P, Smax)
+    x_new = jnp.asarray(
+        rng.randn(B, 1, CFG.hidden_size).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    step_mask = jnp.broadcast_to(jnp.arange(Smax) <= P, (B, 1, 1, Smax))
+    hx, cache_x = gemma2.forward(
+        qparams, CFG, x_new, jnp.full((B, 1), P + 1), step_mask,
+        cache=cache, cache_position=P,
+    )
+
+    normalizer = jnp.asarray(CFG.hidden_size**0.5, dtype=jnp.bfloat16)
+    ck = jnp.transpose(cache["k"], (0, 1, 3, 2, 4))
+    cv = jnp.transpose(cache["v"], (0, 1, 3, 2, 4))
+    h_f, k_new, v_new = fused_decode_step(
+        qparams, CFG, x_new[:, 0] * normalizer, ck, cv,
+        jnp.int32(P), jnp.int32(P + 1), interpret=True,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(h_f[0], np.float32), np.asarray(hx[0, 0], np.float32),
+        atol=0.06, rtol=0.02,
+    )
+    np.testing.assert_allclose(
+        np.asarray(k_new[:, 0], np.float32),
+        np.asarray(cache_x["k"][:, 0, P], np.float32),
+        atol=0.02,
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_new[:, 0], np.float32),
+        np.asarray(cache_x["v"][:, 0, P], np.float32),
+        atol=0.02,
+    )
+
+
+def test_fused_decode_loop_token_parity(qparams):
+    """4 chained fused steps (cache scatter outside the kernel) produce the
+    same greedy tokens as the XLA decode loop."""
+    B, P, Smax = 1, 5, 16
+    hid, cache, rng = prefill(qparams, B, P, Smax, seed=3)
+    head = qparams["lm_head"]
+    from spatialvla_tpu.ops.quant import qmatmul
+
+    def next_tok(h2d):
+        return jnp.argmax(qmatmul(h2d.astype(jnp.bfloat16), head), axis=-1)
+
+    emb = qparams["embed"]
+    normalizer = jnp.asarray(CFG.hidden_size**0.5, dtype=jnp.bfloat16)
+
+    # XLA loop
+    tok = next_tok(hid[:, -1])
+    toks_x = [int(tok[0])]
+    cx = {k: v for k, v in cache.items()}
+    for t in range(3):
+        e = jnp.take(emb, tok, axis=0)[:, None].astype(jnp.bfloat16)
+        mask = jnp.broadcast_to(jnp.arange(Smax) <= P + t, (B, 1, 1, Smax))
+        hx, cx = gemma2.forward(
+            qparams, CFG, e, jnp.full((B, 1), P + t + 1), mask,
+            cache=cx, cache_position=P + t,
+        )
+        tok = next_tok(hx[:, 0])
+        toks_x.append(int(tok[0]))
+
+    # fused loop
+    ck = jnp.transpose(cache["k"], (0, 1, 3, 2, 4))
+    cv = jnp.transpose(cache["v"], (0, 1, 3, 2, 4))
+    tok = next_tok(hid[:, -1])
+    toks_f = [int(tok[0])]
+    for t in range(3):
+        e = jnp.take(emb, tok, axis=0).astype(jnp.bfloat16)
+        h_f, k_new, v_new = fused_decode_step(
+            qparams, CFG, e * normalizer, ck, cv,
+            jnp.int32(P + t), jnp.int32(P + t + 1), interpret=True,
+        )
+        ck = jax.lax.dynamic_update_slice(
+            ck, k_new[:, :, :, None, :], (0, 0, 0, P + t, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cv, v_new[:, :, :, None, :], (0, 0, 0, P + t, 0)
+        )
+        tok = next_tok(h_f)
+        toks_f.append(int(tok[0]))
+
+    assert toks_f == toks_x
