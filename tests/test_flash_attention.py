@@ -109,3 +109,62 @@ def test_gradients_match_reference():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas backward parity (interpret mode) vs the XLA reference VJP
+# ---------------------------------------------------------------------------
+
+def _bwd_case(B, T, Nq, Nkv, D, prefix, valid, qoff, seed=0, **kw):
+    from spatialvla_tpu.ops.flash_attention import (
+        _flash_attention_bwd_impl,
+    )
+
+    q = _rand((B, T, Nq, D), seed)
+    k = _rand((B, T, Nkv, D), seed + 1)
+    v = _rand((B, T, Nkv, D), seed + 2)
+    do = _rand((B, T, Nq, D), seed + 3)
+    prefix = jnp.asarray(prefix, jnp.int32)
+    valid = jnp.asarray(valid, jnp.int32)
+    qoff = jnp.asarray(qoff, jnp.int32)
+    scale = kw.get("scale", 0.25)
+    cap = kw.get("logit_softcap")
+    window = kw.get("window")
+    bq, bk = kw.get("block_q", 32), kw.get("block_k", 32)
+
+    out, lse = _flash_attention_impl(
+        q, k, v, prefix, valid, qoff, scale, cap, window, True, bq, bk,
+        interpret=True, with_lse=True,
+    )
+    dq, dk, dv = _flash_attention_bwd_impl(
+        q, k, v, out, lse, do, prefix, valid, qoff,
+        scale, cap, window, True, bq, bk, interpret=True,
+    )
+    f = lambda q, k, v: _attention_reference(
+        q, k, v, prefix, valid, qoff,
+        scale=scale, logit_softcap=cap, window=window, causal=True,
+    )
+    _, vjp = jax.vjp(f, q, k, v)
+    rdq, rdk, rdv = vjp(do)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk), atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), atol=2e-4, rtol=2e-4)
+
+
+def test_bwd_causal_gqa_softcap():
+    _bwd_case(2, 64, 4, 2, 32, [0, 0], [64, 64], [0, 0],
+              logit_softcap=50.0)
+
+
+def test_bwd_prefix_padding():
+    _bwd_case(2, 96, 2, 1, 16, [40, 16], [80, 96], [0, 0],
+              logit_softcap=30.0, scale=0.5)
+
+
+def test_bwd_sliding_window():
+    _bwd_case(1, 128, 2, 2, 16, [0], [128], [0], window=32)
+
+
+def test_bwd_nondivisible_padding_path():
+    _bwd_case(1, 72, 2, 1, 16, [24], [60], [0], logit_softcap=20.0,
+              block_q=32, block_k=32)
