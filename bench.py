@@ -10,8 +10,10 @@ roofline-derived A100 estimate for the same workload (prefill ~266 tokens +
 12 greedy decode steps on the ~4B-param VLM, action chunk 4):
 ~57 actions/sec. vs_baseline = ours / 57.
 """
+import functools
 import gc
 import json
+import os
 import time
 
 import numpy as np
@@ -21,6 +23,9 @@ import jax.numpy as jnp
 
 A100_BASELINE_ACTIONS_PER_SEC = 57.0
 ACTION_CHUNK = 4  # actions per generate call (3 tokens each)
+# SPATIALVLA_BENCH_BITS=4 switches the LM to packed-int4 weight streaming
+# (ops/quant.py) — quality-gated, NOT the default headline configuration
+QUANT_BITS = int(os.environ.get("SPATIALVLA_BENCH_BITS", "8"))
 
 
 def main():
@@ -34,8 +39,13 @@ def main():
     params = spatialvla.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     # int8 weight-only LM (decode is HBM-bandwidth bound) + precomputed
     # ZoeDepth relative-position bias (gather-free backbone)
-    qlm = jax.jit(quantize_lm_params)(params["lm"])
+    qlm = jax.jit(functools.partial(quantize_lm_params, bits=QUANT_BITS))(params["lm"])
+    jax.block_until_ready(qlm)
     qzoe = jax.jit(lambda zp: precompute_rel_bias(zp, cfg.zoe))(params["zoe"])
+    jax.block_until_ready(qzoe)
+    # sync before dropping the bf16 source tree: without it the enqueued
+    # predict transients allocate while the 5.3 GB bf16 LM is still live
+    # (HBM RESOURCE_EXHAUSTED on the axon backend at bits=4)
     params = dict(params)
     params["lm"] = qlm
     params["zoe"] = qzoe
@@ -100,7 +110,7 @@ def main():
 
     actions_per_sec = ACTION_CHUNK / dt
     print(json.dumps({
-        "metric": "spatialvla-4b-224 greedy inference, full model incl. depth (chunk=4, prefix=%d, int8 LM)" % prefix_len,
+        "metric": "spatialvla-4b-224 greedy inference, full model incl. depth (chunk=4, prefix=%d, int%d LM)" % (prefix_len, QUANT_BITS),
         "value": round(actions_per_sec, 2),
         "unit": "actions/sec/chip",
         "vs_baseline": round(actions_per_sec / A100_BASELINE_ACTIONS_PER_SEC, 3),

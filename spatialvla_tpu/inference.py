@@ -86,15 +86,20 @@ class SpatialVLAPolicy:
         return cls(params, config, processor)
 
     # ------------------------------------------------------------------
-    def quantize(self) -> "SpatialVLAPolicy":
-        """Switch to the serving-optimized parameterization: int8 weight-only
-        LM (halves decode HBM traffic; on-chip dequant — ops/quant.py) and a
+    def quantize(self, bits: int = 8) -> "SpatialVLAPolicy":
+        """Switch to the serving-optimized parameterization: int8 (or, with
+        bits=4, packed-int4 — quality-gate it first) weight-only LM (halves /
+        quarters decode HBM traffic; on-chip dequant — ops/quant.py) and a
         precomputed ZoeDepth relative-position bias (drops the per-forward
         5M-row gather). In-place; returns self."""
+        import functools
+
         from .ops.quant import quantize_lm_params
 
         params = dict(self.params)
-        params["lm"] = jax.jit(quantize_lm_params)(self.params["lm"])
+        params["lm"] = jax.jit(
+            functools.partial(quantize_lm_params, bits=bits)
+        )(self.params["lm"])
         if "zoe" in params and "rel_pos_table" in params["zoe"]["backbone"]["layers"]:
             from .models.zoe import precompute_rel_bias
 

@@ -18,7 +18,8 @@ current position's k/v per layer and the caller scatters them into the
 cache (no aliasing, no full-block writebacks).
 
 Numerics mirror the XLA serving path (ops/quant.py + models/gemma2.py):
-int8 blocks dequantize to bf16 on-chip, matvecs accumulate fp32 on the MXU,
+int8 (or packed-int4 uint8) blocks dequantize to bf16 on-chip, matvecs
+accumulate fp32 on the MXU,
 norms/softmax in fp32, intermediate activations rounded to bf16 at the same
 points as the XLA path. Sliding-window layers are identical to global ones
 at serving lengths (S <= 4096), which the caller asserts.
@@ -66,11 +67,34 @@ def _rope(x, cos, sin):
 
 
 def _matvec_block(x_bf16, w_ref, s_ref):
-    """(M, K) bf16 @ int8 block (bn, K) -> (M, bn) f32 * scale."""
-    w = w_ref[0].astype(jnp.bfloat16)
-    acc = jax.lax.dot_general(
-        x_bf16, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    """(M, K) bf16 @ int8 block (bn, K) or packed-int4 uint8 block
+    (bn, K//2) -> (M, bn) f32 * scale.
+
+    int4 nibbles are offset-binary (code + 8; column j packed with column
+    j + K/2): unpack is widen + mask/shift + bf16 convert only, and the
+    +8 bias factors out of the dot as 8 * sum(x) (ops/quant.py:_q_dot)."""
+    w = w_ref[0]
+    if w.dtype == jnp.uint8:
+        # two half-K dots instead of unpack-then-concat: saves the lane
+        # concat copy over the (bn, K) block
+        Kh = w.shape[-1]
+        w32 = w.astype(jnp.int32)
+        lo = (w32 & 15).astype(jnp.bfloat16)
+        hi = (w32 >> 4).astype(jnp.bfloat16)
+        dims = (((1,), (1,)), ((), ()))
+        acc = jax.lax.dot_general(
+            x_bf16[:, :Kh], lo, dims, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            x_bf16[:, Kh:], hi, dims, preferred_element_type=jnp.float32
+        )
+        acc = acc - 8.0 * jnp.sum(
+            x_bf16.astype(jnp.float32), axis=-1, keepdims=True
+        )
+    else:
+        acc = jax.lax.dot_general(
+            x_bf16, w.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     return acc * s_ref[0, 0].astype(jnp.float32)[None, :]
 
 
@@ -264,10 +288,14 @@ def fused_decode_step(
         "treats window and global layers identically"
     )
 
-    bn0 = _pick_bn(N0, H)
-    bn1 = _pick_bn(H, Nq * D)
-    bn2 = _pick_bn(2 * I, H)
-    bn3 = _pick_bn(H, I)
+    # packed byte width of each weight's contraction dim (int8: K bytes/row,
+    # int4: K/2) — drives both the VMEM block budget and the BlockSpecs
+    Kb0, Kb1 = qkv["qt"].shape[-1], o["qt"].shape[-1]
+    Kb2, Kb3 = gu["qt"].shape[-1], dn["qt"].shape[-1]
+    bn0 = _pick_bn(N0, Kb0)
+    bn1 = _pick_bn(H, Kb1)
+    bn2 = _pick_bn(2 * I, Kb2)
+    bn3 = _pick_bn(H, Kb3)
     B0, B1, B2, B3 = N0 // bn0, H // bn1, 2 * I // bn2, H // bn3
     T = B0 + 1 + B1 + B2 + B3
 
@@ -321,10 +349,10 @@ def fused_decode_step(
             const(1, D), const(1, D),  # cos, sin
             perlayer(H), perlayer(H), perlayer(H), perlayer(H),  # layer norms
             const(1, H),  # final norm
-            wspec(B0, 0, bn0, H), sspec(B0, 0, bn0),
-            wspec(B1, O0, bn1, Nq * D), sspec(B1, O0, bn1),
-            wspec(B2, G0, bn2, H), sspec(B2, G0, bn2),
-            wspec(B3, D0, bn3, I), sspec(B3, D0, bn3),
+            wspec(B0, 0, bn0, Kb0), sspec(B0, 0, bn0),
+            wspec(B1, O0, bn1, Kb1), sspec(B1, O0, bn1),
+            wspec(B2, G0, bn2, Kb2), sspec(B2, G0, bn2),
+            wspec(B3, D0, bn3, Kb3), sspec(B3, D0, bn3),
             pl.BlockSpec((1, M, Nkv, S, D), lambda l, t: (l, 0, 0, 0, 0)),
             pl.BlockSpec((1, M, Nkv, S, D), lambda l, t: (l, 0, 0, 0, 0)),
         ],

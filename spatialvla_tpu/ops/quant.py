@@ -1,10 +1,17 @@
-"""Weight-only int8 quantization for serving.
+"""Weight-only int8/int4 quantization for serving.
 
 Greedy action decoding is HBM-bandwidth bound: every decode step streams the
 full LM (weights dominate — the 265k-row lm_head alone is ~1.2 GB in bf16).
 Symmetric per-output-channel int8 halves the streamed bytes; dequantization
 happens on-chip inside a Pallas kernel (int8 tiles -> VMEM -> convert ->
 MXU), so the bf16 copy never exists in HBM.
+
+int4 halves the stream again: two nibbles per byte, packed along the
+contraction dim (column j shares a byte with column j + K/2, so the in-kernel
+unpack is two shifts + a lane concat). int4 weights are stored as *uint8* —
+the dtype is the static marker that distinguishes the two formats under jit.
+int4 is opt-in (``quantize_lm_params(..., bits=4)``): per-channel symmetric
+4-bit is a real accuracy trade, gate it on your task before serving with it.
 
 The reference has no quantization path (it serves torch bf16 on an A100,
 README.md:93); this is a TPU-serving extension, off by default.
@@ -33,9 +40,38 @@ def quantize_int8(w: jnp.ndarray) -> QuantW:
     return {"qt": jnp.swapaxes(q, -1, -2), "scale": scale[..., 0, :]}
 
 
+def quantize_int4(w: jnp.ndarray) -> QuantW:
+    """(..., K, N) float -> symmetric per-N-channel int4 (levels [-8, 7]),
+    stored (..., N, K//2) uint8 with column j packed against column j + K/2
+    (low nibble = j, high nibble = j + K/2)."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # (..., 1, N)
+    scale = amax / 7.0
+    q = jnp.clip(
+        jnp.round(wf / jnp.maximum(scale, 1e-12)), -8, 7
+    ).astype(jnp.int32)
+    qt = jnp.swapaxes(q, -1, -2)  # (..., N, K)
+    K = qt.shape[-1]
+    assert K % 2 == 0, f"int4 packing needs an even contraction dim, got {K}"
+    lo = qt[..., : K // 2] + 8
+    hi = qt[..., K // 2 :] + 8
+    return {"qt": (lo | (hi << 4)).astype(jnp.uint8), "scale": scale[..., 0, :]}
+
+
+def unpack_int4(qt: jnp.ndarray) -> jnp.ndarray:
+    """(..., N, K//2) uint8 -> (..., N, K) int32 codes in [-8, 7]."""
+    w32 = qt.astype(jnp.int32)
+    return jnp.concatenate([(w32 & 15) - 8, ((w32 >> 4) & 15) - 8], axis=-1)
+
+
+def is_int4(w) -> bool:
+    return is_quantized(w) and w["qt"].dtype == jnp.uint8
+
+
 def dequantize(qw: QuantW, dtype=jnp.float32) -> jnp.ndarray:
     """-> (..., K, N) float."""
-    q = jnp.swapaxes(qw["qt"], -1, -2).astype(jnp.float32)
+    qt = unpack_int4(qw["qt"]) if is_int4(qw) else qw["qt"]
+    q = jnp.swapaxes(qt, -1, -2).astype(jnp.float32)
     return (q * qw["scale"][..., None, :]).astype(dtype)
 
 
@@ -50,17 +86,37 @@ def is_lora_factored(w) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# pallas kernel: x (M, K) bf16 @ wq (K, N) int8 * scale (N,) -> (M, N)
+# pallas kernel: x (M, K) bf16 @ wq (K, N) int8/int4 * scale (N,) -> (M, N)
 # ---------------------------------------------------------------------------
 
-def _q8_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
-    # bf16 MXU with fp32 accumulation: int8 codes [-127, 127] are exact in
-    # bf16, and fp32 MXU would be 4x slower for the same matvec
-    x = x_ref[:].astype(jnp.bfloat16)  # (M, K)
-    w = w_ref[:].astype(jnp.bfloat16)  # (bn, K) — contiguous rows
-    acc = jax.lax.dot_general(
-        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+def _q_dot(x_bf16, w, *, k_dim=None):
+    """(M, K) bf16 @ quantized block -> (M, bn) f32 (unscaled).
+
+    w is either an int8 block (bn, K) or a packed-int4 uint8 block
+    (bn, K//2). int4 nibbles are stored offset-binary (code + 8) so the
+    unpack is just widen + mask/shift + bf16 convert (3 VPU ops per
+    element); the +8 bias factors out of the dot as 8 * sum(x), which is
+    O(M) instead of two O(bn*K) vector subtractions. int8/int4 codes are
+    exact in bf16, and fp32 MXU would be 4x slower for the same matvec."""
+    if w.dtype == jnp.uint8:  # int4 nibbles, biased +8
+        w32 = w.astype(jnp.int32)
+        wb = jnp.concatenate([w32 & 15, w32 >> 4], axis=-1).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            x_bf16, wb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        bias = 8.0 * jnp.sum(x_bf16.astype(jnp.float32), axis=-1, keepdims=True)
+        return acc - bias
+    return jax.lax.dot_general(
+        x_bf16, w.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
+
+
+def _q8_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
+    # bf16 MXU with fp32 accumulation
+    x = x_ref[:].astype(jnp.bfloat16)  # (M, K)
+    acc = _q_dot(x, w_ref[:])  # (M, bn) — contiguous weight rows
     o_ref[:] = (acc * s_ref[0, :].astype(jnp.float32)[None, :]).astype(out_dtype)
 
 
@@ -82,7 +138,7 @@ def int8_matmul(
     interpret: bool = False,
 ) -> jnp.ndarray:
     M, K = x.shape
-    N = qt.shape[0]
+    N, Kb = qt.shape  # Kb == K (int8) or K // 2 (packed int4)
     bn = _pick_block_n(K, N, M)
     # non-divisible N: pallas pads boundary blocks automatically
     grid = (pl.cdiv(N, bn),)
@@ -91,7 +147,7 @@ def int8_matmul(
         grid=grid,
         in_specs=[
             pl.BlockSpec((M, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, Kb), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((M, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -107,10 +163,7 @@ def _q8_norm_kernel(x_ref, nw_ref, w_ref, s_ref, o_ref, *, out_dtype, eps):
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     xn = xf * jax.lax.rsqrt(var + eps) * (1.0 + nw_ref[0, :].astype(jnp.float32))
     x = xn.astype(jnp.bfloat16)
-    w = w_ref[:].astype(jnp.bfloat16)  # (bn, K)
-    acc = jax.lax.dot_general(
-        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    acc = _q_dot(x, w_ref[:])  # (M, bn)
     o_ref[:] = (acc * s_ref[0, :].astype(jnp.float32)[None, :]).astype(out_dtype)
 
 
@@ -127,7 +180,7 @@ def int8_rmsnorm_matmul(
 ) -> jnp.ndarray:
     """rms_norm(x) @ dequant(qt) in one kernel (decode fast path)."""
     M, K = x.shape
-    N = qt.shape[0]
+    N, Kb = qt.shape
     bn = _pick_block_n(K, N, M)
     grid = (pl.cdiv(N, bn),)
     return pl.pallas_call(
@@ -136,7 +189,7 @@ def int8_rmsnorm_matmul(
         in_specs=[
             pl.BlockSpec((M, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, Kb), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((M, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -182,7 +235,8 @@ def qmatmul(x: jnp.ndarray, w, *, use_kernel=None) -> jnp.ndarray:
     if use_kernel and x2.shape[0] <= 16:
         y = int8_matmul(x2, w["qt"], w["scale"], out_dtype=x.dtype)
     else:  # XLA path (prefill / training shapes): transient bf16 dequant
-        wd = w["qt"].astype(x.dtype) * w["scale"].astype(x.dtype)[:, None]
+        qt = unpack_int4(w["qt"]) if is_int4(w) else w["qt"]
+        wd = qt.astype(x.dtype) * w["scale"].astype(x.dtype)[:, None]
         y = jnp.einsum("mk,nk->mn", x2, wd)
     return y.reshape(lead + (y.shape[-1],))
 
@@ -195,14 +249,19 @@ LM_QUANT_KEYS = ("attn/q", "attn/k", "attn/v", "attn/o", "mlp/gate", "mlp/up", "
 
 
 def quantize_lm_params(
-    lm_params: Dict[str, Any], *, fuse: bool = True
+    lm_params: Dict[str, Any], *, fuse: bool = True, bits: int = 8
 ) -> Dict[str, Any]:
     """Quantize the Gemma2 weight matrices (stacked layer tensors and the
     lm_head); embeddings/norms stay high precision (gather/elementwise).
 
     fuse=True additionally concatenates q|k|v and gate|up along the output
     dim so the decode step issues one kernel per projection group (kernel
-    launch count dominates the bandwidth win otherwise)."""
+    launch count dominates the bandwidth win otherwise).
+
+    bits=4 packs two weights per byte (quantize_int4) — halves the decode
+    DMA floor again, but per-channel symmetric int4 is an accuracy trade;
+    quality-gate it before serving with it."""
+    quantize = {8: quantize_int8, 4: quantize_int4}[bits]
     out = dict(lm_params)
     attn = lm_params["layers"]["attn"]
     mlp = lm_params["layers"]["mlp"]
@@ -211,17 +270,17 @@ def quantize_lm_params(
         qkv = jnp.concatenate([attn["q"], attn["k"], attn["v"]], axis=-1)
         gate_up = jnp.concatenate([mlp["gate"], mlp["up"]], axis=-1)
         layers["attn"] = {
-            "qkv": quantize_int8(qkv),
-            "o": quantize_int8(attn["o"]),
+            "qkv": quantize(qkv),
+            "o": quantize(attn["o"]),
         }
         layers["mlp"] = {
-            "gate_up": quantize_int8(gate_up),
-            "down": quantize_int8(mlp["down"]),
+            "gate_up": quantize(gate_up),
+            "down": quantize(mlp["down"]),
         }
     else:
-        layers["attn"] = {k: quantize_int8(v) for k, v in attn.items()}
-        layers["mlp"] = {k: quantize_int8(v) for k, v in mlp.items()}
+        layers["attn"] = {k: quantize(v) for k, v in attn.items()}
+        layers["mlp"] = {k: quantize(v) for k, v in mlp.items()}
     out["layers"] = layers
     if "lm_head" in lm_params:
-        out["lm_head"] = quantize_int8(lm_params["lm_head"])
+        out["lm_head"] = quantize(lm_params["lm_head"])
     return out

@@ -20,8 +20,8 @@ CFG = Gemma2Config(
 )
 
 
-@pytest.fixture(scope="module")
-def qparams():
+@pytest.fixture(scope="module", params=[8, 4], ids=["int8", "int4"])
+def qparams(request):
     params = gemma2.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
     for i, k in enumerate(
         ["input_norm", "post_attn_norm", "pre_ffn_norm", "post_ffn_norm"]
@@ -32,7 +32,7 @@ def qparams():
     params["final_norm"] = 0.1 * jax.random.normal(
         jax.random.PRNGKey(9), params["final_norm"].shape
     )
-    return quantize_lm_params(params, fuse=True)
+    return quantize_lm_params(params, fuse=True, bits=request.param)
 
 
 def prefill(qparams, B, P, Smax, seed=0):
