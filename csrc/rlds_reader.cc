@@ -239,15 +239,21 @@ struct Record {
 struct RldsReader {
   std::vector<std::string> paths;
   std::deque<Record> queue;
+  std::deque<ParsedExample*> pqueue;  // parse_in_worker mode
   std::mutex mu;
   std::condition_variable cv_push, cv_pop;
   size_t capacity;
   bool verify_crc;
+  bool parse_in_worker = false;  // workers parse tf.Examples off-GIL and the
+                                 // payload is moved (not copied) into the
+                                 // ParsedExample
   std::atomic<size_t> next_file{0};
   std::atomic<int> live_workers{0};
   std::atomic<bool> stop{false};
   std::vector<std::thread> workers;
   Record current;  // last record handed to the caller
+
+  size_t queued() const { return queue.size() + pqueue.size(); }
 
   void worker() {
     while (!stop.load()) {
@@ -275,10 +281,17 @@ struct RldsReader {
           memcpy(&pc, crcbuf, 4);
           if (masked_crc32c(rec.data.data(), len) != pc) break;
         }
+        ParsedExample* pe = nullptr;
+        if (parse_in_worker) {
+          pe = new ParsedExample();
+          pe->owned = std::move(rec.data);
+          parse_example_into(pe);
+        }
         std::unique_lock<std::mutex> lk(mu);
-        cv_push.wait(lk, [&] { return queue.size() < capacity || stop.load(); });
-        if (stop.load()) break;
-        queue.push_back(std::move(rec));
+        cv_push.wait(lk, [&] { return queued() < capacity || stop.load(); });
+        if (stop.load()) { delete pe; break; }
+        if (parse_in_worker) pqueue.push_back(pe);
+        else queue.push_back(std::move(rec));
         cv_pop.notify_one();
       }
       fclose(f);
@@ -324,7 +337,26 @@ void rlds_reader_close(RldsReader* r) {
   r->cv_push.notify_all();
   r->cv_pop.notify_all();
   for (auto& t : r->workers) t.join();
+  for (ParsedExample* pe : r->pqueue) delete pe;
   delete r;
+}
+
+// Like rlds_reader_open but the worker threads also parse each tf.Example
+// (off the consumer thread / Python GIL) and the record payload is moved into
+// the parsed representation instead of copied. Consume with
+// rlds_reader_next_parsed; each returned ParsedExample must be freed with
+// rlds_parsed_free.
+RldsReader* rlds_reader_open_parsed(const char** paths, int n, int n_threads,
+                                    int queue_capacity, int verify_crc) {
+  auto* r = new RldsReader();
+  for (int i = 0; i < n; i++) r->paths.emplace_back(paths[i]);
+  r->capacity = queue_capacity > 0 ? (size_t)queue_capacity : 64;
+  r->verify_crc = verify_crc != 0;
+  r->parse_in_worker = true;
+  int nt = n_threads > 0 ? n_threads : 1;
+  r->live_workers = nt;
+  for (int i = 0; i < nt; i++) r->workers.emplace_back(&RldsReader::worker, r);
+  return r;
 }
 
 // -- example parsing --------------------------------------------------------
@@ -379,6 +411,73 @@ int rlds_feature_bytes(ParsedExample* pe, const char* key, int index,
 }
 
 void rlds_parsed_free(ParsedExample* pe) { delete pe; }
+
+// Pop the next record and parse it in one call — the payload never makes a
+// round-trip through Python (saves a string_at copy + a from_buffer_copy per
+// episode). With rlds_reader_open_parsed the parse already happened on a
+// worker thread and this just pops the result. Returns NULL at end of
+// stream. The caller owns the ParsedExample (rlds_parsed_free).
+ParsedExample* rlds_reader_next_parsed(RldsReader* r) {
+  if (r->parse_in_worker) {
+    std::unique_lock<std::mutex> lk(r->mu);
+    r->cv_pop.wait(lk, [&] {
+      return !r->pqueue.empty() || r->live_workers.load() == 0;
+    });
+    if (r->pqueue.empty()) return nullptr;
+    ParsedExample* pe = r->pqueue.front();
+    r->pqueue.pop_front();
+    r->cv_push.notify_one();
+    return pe;
+  }
+  const uint8_t* data = nullptr;
+  long n = rlds_reader_next(r, &data);
+  if (n < 0) return nullptr;
+  return rlds_parse(data, n);
+}
+
+// Newline-joined feature keys; returns the total byte length needed. Writes
+// only when cap is large enough (caller retries with a bigger buffer).
+long rlds_keys(ParsedExample* pe, uint8_t* out, long cap) {
+  long total = 0;
+  for (const auto& kv : pe->features) total += (long)kv.first.size() + 1;
+  if (out != nullptr && cap >= total) {
+    uint8_t* p = out;
+    for (const auto& kv : pe->features) {
+      memcpy(p, kv.first.data(), kv.first.size());
+      p += kv.first.size();
+      *p++ = '\n';
+    }
+  }
+  return total;
+}
+
+// Batched bytes extraction (one crossing for all lengths, one for all
+// payloads — vs 2 crossings *per value* with rlds_feature_bytes_len/bytes).
+// Fills lens[count] and returns the concatenated total, or -1 on a missing /
+// non-bytes key.
+long rlds_feature_bytes_lens(ParsedExample* pe, const char* key,
+                             long long* lens) {
+  auto it = pe->features.find(key);
+  if (it == pe->features.end() || it->second.type != 1) return -1;
+  long total = 0;
+  const auto& vals = it->second.bytes_vals;
+  for (size_t i = 0; i < vals.size(); i++) {
+    lens[i] = (long long)vals[i].n;
+    total += (long)vals[i].n;
+  }
+  return total;
+}
+
+int rlds_feature_bytes_concat(ParsedExample* pe, const char* key,
+                              uint8_t* out) {
+  auto it = pe->features.find(key);
+  if (it == pe->features.end() || it->second.type != 1) return -1;
+  for (const Slice& s : it->second.bytes_vals) {
+    memcpy(out, s.p, s.n);
+    out += s.n;
+  }
+  return 0;
+}
 
 // -- jpeg decode + resize ---------------------------------------------------
 

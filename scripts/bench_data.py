@@ -15,6 +15,12 @@ def main():
     p.add_argument("--n_frames", type=int, default=2000)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--no_augment", action="store_true")
+    p.add_argument(
+        "--stream_only", action="store_true",
+        help="measure the serial frame stream (sampling + shuffle + traj "
+        "transforms, no decode) — this is the GIL-bound part that caps "
+        "multi-core scaling of the full pipeline",
+    )
     args = p.parse_args()
 
     from spatialvla_tpu.data import (
@@ -45,13 +51,39 @@ def main():
         ),
         shuffle_buffer_size=256,
     )
-    it = ds.frames()
+    if args.stream_only:
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        streams = [ds._frame_stream(i) for i in range(len(ds.sources))]
+        buffer = []
+
+        def undecoded():
+            n, cap = len(streams), ds.shuffle_buffer_size
+            while True:
+                idxs = rng.choice(n, size=1024, p=ds.sample_weights)
+                swaps = rng.integers(0, max(cap, 1), size=1024)
+                for idx, swap in zip(idxs.tolist(), swaps.tolist()):
+                    try:
+                        frame = next(streams[idx])
+                    except StopIteration:
+                        continue
+                    if len(buffer) < cap:
+                        buffer.append(frame)
+                        continue
+                    out, buffer[swap] = buffer[swap], frame
+                    yield out
+
+        it = undecoded()
+    else:
+        it = ds.frames()
     next(it)  # warm
     t0 = time.perf_counter()
     for _ in itertools.islice(it, args.n_frames):
         pass
     dt = time.perf_counter() - t0
-    print(f"{args.n_frames / dt:.1f} frames/sec (single process)")
+    tag = "stream only, no decode" if args.stream_only else "single process"
+    print(f"{args.n_frames / dt:.1f} frames/sec ({tag})")
 
 
 if __name__ == "__main__":

@@ -64,6 +64,24 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
             ctypes.c_float, ctypes.c_float,
         ]
+    # fused read+parse / batched-extraction entry points (guarded so a stale
+    # prebuilt library still loads with the slow path)
+    if hasattr(lib, "rlds_reader_next_parsed"):
+        lib.rlds_reader_next_parsed.restype = ctypes.c_void_p
+        lib.rlds_reader_next_parsed.argtypes = [ctypes.c_void_p]
+        lib.rlds_reader_open_parsed.restype = ctypes.c_void_p
+        lib.rlds_reader_open_parsed.argtypes = lib.rlds_reader_open.argtypes
+        lib.rlds_keys.restype = ctypes.c_long
+        lib.rlds_keys.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ]
+        lib.rlds_feature_bytes_lens.restype = ctypes.c_long
+        lib.rlds_feature_bytes_lens.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_longlong),
+        ]
+        lib.rlds_feature_bytes_concat.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+        ]
     _lib = lib
     return lib
 
@@ -108,54 +126,116 @@ def iter_records(
 # example parsing
 # ---------------------------------------------------------------------------
 
+def _native_keys(lib, pe) -> List[str]:
+    """Feature-key list straight from the native parser (one crossing)."""
+    cap = 4096
+    while True:
+        buf = (ctypes.c_uint8 * cap)()
+        need = lib.rlds_keys(pe, buf, cap)
+        if need <= cap:
+            return bytes(buf[:need]).decode().split("\n")[:-1]
+        cap = need
+
+
+def _extract_all(lib, pe) -> Dict:
+    if hasattr(lib, "rlds_keys"):
+        keys = _native_keys(lib, pe)
+    else:  # stale prebuilt library: python proto walk for the key list only
+        raise RuntimeError("rebuild libspatialvla_data.so (make -C csrc)")
+    return {key: _extract(lib, pe, key) for key in keys}
+
+
 def parse_example(payload: bytes) -> Dict:
     """Parse a serialized tf.Example into {key: list | np.ndarray}."""
     lib = _load()
-    if lib is None:
+    if lib is None or not hasattr(lib, "rlds_keys"):
         from .example_proto import parse_example as py_parse
 
         return py_parse(payload)
 
-    buf = (ctypes.c_uint8 * len(payload)).from_buffer_copy(payload)
-    pe = lib.rlds_parse(buf, len(payload))
-    out: Dict = {}
+    # np.frombuffer is zero-copy (the C++ side copies into its own buffer)
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    pe = lib.rlds_parse(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(payload)
+    )
     try:
-        # discover keys via python parser? No — native parser owns the map;
-        # we re-parse keys cheaply in python for the key list only when
-        # needed. Instead: callers use parse_example_keys for selective
-        # extraction. For the generic API, fall back to python parsing of
-        # keys then native extraction.
-        from .example_proto import parse_example as py_parse
-
-        keys = py_parse(payload).keys()
-        for key in keys:
-            out[key] = _extract(lib, pe, key)
+        return _extract_all(lib, pe)
     finally:
         lib.rlds_parsed_free(pe)
-    return out
 
 
 def _extract(lib, pe, key: str):
+    kb = key.encode()
     count = ctypes.c_long()
-    t = lib.rlds_feature_info(pe, key.encode(), ctypes.byref(count))
+    t = lib.rlds_feature_info(pe, kb, ctypes.byref(count))
     n = count.value
     if t == 2:
         arr = np.empty(n, dtype=np.float32)
-        lib.rlds_feature_floats(pe, key.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        lib.rlds_feature_floats(pe, kb, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return arr
     if t == 3:
         arr = np.empty(n, dtype=np.int64)
-        lib.rlds_feature_ints(pe, key.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)))
+        lib.rlds_feature_ints(pe, kb, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)))
         return arr
     if t == 1:
+        if hasattr(lib, "rlds_feature_bytes_lens"):
+            # two crossings for the whole list (lens + concat payload); one
+            # C->Python copy total, then a bytes() slice per value
+            lens = np.empty(n, dtype=np.int64)
+            total = lib.rlds_feature_bytes_lens(
+                pe, kb, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong))
+            )
+            flat = bytearray(int(total))
+            lib.rlds_feature_bytes_concat(
+                pe, kb, (ctypes.c_uint8 * len(flat)).from_buffer(flat)
+            )
+            view = memoryview(flat)
+            out, off = [], 0
+            for ln in lens.tolist():
+                out.append(bytes(view[off : off + ln]))
+                off += ln
+            return out
         vals = []
         for i in range(n):
-            ln = lib.rlds_feature_bytes_len(pe, key.encode(), i)
+            ln = lib.rlds_feature_bytes_len(pe, kb, i)
             b = (ctypes.c_uint8 * ln)()
-            lib.rlds_feature_bytes(pe, key.encode(), i, b)
+            lib.rlds_feature_bytes(pe, kb, i, b)
             vals.append(bytes(b))
         return vals
     return None
+
+
+def iter_parsed(
+    paths: List[str], *, n_threads: int = 2, queue_capacity: int = 64,
+    verify_crc: bool = False,
+) -> Iterator[Dict]:
+    """Fused native read+parse stream: one crossing pops-and-parses each
+    TFRecord (the payload bytes never round-trip through Python), then
+    batched feature extraction. Falls back to iter_records + parse_example
+    when the native library (or the fused entry point) is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rlds_reader_next_parsed"):
+        for payload in iter_records(
+            paths, n_threads=n_threads, queue_capacity=queue_capacity,
+            verify_crc=verify_crc,
+        ):
+            yield parse_example(payload)
+        return
+
+    arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    opener = getattr(lib, "rlds_reader_open_parsed", lib.rlds_reader_open)
+    handle = opener(arr, len(paths), n_threads, queue_capacity, int(verify_crc))
+    try:
+        while True:
+            pe = lib.rlds_reader_next_parsed(handle)
+            if not pe:
+                return
+            try:
+                yield _extract_all(lib, pe)
+            finally:
+                lib.rlds_parsed_free(pe)
+    finally:
+        lib.rlds_reader_close(handle)
 
 
 def parse_example_keys(payload: bytes, keys: List[str]) -> Dict:
@@ -167,8 +247,10 @@ def parse_example_keys(payload: bytes, keys: List[str]) -> Dict:
 
         full = py_parse(payload)
         return {k: full.get(k) for k in keys}
-    buf = (ctypes.c_uint8 * len(payload)).from_buffer_copy(payload)
-    pe = lib.rlds_parse(buf, len(payload))
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    pe = lib.rlds_parse(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(payload)
+    )
     try:
         return {k: _extract(lib, pe, k) for k in keys}
     finally:
@@ -184,10 +266,11 @@ def decode_jpeg_resize(jpeg_bytes: bytes, out_h: int, out_w: int) -> np.ndarray:
     PIL fallback."""
     lib = _load()
     if lib is not None:
-        src = (ctypes.c_uint8 * len(jpeg_bytes)).from_buffer_copy(jpeg_bytes)
+        src = np.frombuffer(jpeg_bytes, dtype=np.uint8)  # zero-copy view
         out = np.empty((out_h, out_w, 3), dtype=np.uint8)
         rc = lib.rlds_decode_jpeg_resize(
-            src, len(jpeg_bytes), out_h, out_w,
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(jpeg_bytes), out_h, out_w,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
         if rc == 0:

@@ -162,8 +162,7 @@ class RLDSDataSource:
             order = list(self.shards)
             rng = _random.Random(self.seed + epoch)
             rng.shuffle(order)
-            for payload in native.iter_records(order, n_threads=self.n_read_threads):
-                feats = native.parse_example(payload)
+            for feats in native.iter_parsed(order, n_threads=self.n_read_threads):
                 ep = tfds_schema.decode_episode(feats, self.schema)
                 # flatten to the dlimp trajectory view: steps/* at top level,
                 # episode metadata under traj_metadata
@@ -446,39 +445,64 @@ class InterleavedRLDSDataset:
                     )
             return frame
 
+        BLOCK = 1024  # pre-drawn randomness (per-frame rng calls are ~30 us)
+
         def sampled() -> Iterator[Dict]:
+            n, cap = len(streams), self.shuffle_buffer_size
             while True:
-                idx = rng.choice(len(streams), p=self.sample_weights)
-                try:
-                    frame = next(streams[idx])
-                except StopIteration:
-                    continue
-                if len(buffer) < self.shuffle_buffer_size:
-                    buffer.append(frame)
-                    continue
-                swap = rng.integers(0, len(buffer))
-                out, buffer[swap] = buffer[swap], frame
-                yield out
+                idxs = rng.choice(n, size=BLOCK, p=self.sample_weights)
+                swaps = rng.integers(0, max(cap, 1), size=BLOCK)
+                for idx, swap in zip(idxs.tolist(), swaps.tolist()):
+                    try:
+                        frame = next(streams[idx])
+                    except StopIteration:
+                        continue
+                    if len(buffer) < cap:
+                        buffer.append(frame)
+                        continue
+                    out, buffer[swap] = buffer[swap], frame
+                    yield out
+
+        def seeds() -> Iterator[int]:
+            while True:
+                yield from rng.integers(0, 2**31, size=BLOCK).tolist()
 
         src = sampled()
+        seed_it = seeds()
         n_workers = self.frame_config.num_workers
         if n_workers <= 0:
             for frame in src:
-                yield decode(frame, int(rng.integers(0, 2**31)))
+                yield decode(frame, next(seed_it))
             return
 
         import collections
+        import itertools as _it
         from concurrent.futures import ThreadPoolExecutor
 
+        def decode_many(frames: List[Dict], seed_list: List[int]) -> List[Dict]:
+            return [decode(f, s) for f, s in zip(frames, seed_list)]
+
+        # frames are submitted in small groups: one future per GROUP frames
+        # divides the executor/future overhead without adding latency at the
+        # decode rates involved (a group is a few ms of work)
+        GROUP = 8
         with ThreadPoolExecutor(max_workers=n_workers) as pool:
             pending = collections.deque()
-            depth = max(self.frame_config.prefetch, n_workers)
-            for frame in src:
+            depth = max(self.frame_config.prefetch // GROUP, n_workers, 2)
+            while True:
+                group = list(_it.islice(src, GROUP))
+                if not group:
+                    break
                 pending.append(
-                    pool.submit(decode, frame, int(rng.integers(0, 2**31)))
+                    pool.submit(
+                        decode_many, group,
+                        [next(seed_it) for _ in range(len(group))],
+                    )
                 )
                 if len(pending) >= depth:
-                    yield pending.popleft().result()
+                    yield from pending.popleft().result()
+            while pending:
+                yield from pending.popleft().result()
 
     def __len__(self):
         return self.epoch_length
