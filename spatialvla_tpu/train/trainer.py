@@ -28,21 +28,29 @@ class TrainerConfig:
     save_total_limit: int = 3
     profile_steps: Optional[tuple] = None  # (start, stop) step window
     resume: bool = True
+    tensorboard: bool = True  # also emit events.out.tfevents scalars
+    # (first-party writer, train/tb_writer.py — reference: --report_to
+    # tensorboard via HF Trainer, torchrun_pretrain.sh:70)
 
 
 class MetricsLogger:
-    """JSONL metrics log + periodic stdout line (the tensorboard-free
-    default; events are trivially importable into TB later)."""
+    """JSONL metrics log + periodic stdout line + (optional) first-party
+    TensorBoard scalar events (train/tb_writer.py)."""
 
-    def __init__(self, output_dir: str):
+    def __init__(self, output_dir: str, *, tensorboard: bool = False):
         # metrics are global (replicated) values; process 0 writes, like the
         # reference's rank-0 logging
         self._primary = jax.process_index() == 0
         self.path = os.path.join(output_dir, "metrics.jsonl")
         self._f = None
+        self._tb = None
         if self._primary:
             os.makedirs(output_dir, exist_ok=True)
             self._f = open(self.path, "a")
+            if tensorboard:
+                from .tb_writer import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(output_dir, "tb"))
 
     def log(self, step: int, metrics: Dict[str, Any], *, echo: bool = True):
         if not self._primary:
@@ -55,6 +63,11 @@ class MetricsLogger:
                 continue
         self._f.write(json.dumps(row) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            self._tb.add_scalars(
+                row["step"], {k: v for k, v in row.items() if k != "step"}
+            )
+            self._tb.flush()
         if echo:
             parts = " ".join(f"{k}={v:.4f}" for k, v in row.items() if k != "step")
             print(f"[step {row['step']}] {parts}", flush=True)
@@ -62,6 +75,8 @@ class MetricsLogger:
     def close(self):
         if self._f is not None:
             self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def train_loop(
@@ -79,7 +94,7 @@ def train_loop(
 
     step signature: train_step(state, *step_args, batch) -> (state, metrics).
     """
-    logger = MetricsLogger(config.output_dir)
+    logger = MetricsLogger(config.output_dir, tensorboard=config.tensorboard)
     start_step = int(state["step"])
 
     if checkpoint_manager is not None and config.resume:
