@@ -215,3 +215,191 @@ def test_euler_from_quaternion_matches_scipy():
     got = euler_from_axis_angle(axis, angle)
     want = Rotation.from_rotvec(axis * angle).as_euler("xyz")
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# round-2 extensions: the remaining oxe_spatial_vla_plus mixture members
+# ---------------------------------------------------------------------------
+
+import copy
+
+
+def _two(build):
+    """Build one raw traj, return two independent deep copies (one per
+    implementation) so both sides see identical data."""
+    raw = build()
+    return copy.deepcopy(raw), copy.deepcopy(raw)
+
+
+def test_bridge_orig_parity(ref):
+    """Drop-first + gripper binarize + reached-state action relabel
+    (transforms.py:65-92, data_utils.py:179-189)."""
+    rng = np.random.RandomState(11)
+    T = 9
+    ours_raw, ref_raw = _two(lambda: {
+        "observation": {"state": rng.randn(T, 7).astype(np.float32)},
+        "action": np.concatenate(
+            [rng.randn(T, 6), rng.choice([0.0, 0.2, 0.8, 1.0], (T, 1))], axis=1
+        ).astype(np.float32),
+        "language_instruction": [b"wipe"] * T,
+        "_traj_index": np.arange(T),
+    })
+    got = S.bridge_orig(ours_raw)
+    want = _np(ref.bridge_orig_dataset_transform(_tf(ref_raw)))
+    _cmp(got, want, keys=("action", "observation.EEF_state",
+                          "observation.gripper_state"))
+    assert len(got["action"]) == T - 2  # drop first + relabel-truncate last
+
+
+def test_berkeley_autolab_ur5_parity(ref):
+    """rel2abs gripper scan (data_utils.py:152-175) + dict action concat."""
+    for seed in range(4):
+        r = np.random.RandomState(100 + seed)
+        T = 8
+        ours_raw, ref_raw = _two(lambda: {
+            "observation": {
+                "robot_state": r.randn(T, 15).astype(np.float32),
+                "image_with_depth": r.rand(T, 4, 4, 1).astype(np.float32),
+                "natural_language_instruction": [b"pick"] * T,
+            },
+            "action": {
+                "world_vector": r.randn(T, 3).astype(np.float32),
+                "rotation_delta": r.randn(T, 3).astype(np.float32),
+                "gripper_closedness_action": r.choice(
+                    [-1.0, -0.05, 0.0, 0.05, 1.0], (T,)
+                ).astype(np.float32),
+            },
+        })
+        got = S.berkeley_autolab_ur5(ours_raw)
+        want = _np(ref.berkeley_autolab_ur5_dataset_transform(_tf(ref_raw)))
+        _cmp(got, want, keys=("action", "observation.state"))
+
+
+def test_language_table_parity(ref):
+    """Unicode-codepoint instruction decode + 2D->7D action pad
+    (transforms.py:351-377)."""
+    rng = np.random.RandomState(13)
+    T = 5
+    inst = np.zeros((T, 12), np.int32)
+    for t in range(T):
+        s = f"move {t} blocké"[: rng.randint(5, 11)]
+        cps = [ord(c) for c in s]
+        inst[t, : len(cps)] = cps
+    ours_raw, ref_raw = _two(lambda: {
+        "observation": {"instruction": inst},
+        "action": rng.randn(T, 2).astype(np.float32),
+    })
+    got = S.language_table(ours_raw)
+    want_tf = ref.language_table_dataset_transform(_tf(ref_raw))
+    _cmp(got, _np(want_tf))
+    want_lang = [x.numpy() for x in want_tf["language_instruction"]]
+    assert got["language_instruction"] == want_lang
+
+
+def test_nyu_franka_play_parity(ref):
+    rng = np.random.RandomState(14)
+    T = 6
+    ours_raw, ref_raw = _two(lambda: {
+        "observation": {
+            "state": rng.randn(T, 13).astype(np.float32),
+            "depth": rng.randint(0, 4000, (T, 4, 4, 1)).astype(np.int32),
+            "depth_additional_view": rng.randint(
+                0, 4000, (T, 4, 4, 1)
+            ).astype(np.int32),
+        },
+        "action": rng.randn(T, 15).astype(np.float32),
+    })
+    got = S.nyu_franka_play(ours_raw)
+    want = _np(ref.nyu_franka_play_dataset_transform(_tf(ref_raw)))
+    _cmp(got, want, keys=("action", "observation.eef_state", "observation.depth"))
+
+
+def _install_scipy_tfg_euler():
+    """Give the stubbed tensorflow_graphics a real euler.from_quaternion
+    (scipy-backed; convention equality with tfg is pinned by
+    test_euler_from_quaternion_matches_scipy)."""
+    import sys
+
+    from scipy.spatial.transform import Rotation as R
+
+    def from_quaternion(q):
+        qn = np.asarray(q, np.float64)
+        return tf.constant(
+            R.from_quat(qn).as_euler("xyz", degrees=False).astype(np.float32)
+        )
+
+    tr = sys.modules["tensorflow_graphics.geometry.transformation"]
+    tr.euler.from_quaternion = from_quaternion
+
+
+def test_furniture_bench_parity(ref):
+    _install_scipy_tfg_euler()
+    rng = np.random.RandomState(15)
+    T = 6
+    quat = rng.randn(T, 4).astype(np.float32)
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    ours_raw, ref_raw = _two(lambda: {
+        "observation": {"state": rng.randn(T, 16).astype(np.float32)},
+        "action": np.concatenate(
+            [rng.randn(T, 3), quat, rng.choice([0.0, 0.4, 1.0], (T, 1))],
+            axis=1,
+        ).astype(np.float32),
+    })
+    got = S.furniture_bench(ours_raw)
+    want = _np(ref.furniture_bench_dataset_transform(_tf(ref_raw)))
+    _cmp(got, want, keys=("action", "observation.state"), rtol=1e-4)
+
+
+def test_iamlab_pick_insert_parity(ref):
+    _install_scipy_tfg_euler()
+    rng = np.random.RandomState(16)
+    T = 6
+    quat = rng.randn(T, 4).astype(np.float32)
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    ours_raw, ref_raw = _two(lambda: {
+        "observation": {"state": rng.randn(T, 10).astype(np.float32)},
+        "action": np.concatenate(
+            [rng.randn(T, 3), quat, rng.rand(T, 1)], axis=1
+        ).astype(np.float32),
+    })
+    got = S.iamlab_cmu(ours_raw)
+    want = _np(ref.iamlab_pick_insert_dataset_transform(_tf(ref_raw)))
+    _cmp(got, want, keys=("action", "observation.joint_state",
+                          "observation.gripper_state"), rtol=1e-4)
+
+
+@pytest.mark.parametrize("name,ours,adim,sdim", [
+    ("ucsd_kitchen", S.ucsd_kitchen, 8, 21),
+    ("dlr_edan_shared_control", S.dlr_edan, 7, 8),
+    ("berkeley_fanuc", S.berkeley_fanuc, 6, 13),
+    ("cmu_stretch", S.cmu_stretch, 8, 4),
+    ("uiuc_d3field", S.uiuc_d3field, 3, 4),
+])
+def test_simple_eef_transforms_parity(ref, name, ours, adim, sdim):
+    rng = np.random.RandomState(hash(name) % 2**31)
+    T = 6
+    ours_raw, ref_raw = _two(lambda: {
+        "observation": {"state": rng.randn(T, sdim).astype(np.float32)},
+        "action": rng.randn(T, adim).astype(np.float32),
+    })
+    got = ours(ours_raw)
+    want = _np(getattr(ref, f"{name}_dataset_transform")(_tf(ref_raw)))
+    _cmp(got, want)
+
+
+def test_rh20t_parity(ref):
+    rng = np.random.RandomState(17)
+    T = 6
+    ours_raw, ref_raw = _two(lambda: {
+        "observation": {
+            "tcp_base": rng.randn(T, 6).astype(np.float32),
+            "gripper_width": rng.rand(T).astype(np.float32),
+        },
+        "action": {
+            "tcp_base": rng.randn(T, 6).astype(np.float32),
+            "gripper": rng.randint(0, 2, (T,)).astype(np.int64),
+        },
+    })
+    got = S.rh20t(ours_raw)
+    want = _np(ref.rh20t_dataset_transform(_tf(ref_raw)))
+    _cmp(got, want, keys=("action", "observation.proprio"))
