@@ -135,7 +135,11 @@ def processor_from_hf(directory: str, config: SpatialVLAConfig, text_tokenizer=N
 
             from ..processor import HFTokenizerAdapter
 
-            tok = AutoTokenizer.from_pretrained(directory, local_files_only=True)
+            # trust_remote_code must be explicit: None triggers an
+            # interactive prompt when the exported config carries auto_map
+            tok = AutoTokenizer.from_pretrained(
+                directory, local_files_only=True, trust_remote_code=False
+            )
             text_tokenizer = HFTokenizerAdapter(tok)
         except Exception:
             text_tokenizer = ByteTokenizer()
