@@ -335,7 +335,7 @@ def generate_greedy(
     # serving tree at batch 1 off-CPU
     use_fused = (
         "qkv" in params["lm"]["layers"]["attn"]
-        and B == 1
+        and B <= 8  # per-batch-row VMEM scratch; attention loop unrolls in B
         and S <= cfg.text.sliding_window
         and jax.devices()[0].platform != "cpu"
         if use_fused_decode is None
@@ -395,12 +395,14 @@ def _generate_greedy_fused(
     *,
     compute_dtype=None,
 ) -> Array:
-    """Decode loop over the whole-LM fused kernel (ops/decode_step.py)."""
+    """Decode loop over the whole-LM fused kernel (ops/decode_step.py).
+    Batch entries share the unpadded prefix length P, so a single scalar
+    cache position serves the whole batch."""
     from ..ops.decode_step import fused_decode_step
     from ..ops.quant import qmatmul
 
     tcfg = cfg.text
-    B = 1
+    B = prefill_hidden.shape[0]
     if token_range is not None:
         begin, size = token_range
         head = _slice_head(params["lm"], begin, size)

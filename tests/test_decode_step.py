@@ -49,8 +49,9 @@ def prefill(qparams, B, P, Smax, seed=0):
     return hid, cache, rng
 
 
-def test_fused_step_matches_xla_serving_path(qparams):
-    B, P, Smax = 1, 6, 16
+@pytest.mark.parametrize("B", [1, 3])
+def test_fused_step_matches_xla_serving_path(qparams, B):
+    P, Smax = 6, 16
     _, cache, rng = prefill(qparams, B, P, Smax)
     x_new = jnp.asarray(
         rng.randn(B, 1, CFG.hidden_size).astype(np.float32)
@@ -71,17 +72,17 @@ def test_fused_step_matches_xla_serving_path(qparams):
     )
 
     np.testing.assert_allclose(
-        np.asarray(h_f[0], np.float32), np.asarray(hx[0, 0], np.float32),
+        np.asarray(h_f, np.float32), np.asarray(hx[:, 0], np.float32),
         atol=0.06, rtol=0.02,
     )
     np.testing.assert_allclose(
-        np.asarray(k_new[:, 0], np.float32),
-        np.asarray(cache_x["k"][:, 0, P], np.float32),
+        np.asarray(k_new, np.float32),
+        np.asarray(cache_x["k"][:, :, P], np.float32),
         atol=0.02,
     )
     np.testing.assert_allclose(
-        np.asarray(v_new[:, 0], np.float32),
-        np.asarray(cache_x["v"][:, 0, P], np.float32),
+        np.asarray(v_new, np.float32),
+        np.asarray(cache_x["v"][:, :, P], np.float32),
         atol=0.02,
     )
 
