@@ -8,6 +8,7 @@ from .mesh import (
     make_mesh,
     replicated,
 )
+from .ring_attention import ring_flash_attention
 from .partitioning import (
     DEFAULT_RULES,
     param_pspecs,
@@ -28,6 +29,7 @@ __all__ = [
     "param_pspecs",
     "param_shardings",
     "replicated",
+    "ring_flash_attention",
     "shard_params",
     "spec_for",
 ]
