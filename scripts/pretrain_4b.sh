@@ -7,6 +7,20 @@
 #
 # DEBUG=true shrinks to a single-chip smoke run (the reference's DEBUG
 # profile: buffer 2, tiny batch).
+#
+# Multi-host pod launch (replaces the reference's torchrun/srun rendezvous):
+# run this same script on EVERY host of the slice —
+#
+#   gcloud compute tpus tpu-vm ssh "$TPU_NAME" --worker=all \
+#     --command="cd spatialvla-tpu && DATA_ROOT=... bash scripts/pretrain_4b.sh"
+#
+# On TPU pods `jax.distributed.initialize()` auto-discovers the coordinator
+# from the TPU metadata (no MASTER_ADDR equivalent needed); the training
+# CLIs call it automatically when they detect a multi-host environment, and
+# per-host data sharding follows jax.process_index(). For manual/CPU
+# rendezvous (e.g. tests), pass --coordinator_address host:port
+# --num_processes N --process_id i explicitly (see
+# tests/test_distributed.py for a working 2-process example).
 set -euo pipefail
 
 DATA_ROOT=${DATA_ROOT:-/data/oxe}
