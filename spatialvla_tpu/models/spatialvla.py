@@ -335,7 +335,7 @@ def generate_greedy(
     # serving tree at batch 1 off-CPU
     use_fused = (
         "qkv" in params["lm"]["layers"]["attn"]
-        and B <= 8  # per-batch-row VMEM scratch; attention loop unrolls in B
+        and B <= 16  # per-batch-row VMEM scratch; attention loop unrolls in B
         and S <= cfg.text.sliding_window
         and jax.devices()[0].platform != "cpu"
         if use_fused_decode is None
@@ -467,6 +467,7 @@ def predict_action(
     action_chunk_size: int = 4,
     compute_dtype=jnp.bfloat16,
     restrict_to_action_tokens: bool = True,
+    use_fused_decode: Optional[bool] = None,  # None = auto (generate_greedy)
 ) -> Array:
     """Greedy-decode exactly 3 * chunk spatial action token ids
     (3 tokens per action step: translation, rotation, gripper).
@@ -483,5 +484,5 @@ def predict_action(
         params, cfg, input_ids,
         pixel_values=pixel_values, intrinsic=intrinsic, depth=depth,
         max_new_tokens=3 * action_chunk_size, compute_dtype=compute_dtype,
-        token_range=token_range,
+        token_range=token_range, use_fused_decode=use_fused_decode,
     )
