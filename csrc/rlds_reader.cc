@@ -164,6 +164,7 @@ static void parse_feature(Slice s, Feature* f) {
           f->float_vals.resize(base + cnt);
           memcpy(f->float_vals.data() + base, v.p, cnt * 4);
         } else if ((t2 >> 3) == 1 && (t2 & 7) == 5) {
+          if (sub.n < 4) return;  // truncated record: bail like read_ld does
           float fv;
           memcpy(&fv, sub.p, 4);
           sub.p += 4; sub.n -= 4;
@@ -266,6 +267,11 @@ struct RldsReader {
         if (fread(header, 1, 8, f) != 8) break;
         uint64_t len;
         memcpy(&len, header, 8);
+        // corrupt/non-TFRecord shards yield garbage lengths; a throwing
+        // resize() inside a worker thread would std::terminate the whole
+        // process — skip the shard like every other malformed-read path
+        // (1 GiB is far above any real RLDS episode)
+        if (len > (uint64_t)1 << 30) break;
         if (fread(crcbuf, 1, 4, f) != 4) break;
         if (verify_crc) {
           uint32_t hc;
@@ -511,13 +517,21 @@ int rlds_decode_jpeg_resize(const uint8_t* jpeg, long len, int out_h,
     return -1;
   }
   cinfo.out_color_space = JCS_RGB;
-  // pick DCT scale 8/N so decoded size stays >= target
-  for (int denom = 8; denom >= 1; denom--) {
-    cinfo.scale_num = 8;
-    cinfo.scale_denom = denom;
+  // pick the SMALLEST DCT scale N/8 whose decoded size stays >= target —
+  // libjpeg then skips most of the IDCT work (640x480 -> 224x224 decodes
+  // at 4/8 = 320x240: ~4x fewer pixels than a full decode). Mild scales
+  // (5/8..7/8) route libjpeg onto its slower scaled-IDCT kernels for
+  // little pixel savings, so only engage at <= 4/8; otherwise decode full.
+  for (int num = 1; num <= 8; num++) {
+    cinfo.scale_num = num;
+    cinfo.scale_denom = 8;
     jpeg_calc_output_dimensions(&cinfo);
     if ((int)cinfo.output_height >= out_h && (int)cinfo.output_width >= out_w)
       break;
+  }
+  if (cinfo.scale_num > 4) {
+    cinfo.scale_num = 8;
+    jpeg_calc_output_dimensions(&cinfo);
   }
   jpeg_start_decompress(&cinfo);
   int H = cinfo.output_height, W = cinfo.output_width;
@@ -631,7 +645,11 @@ int rlds_augment(const uint8_t* in, int H, int W, uint8_t* out, int cy,
     mean[2] += bsum;
   }
   float m[3];
-  for (int c = 0; c < 3; c++) m[c] = (float)(mean[c] / ((double)H * W));
+  // contrast recenters around the POST-brightness per-channel mean
+  // (data/augment.py:random_contrast runs after random_brightness);
+  // mean(x + d) == mean(x) + d, so shift the accumulated means
+  for (int c = 0; c < 3; c++)
+    m[c] = (float)(mean[c] / ((double)H * W)) + b_delta;
 
   for (size_t i = 0; i < (size_t)H * W; i++) {
     float* px = buf.data() + i * 3;
@@ -644,8 +662,13 @@ int rlds_augment(const uint8_t* in, int H, int W, uint8_t* out, int cy,
     g = gray + (g - gray) * s_factor;
     b = gray + (b - gray) * s_factor;
     if (h_delta != 0.0f) {
-      float r01 = r * (1.0f / 255.0f), g01 = g * (1.0f / 255.0f),
-            b01 = b * (1.0f / 255.0f);
+      // clip to [0,255] before the HSV conversion (augment.py:random_hue
+      // clips; post-brightness/contrast values can be outside the range)
+      float rc = fminf(fmaxf(r, 0.0f), 255.0f);
+      float gc = fminf(fmaxf(g, 0.0f), 255.0f);
+      float bc = fminf(fmaxf(b, 0.0f), 255.0f);
+      float r01 = rc * (1.0f / 255.0f), g01 = gc * (1.0f / 255.0f),
+            b01 = bc * (1.0f / 255.0f);
       float mx = fmaxf(r01, fmaxf(g01, b01));
       float mn = fminf(r01, fminf(g01, b01));
       float diff = mx - mn;

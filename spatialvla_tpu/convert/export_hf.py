@@ -3,9 +3,23 @@
 The inverse of convert/params.py + convert/zoe.py: unstacks the scanned
 layer tensors, transposes Linear weights back to torch (out, in), restores
 torch Conv2d OIHW / ConvTranspose2d IOHW layouts, and writes a checkpoint
-directory (model.safetensors + config.json + processor artifacts) that the
-reference stack loads with AutoModel.from_pretrained(trust_remote_code=True)
-(reference test/test_huggingface.py:12-17, modeling_spatialvla.py:494-526).
+directory (model.safetensors + config.json + processor artifacts) in the
+reference's on-disk format (test/test_huggingface.py:12-17,
+modeling_spatialvla.py:494-526).
+
+Loading the export in the reference stack: instantiate the reference's own
+model classes on it —
+
+    SpatialVLAForConditionalGeneration.from_pretrained(export_dir)
+
+from a checkout of the reference repo. (The reference's released
+checkpoints additionally ship configuration_spatialvla.py /
+modeling_spatialvla.py beside the weights so bare
+``AutoModel.from_pretrained(..., trust_remote_code=True)`` works; those
+model files belong to the reference and are not vendored here — copy them
+in yourself if you need the AutoModel path. The state-dict mapping is
+bit-exact either way: tests/test_export_hf.py loads the export into the
+reference torch model with strict=True.)
 
 Lets models trained in this framework round-trip into the reference's
 torch/HF serving and eval ecosystem.
@@ -256,10 +270,9 @@ def config_to_hf(cfg: SpatialVLAConfig) -> Dict[str, Any]:
     d: Dict[str, Any] = {
         "model_type": "spatialvla",
         "architectures": ["SpatialVLAForConditionalGeneration"],
-        "auto_map": {
-            "AutoConfig": "configuration_spatialvla.SpatialVLAConfig",
-            "AutoModel": "modeling_spatialvla.SpatialVLAForConditionalGeneration",
-        },
+        # NOTE: no auto_map — trust_remote_code loading needs the model .py
+        # files beside the weights, which belong to the reference repo and
+        # are not vendored here; see export_hf_checkpoint's docstring
         "vision_config": {
             "model_type": "siglip_vision_model",
             "hidden_size": v.hidden_size,

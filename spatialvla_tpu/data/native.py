@@ -19,10 +19,15 @@ _LIB_PATH = os.path.abspath(os.path.join(_CSRC, "libspatialvla_data.so"))
 _lib = None
 
 
+_load_failed = False
+
+
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:  # don't re-spawn `make` per frame on toolchain-less hosts
+        return None
     if not os.path.exists(_LIB_PATH):
         try:
             subprocess.run(
@@ -30,10 +35,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 check=True, capture_output=True, timeout=120,
             )
         except Exception:
+            _load_failed = True
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
+        _load_failed = True
         return None
     lib.rlds_reader_open.restype = ctypes.c_void_p
     lib.rlds_reader_open.argtypes = [

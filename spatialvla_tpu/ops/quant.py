@@ -245,9 +245,6 @@ def qmatmul(x: jnp.ndarray, w, *, use_kernel=None) -> jnp.ndarray:
 # parameter-tree quantization
 # ---------------------------------------------------------------------------
 
-LM_QUANT_KEYS = ("attn/q", "attn/k", "attn/v", "attn/o", "mlp/gate", "mlp/up", "mlp/down")
-
-
 def quantize_lm_params(
     lm_params: Dict[str, Any], *, fuse: bool = True, bits: int = 8
 ) -> Dict[str, Any]:

@@ -97,11 +97,14 @@ def _ring_fwd(q, k, v, prefix, valid, n, axis_name, scale, logit_softcap,
     q_pos = (idx * Tq + jnp.arange(Tq)).astype(jnp.int32)
     perm = [(j, (j + 1) % n) for j in range(n)]
 
-    out0 = jnp.zeros((B, Tq, Nq, D), jnp.float32)
-    lse0 = jnp.full((B, Nq, Tq, 1), -jnp.inf, jnp.float32)
+    out = jnp.zeros((B, Tq, Nq, D), jnp.float32)
+    lse = jnp.full((B, Nq, Tq, 1), -jnp.inf, jnp.float32)
 
-    def body(i, carry):
-        k_blk, v_blk, out, lse = carry
+    # unrolled over the (static, small) ring size so the final discarded
+    # K/V rotation is skipped — fori_loop would issue n ppermutes for n-1
+    # needed
+    k_blk, v_blk = k, v
+    for i in range(n):
         src = (idx - i) % n  # ring position the visiting shard came from
         k_start = (src * Tk).astype(jnp.int32)
         o_i, lse_i = _flash_attention_impl(
@@ -111,11 +114,9 @@ def _ring_fwd(q, k, v, prefix, valid, n, axis_name, scale, logit_softcap,
         )
         vr = _valid_rows(q_pos, prefix, valid, window, causal, k_start, Tk)
         out, lse = _merge(out, lse, o_i.astype(jnp.float32), lse_i, vr)
-        k_blk = lax.ppermute(k_blk, axis_name, perm)
-        v_blk = lax.ppermute(v_blk, axis_name, perm)
-        return k_blk, v_blk, out, lse
-
-    _, _, out, lse = lax.fori_loop(0, n, body, (k, v, out0, lse0))
+        if i + 1 < n:
+            k_blk = lax.ppermute(k_blk, axis_name, perm)
+            v_blk = lax.ppermute(v_blk, axis_name, perm)
     # rows with no valid key anywhere: match the kernel's finite-LSE
     # convention so the backward recompute stays NaN-free
     lse = jnp.where(jnp.isfinite(lse), lse, 0.0)
@@ -150,8 +151,11 @@ def _ring_bwd_rule(n, axis_name, scale, logit_softcap, window, causal,
     q_off = jnp.full((B,), idx * Tq, jnp.int32)
     perm = [(j, (j + 1) % n) for j in range(n)]
 
-    def body(i, carry):
-        k_blk, v_blk, dk_blk, dv_blk, dq_acc = carry
+    k_blk, v_blk = k, v
+    dk = jnp.zeros(k.shape, jnp.float32)
+    dv = jnp.zeros(v.shape, jnp.float32)
+    dq = jnp.zeros(q.shape, jnp.float32)
+    for i in range(n):
         src = (idx - i) % n
         k_start = (src * Tk).astype(jnp.int32)
         dq_i, dk_i, dv_i = _flash_attention_bwd_impl(
@@ -159,19 +163,15 @@ def _ring_bwd_rule(n, axis_name, scale, logit_softcap, window, causal,
             valid - k_start, q_off - k_start, scale, logit_softcap, window,
             causal, block_q, block_k, interpret,
         )
-        # dK/dV accumulators rotate WITH their K/V shard: after n steps
-        # each accumulated shard is back on its home device
-        dk_blk = lax.ppermute(dk_blk + dk_i.astype(jnp.float32), axis_name, perm)
-        dv_blk = lax.ppermute(dv_blk + dv_i.astype(jnp.float32), axis_name, perm)
-        k_blk = lax.ppermute(k_blk, axis_name, perm)
-        v_blk = lax.ppermute(v_blk, axis_name, perm)
-        return k_blk, v_blk, dk_blk, dv_blk, dq_acc + dq_i.astype(jnp.float32)
-
-    zkv = jnp.zeros(k.shape, jnp.float32)
-    _, _, dk, dv, dq = lax.fori_loop(
-        0, n, body, (k, v, zkv, jnp.zeros(v.shape, jnp.float32),
-                     jnp.zeros(q.shape, jnp.float32))
-    )
+        dq = dq + dq_i.astype(jnp.float32)
+        # dK/dV accumulators rotate WITH their K/V shard: after n rotations
+        # each accumulated shard is back on its home device (the K/V blocks
+        # themselves only need the first n-1 rotations)
+        dk = lax.ppermute(dk + dk_i.astype(jnp.float32), axis_name, perm)
+        dv = lax.ppermute(dv + dv_i.astype(jnp.float32), axis_name, perm)
+        if i + 1 < n:
+            k_blk = lax.ppermute(k_blk, axis_name, perm)
+            v_blk = lax.ppermute(v_blk, axis_name, perm)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None, None
 
 
