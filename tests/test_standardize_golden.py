@@ -403,3 +403,138 @@ def test_rh20t_parity(ref):
     got = S.rh20t(ours_raw)
     want = _np(ref.rh20t_dataset_transform(_tf(ref_raw)))
     _cmp(got, want, keys=("action", "observation.proprio"))
+
+
+# ---------------------------------------------------------------------------
+# round-2 extensions, second batch: the registry tail
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("refname,ours,obs,adim", [
+    ("nyu_rot", S.nyu_rot, {"state": 7}, 8),
+    ("cmu_franka_exploration", S.cmu_franka_exploration, {"state": 7}, 8),
+    ("ucsd_pick_place", S.ucsd_pick_place, {"state": 7}, 4),
+    ("tokyo_pr2_opening_fridge", S.tokyo_pr2, {"state": 7}, 8),
+    ("tokyo_pr2_tabletop_manipulation", S.tokyo_pr2, {"state": 7}, 8),
+    ("utokyo_xarm_pick_place", S.utokyo_xarm_pick_place, {"state": 7}, 7),
+    ("utokyo_xarm_bimanual", S.utokyo_xarm_bimanual, {"state": 7}, 14),
+    ("robo_net", S.robo_net, {"state": 5}, 5),
+    ("kaist_nonprehensible", S.kaist_nonprehensile, {"state": 14}, 7),
+    ("stanford_mask_vit", S.stanford_mask_vit, {"end_effector_pose": 5}, 5),
+    ("dlr_sara_pour", S.dlr_sara_pour, {"state": 8}, 7),
+    ("dlr_sara_grid_clamp", S.dlr_sara_grid_clamp, {"state": 8}, 7),
+    ("robocook", S.robocook, {"state": 7}, 7),
+    ("imperial_wristcam", S.imperial_wristcam, {"state": 7}, 8),
+    ("playfusion", S.playfusion, {"state": 7}, 8),
+    ("maniskill", S.maniskill, {"state": 10}, 7),
+])
+def test_registry_tail_transforms_parity(ref, refname, ours, obs, adim):
+    rng = np.random.RandomState(abs(hash(refname)) % 2**31)
+    T = 6
+    ours_raw, ref_raw = _two(lambda: {
+        "observation": {k: rng.randn(T, d).astype(np.float32) for k, d in obs.items()},
+        "action": rng.randn(T, adim).astype(np.float32),
+    })
+    got = ours(ours_raw)
+    want = _np(getattr(ref, f"{refname}_dataset_transform")(_tf(ref_raw)))
+    keys = ["action"]
+    for k in ("eef_state", "gripper_state"):
+        if k in want.get("observation", {}):
+            keys.append(f"observation.{k}")
+    _cmp(got, want, keys=tuple(keys))
+
+
+def test_nyu_door_opening_parity(ref):
+    """dict actions + the rel2abs gripper scan fed (T, 1) input."""
+    for seed in range(3):
+        r = np.random.RandomState(200 + seed)
+        T = 8
+        ours_raw, ref_raw = _two(lambda: {
+            "observation": {"natural_language_instruction": [b"open"] * T},
+            "action": {
+                "world_vector": r.randn(T, 3).astype(np.float32),
+                "rotation_delta": r.randn(T, 3).astype(np.float32),
+                "gripper_closedness_action": r.choice(
+                    [-1.0, 0.0, 1.0], (T, 1)
+                ).astype(np.float32),
+            },
+        })
+        got = S.nyu_door_opening(ours_raw)
+        want = _np(ref.nyu_door_opening_dataset_transform(_tf(ref_raw)))
+        _cmp(got, want)
+
+
+def test_pusht_parity(ref):
+    rng = np.random.RandomState(21)
+    T = 6
+    ours_raw, ref_raw = _two(lambda: {
+        "observation": {"natural_language_instruction": [b"push"] * T},
+        "action": {
+            "world_vector": rng.randn(T, 3).astype(np.float32),
+            "rotation_delta": rng.randn(T, 3).astype(np.float32),
+            "gripper_closedness_action": rng.rand(T).astype(np.float32),
+        },
+    })
+    got = S.pusht(ours_raw)
+    want = _np(ref.pusht_dataset_transform(_tf(ref_raw)))
+    _cmp(got, want)
+
+
+def test_stanford_kuka_multimodal_parity(ref):
+    rng = np.random.RandomState(22)
+    T = 6
+    ours_raw, ref_raw = _two(lambda: {
+        "observation": {
+            "depth_image": rng.rand(T, 4, 4, 1).astype(np.float32),
+        },
+        "action": rng.randn(T, 4).astype(np.float32),
+    })
+    got = S.stanford_kuka_multimodal(ours_raw)
+    want = _np(ref.stanford_kuka_multimodal_dataset_transform(_tf(ref_raw)))
+    _cmp(got, want, keys=("action", "observation.depth_image"))
+
+
+def test_cmu_playing_with_food_parity(ref):
+    _install_scipy_tfg_euler()
+    rng = np.random.RandomState(23)
+    T = 6
+    quat = rng.randn(T, 4).astype(np.float32)
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    ours_raw, ref_raw = _two(lambda: {
+        "observation": {"state": rng.randn(T, 7).astype(np.float32)},
+        "action": np.concatenate(
+            [rng.randn(T, 3), quat, rng.rand(T, 1)], axis=1
+        ).astype(np.float32),
+    })
+    got = S.cmu_playing_with_food(ours_raw)
+    want = _np(ref.cmu_playing_with_food_dataset_transform(_tf(ref_raw)))
+    _cmp(got, want, rtol=1e-4)
+
+
+def test_gnm_parity(ref):
+    rng = np.random.RandomState(24)
+    T = 6
+    ours_raw, ref_raw = _two(lambda: {
+        "observation": {
+            "state": rng.randn(T, 5).astype(np.float32),
+            "position": rng.randn(T, 2).astype(np.float32),
+            "yaw": rng.randn(T, 1).astype(np.float32),
+        },
+        "action": rng.randn(T, 2).astype(np.float32),
+    })
+    got = S.gnm(ours_raw)
+    want = _np(ref.gnm_dataset_transform(_tf(ref_raw)))
+    _cmp(got, want, keys=("action", "observation.state"))
+
+
+def test_asu_table_top_parity(ref):
+    rng = np.random.RandomState(25)
+    T = 6
+    ours_raw, ref_raw = _two(lambda: {
+        "observation": {"state": rng.randn(T, 7).astype(np.float32)},
+        "ground_truth_states": {"EE": rng.randn(T, 6).astype(np.float32)},
+        "action": rng.randn(T, 7).astype(np.float32),
+    })
+    got = S.asu_table_top(ours_raw)
+    want = _np(ref.asu_table_top_dataset_transform(_tf(ref_raw)))
+    _cmp(got, want, keys=("action", "observation.eef_state",
+                          "observation.gripper_state"))
