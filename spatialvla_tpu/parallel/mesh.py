@@ -13,6 +13,9 @@ Axes:
   data   pure data parallelism (gradient all-reduce)
   fsdp   parameter/grad/optimizer-state sharding (ZeRO-3 semantics)
   model  tensor parallelism (attention heads / MLP hidden)
+  sp     optional sequence parallelism (size 1 unless requested): the axis
+         parallel/ring_attention.py rotates K/V shards over; lay it on a
+         physical ICI ring
 """
 from __future__ import annotations
 
@@ -24,7 +27,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("data", "fsdp", "model")
+AXES = ("data", "fsdp", "model", "sp")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -32,9 +35,10 @@ class MeshConfig:
     data: int = 1
     fsdp: int = -1  # -1: absorb remaining devices
     model: int = 1
+    sp: int = 1  # sequence parallelism (ring attention)
 
     def resolve(self, n_devices: int) -> tuple:
-        dims = [self.data, self.fsdp, self.model]
+        dims = [self.data, self.fsdp, self.model, self.sp]
         if -1 in dims:
             known = int(np.prod([d for d in dims if d != -1]))
             dims[dims.index(-1)] = n_devices // known

@@ -114,3 +114,22 @@ def test_ring_under_jit_and_sharded_inputs():
         scale=SCALE, logit_softcap=50.0, window=None, causal=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_ring_via_mesh_config():
+    """MeshConfig grows an optional sp axis; ring attention runs over it."""
+    from spatialvla_tpu.parallel import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(data=1, fsdp=2, model=1, sp=4))
+    assert mesh.shape["sp"] == 4
+    q, k, v = _qkv(seed=9)
+    prefix_l = jnp.asarray([4, 0], jnp.int32)
+    valid_l = jnp.asarray([T, T], jnp.int32)
+    got = ring_flash_attention(
+        q, k, v, prefix_l, valid_l, mesh=mesh, scale=SCALE, causal=True,
+    )
+    want = _attention_reference(
+        q, k, v, prefix_l, valid_l, jnp.zeros(B, jnp.int32),
+        scale=SCALE, logit_softcap=None, window=None, causal=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
