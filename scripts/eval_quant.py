@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Quantization quality gate: compare bf16 / int8 / int4 serving on the
+same observations and report action-token agreement + continuous-action
+drift. Run this on YOUR checkpoint + representative images before serving
+with `policy.quantize(bits=4)` (per-channel symmetric int4 is a real
+accuracy trade; int8 is typically indistinguishable).
+
+    python scripts/eval_quant.py --checkpoint_dir ckpt [--hf] \
+        [--images img1.png img2.png ...] [--n_synthetic 16] \
+        [--instruction "pick up the object"] [--unnorm_key bridge_orig/1.0.0]
+
+With no --images, synthetic observations are used — fine for a smoke
+signal, but gate on real task images.
+"""
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--hf", action="store_true", help="reference-format dir")
+    p.add_argument("--images", nargs="*", default=None)
+    p.add_argument("--n_synthetic", type=int, default=16)
+    p.add_argument("--instruction", default="pick up the object")
+    p.add_argument("--unnorm_key", default=None)
+    p.add_argument("--bits", type=int, nargs="*", default=[8, 4])
+    args = p.parse_args(argv)
+
+    from spatialvla_tpu.inference import SpatialVLAPolicy
+
+    loader = SpatialVLAPolicy.from_hf_checkpoint if args.hf else SpatialVLAPolicy.load
+    if args.images:
+        from PIL import Image
+
+        obs = [np.asarray(Image.open(f).convert("RGB")) for f in args.images]
+    else:
+        rng = np.random.RandomState(0)
+        obs = [
+            (rng.rand(224, 224, 3) * 255).astype(np.uint8)
+            for _ in range(args.n_synthetic)
+        ]
+        print(f"(no --images: {len(obs)} synthetic observations — smoke signal only)")
+
+    def run(policy):
+        ids, acts = [], []
+        for im in obs:
+            out = policy.predict(im, args.instruction, unnorm_key=args.unnorm_key)
+            ids.append(np.asarray(out["action_ids"]))
+            acts.append(np.asarray(out["actions"]))
+        return np.stack(ids), np.stack(acts)
+
+    base_ids, base_acts = run(loader(args.checkpoint_dir))
+    print(f"baseline (bf16): {base_ids.shape[0]} obs x chunk {base_acts.shape[1]}")
+
+    for bits in args.bits:
+        policy = loader(args.checkpoint_dir).quantize(bits=bits)
+        q_ids, q_acts = run(policy)
+        agree = float((q_ids == base_ids).mean())
+        l1 = float(np.abs(q_acts - base_acts).mean())
+        worst = float(np.abs(q_acts - base_acts).max())
+        print(
+            f"int{bits}: token agreement {agree:.1%}  "
+            f"action L1 {l1:.4f}  max |delta| {worst:.4f}"
+        )
+        if bits <= 4 and agree < 0.99:
+            print(
+                f"  -> int{bits} diverges from bf16 on these observations; "
+                "gate on closed-loop task success before serving with it"
+            )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
