@@ -171,32 +171,42 @@ def augment_image(
     kwargs: Optional[Dict] = None,
     *,
     use_native: bool = True,
+    params: Optional[Dict] = None,  # precomputed sample_augment_params draw
 ) -> np.ndarray:
     """uint8 (H, W, 3) -> uint8 (H, W, 3) with the configured augmentations."""
     kwargs = kwargs or DEFAULT_AUGMENT_KWARGS
+    p = params or sample_augment_params(img.shape[:2], rng, kwargs)
     if use_native:
         from . import native
 
-        p = sample_augment_params(img.shape[:2], rng, kwargs)
         out = native.augment_native(
             img, p["crop"], p["b_delta"], p["c_factor"], p["s_factor"], p["h_delta"]
         )
         if out is not None:
             return out
-    out = img.astype(np.float32)
+    # python fallback applies the SAME pre-drawn params as the native path
+    # (sample_augment_params draws in the default augment_order, matching
+    # the per-op rng consumption of the previous draw-inside-each-op form)
+    H, W = img.shape[:2]
     for op in kwargs.get("augment_order", []):
         if op == "random_resized_crop" and "random_resized_crop" in kwargs:
-            cfg = kwargs["random_resized_crop"]
-            out = random_resized_crop(
-                np.clip(out, 0, 255), rng,
-                scale=cfg.get("scale", (0.9, 0.9)), ratio=cfg.get("ratio", (1.0, 1.0)),
+            cy, cx, ch, cw = p["crop"]
+            out = _resize_bilinear(
+                np.clip(out, 0, 255)[cy : cy + ch, cx : cx + cw], H, W
             )
         elif op == "random_brightness" and "random_brightness" in kwargs:
-            out = random_brightness(out, rng, *kwargs["random_brightness"])
+            out = out + np.float32(p["b_delta"])
         elif op == "random_contrast" and "random_contrast" in kwargs:
-            out = random_contrast(out, rng, *kwargs["random_contrast"])
+            mean = out.mean(axis=(0, 1), keepdims=True)
+            out = (out - mean) * np.float32(p["c_factor"]) + mean
         elif op == "random_saturation" and "random_saturation" in kwargs:
-            out = random_saturation(out, rng, *kwargs["random_saturation"])
+            gray = (
+                0.299 * out[..., 0] + 0.587 * out[..., 1] + 0.114 * out[..., 2]
+            )[..., None]
+            out = gray + (out - gray) * np.float32(p["s_factor"])
         elif op == "random_hue" and "random_hue" in kwargs:
-            out = random_hue(out, rng, *kwargs["random_hue"])
+            img01 = np.clip(out, 0, 255) * np.float32(1 / 255.0)
+            h, s, v = _rgb_to_hsv(img01)
+            h = (h + np.float32(p["h_delta"])) % 1.0
+            out = _hsv_to_rgb(h, s, v) * np.float32(255.0)
     return np.clip(out, 0, 255).astype(np.uint8)

@@ -57,12 +57,25 @@ class VLABatcher:
             else instruction
         )
         tok = self.proc.text_tokenizer
-        prefix = self.proc.build_prompt_ids(text)
         actions = np.asarray(frame["action"], dtype=np.float64)
         suffix = (
             self.proc.action_tokenizer.encode_to_global_ids(actions).reshape(-1).tolist()
             + [tok.eos_id]
         )
+        # gather every decoded view/obs-window image in a fixed order:
+        # primary window (oldest->newest), then secondary, then wrist
+        # (reference obs layout, data/obs_transforms.py:47-113 + the
+        # multi-obs collator concat, monkey_patch.py:21-75)
+        imgs = []
+        for key in ("image_primary", "image_secondary", "image_wrist"):
+            if key not in frame or frame[key] is None:
+                continue
+            v = np.asarray(frame[key], dtype=np.float32) / 255.0
+            imgs.extend(v if v.ndim == 4 else [v])
+        k = len(imgs)
+        # the prefix is built once, for the actual image-block count
+        prefix = self.proc.build_prompt_ids(text, n_images=k) if k > 1 \
+            else self.proc.build_prompt_ids(text)
         T = self.seq_len
         n = len(prefix) + len(suffix)
         if n > T:
@@ -78,28 +91,6 @@ class VLABatcher:
         ids = np.full((T,), tok.pad_id, dtype=np.int32)
         attn = np.zeros((T,), dtype=np.int32)
         ttype = np.zeros((T,), dtype=np.int32)
-        # gather every decoded view/obs-window image in a fixed order:
-        # primary window (oldest->newest), then secondary, then wrist
-        # (reference obs layout, data/obs_transforms.py:47-113 + the
-        # multi-obs collator concat, monkey_patch.py:21-75)
-        imgs = []
-        for key in ("image_primary", "image_secondary", "image_wrist"):
-            if key not in frame or frame[key] is None:
-                continue
-            v = np.asarray(frame[key], dtype=np.float32) / 255.0
-            imgs.extend(v if v.ndim == 4 else [v])
-        k = len(imgs)
-        # prefix was built for 1 image block; rebuild when k > 1
-        if k > 1:
-            prefix = self.proc.build_prompt_ids(text, n_images=k)
-            n = len(prefix) + len(suffix)
-            if n > T:
-                self.dropped += 1
-                return None
-            ids = np.full((T,), tok.pad_id, dtype=np.int32)
-            attn = np.zeros((T,), dtype=np.int32)
-            ttype = np.zeros((T,), dtype=np.int32)
-
         ids[:n] = prefix + suffix
         attn[:n] = 1
         ttype[len(prefix) : n] = 1
@@ -128,6 +119,7 @@ class VLABatcher:
         return out
 
     def batches(self, frames: Iterator[Dict]) -> Iterator[Dict[str, np.ndarray]]:
+        warned_keys: set = set()
         while True:
             rows = []
             while len(rows) < self.batch_size:
@@ -137,6 +129,18 @@ class VLABatcher:
                     return
                 if row is not None:
                     rows.append(row)
-            yield {
-                k: np.stack([r[k] for r in rows]) for k in rows[0].keys()
-            }
+            # only keys EVERY row carries are stackable (a mixture can have
+            # depth for some member datasets only — the optional "depth"
+            # override is then dropped for the mixed batch rather than
+            # crashing np.stack or silently following rows[0])
+            keys = set(rows[0].keys())
+            for r in rows[1:]:
+                keys &= r.keys()
+            missing = set().union(*(r.keys() for r in rows)) - keys
+            if missing and not missing <= warned_keys:
+                logger.warning(
+                    "batch keys %s present in only part of the mixture; "
+                    "dropped for mixed batches", sorted(missing),
+                )
+                warned_keys |= missing
+            yield {k: np.stack([r[k] for r in rows]) for k in keys}

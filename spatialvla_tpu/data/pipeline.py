@@ -103,7 +103,22 @@ class RLDSDataSource:
         shards = tfds_schema.list_shards(self.dataset_dir, split)
         if not shards:
             raise FileNotFoundError(f"no shards for {name} [{split}] in {self.dataset_dir}")
-        self.shards = shards[self.rank :: self.world] or shards
+        self.all_shards = shards  # statistics always cover the FULL dataset
+        if len(shards) >= self.world:
+            self.shards = shards[self.rank :: self.world]
+        else:
+            # fewer shard files than hosts: file-striding would hand some
+            # ranks one shard and (with a naive fallback) others the whole
+            # dataset, skewing the mixture. Give EVERY rank all shards with
+            # its own shuffle seed instead — the reference's seed-based
+            # per-rank sharding semantics (data/dataset.py:82).
+            if self.world > 1 and self.rank == 0:
+                print(
+                    f"WARNING: {name} has {len(shards)} shard file(s) for "
+                    f"{self.world} hosts; every host streams the full "
+                    "dataset with a per-rank shuffle seed"
+                )
+            self.shards = shards
         self.standardize_fn = STANDARDIZE_FNS.get(name)
         if self.standardize_fn is None:
             raise KeyError(f"no standardize fn registered for {name}")
@@ -156,10 +171,12 @@ class RLDSDataSource:
         out["absolute_action_mask"] = mask
         return out
 
-    def iter_raw_episodes(self, repeat: bool = False) -> Iterator[Traj]:
+    def iter_raw_episodes(
+        self, repeat: bool = False, *, all_shards: bool = False
+    ) -> Iterator[Traj]:
         epoch = 0
         while True:
-            order = list(self.shards)
+            order = list(self.all_shards if all_shards else self.shards)
             rng = _random.Random(self.seed + epoch)
             rng.shuffle(order)
             for feats in native.iter_parsed(order, n_threads=self.n_read_threads):
@@ -174,15 +191,21 @@ class RLDSDataSource:
                 return
             epoch += 1
 
-    def iter_canonical(self, repeat: bool = False) -> Iterator[Traj]:
-        for raw in self.iter_raw_episodes(repeat):
+    def iter_canonical(
+        self, repeat: bool = False, *, all_shards: bool = False
+    ) -> Iterator[Traj]:
+        for raw in self.iter_raw_episodes(repeat, all_shards=all_shards):
             traj = self._restructure(raw)
             if traj is not None:
                 yield traj
 
     def statistics(self, *, force: bool = False, cache_dir: Optional[str] = None) -> Dict:
+        """Normalization statistics over the FULL dataset (all shards), not
+        this rank's subset — every host must normalize identically and the
+        disk cache is rank-independent (reference: get_dataset_statistics
+        runs on the unsharded dataset, data/utils/data_utils.py:244-341)."""
         return compute_dataset_statistics(
-            self.iter_canonical(repeat=False),
+            self.iter_canonical(repeat=False, all_shards=True),
             dataset_name=self.name,
             state_obs_keys=self.config.state_obs_keys,
             transform_name=self.standardize_fn.__name__,
@@ -397,7 +420,7 @@ class InterleavedRLDSDataset:
         buffer: List[Dict] = []
         H, W = self.frame_config.resize_size
 
-        def decode_one(img, seed: int) -> np.ndarray:
+        def decode_one(img, seed: int, crops_out=None) -> np.ndarray:
             if isinstance(img, bytes):
                 if len(img) == 0:
                     arr = np.zeros((H, W, 3), dtype=np.uint8)
@@ -412,15 +435,37 @@ class InterleavedRLDSDataset:
             if self.frame_config.augment and arr.any():
                 # one shared seed per frame: every view/window image gets the
                 # same augmentation draw (reference obs_transforms.py:17-44)
+                from .augment import sample_augment_params
+
+                p = sample_augment_params(
+                    arr.shape[:2], np.random.default_rng(seed),
+                    self.frame_config.augment_kwargs,
+                )
+                if crops_out is not None:
+                    cy, cx, ch, cw = p["crop"]
+                    crops_out.append(
+                        (cy / arr.shape[0], cx / arr.shape[1],
+                         ch / arr.shape[0], cw / arr.shape[1])
+                    )
                 arr = augment_image(
-                    arr, np.random.default_rng(seed), self.frame_config.augment_kwargs
+                    arr, np.random.default_rng(seed),
+                    self.frame_config.augment_kwargs, params=p,
                 )
             return arr
 
-        def decode_depth_one(d) -> np.ndarray:
+        def decode_depth_one(d, crop_frac=None) -> np.ndarray:
             arr = np.asarray(d, dtype=np.float32)
             if arr.ndim == 3 and arr.shape[-1] == 1:
                 arr = arr[..., 0]
+            if crop_frac is not None:
+                # the SAME fractional crop region the view's RGB got, so
+                # backprojected depth stays aligned with the patches
+                fy, fx, fh, fw = crop_frac
+                h, w = arr.shape[:2]
+                y0, x0 = int(round(fy * h)), int(round(fx * w))
+                hh = max(1, int(round(fh * h)))
+                ww = max(1, int(round(fw * w)))
+                arr = arr[y0 : min(y0 + hh, h), x0 : min(x0 + ww, w)]
             if arr.shape[:2] != (H, W):
                 from .augment import _resize_bilinear
 
@@ -429,19 +474,26 @@ class InterleavedRLDSDataset:
 
         def decode(frame: Dict, seed: int) -> Dict:
             frame = dict(frame)
-            for key in list(frame):
+            view_crop: Dict[str, tuple] = {}
+            for key in list(frame):  # images first: record per-view crops
                 v = frame[key]
                 if key.startswith("image_"):
+                    crops: List[tuple] = []
                     frame[key] = (
-                        np.stack([decode_one(x, seed) for x in v])
+                        np.stack([decode_one(x, seed, crops) for x in v])
                         if isinstance(v, list)
-                        else decode_one(v, seed)
+                        else decode_one(v, seed, crops)
                     )
-                elif key.startswith("depth_"):
+                    if crops:
+                        view_crop[key[len("image_"):]] = crops[0]
+            for key in list(frame):
+                v = frame[key]
+                if key.startswith("depth_"):
+                    cf = view_crop.get(key[len("depth_"):])
                     frame[key] = (
-                        np.stack([decode_depth_one(x) for x in v])
+                        np.stack([decode_depth_one(x, cf) for x in v])
                         if isinstance(v, list)
-                        else decode_depth_one(v)
+                        else decode_depth_one(v, cf)
                     )
             return frame
 
@@ -456,6 +508,9 @@ class InterleavedRLDSDataset:
                     try:
                         frame = next(streams[idx])
                     except StopIteration:
+                        continue
+                    if cap <= 0:  # shuffling disabled
+                        yield frame
                         continue
                     if len(buffer) < cap:
                         buffer.append(frame)

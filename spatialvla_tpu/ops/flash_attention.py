@@ -80,7 +80,6 @@ def _fa_kernel(
     causal: bool,
     block_q: int,
     block_k: int,
-    kv_len: int,
 ):
     b = pl.program_id(0)
     qi = pl.program_id(2)
@@ -227,7 +226,7 @@ def _flash_attention_impl(
         causal=causal,
         block_q=block_q,
         block_k=block_k,
-        kv_len=Tk,
+
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
