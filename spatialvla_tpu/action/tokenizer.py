@@ -222,6 +222,7 @@ class SpatialActionTokenizer:
         if embeddings is not None:
             new_emb = adapt_spatial_embeddings(embeddings, self.num_bins, self.bin_policy, new_policy)
         self.bin_policy = new_policy
+        self.gs_params = gs_params  # keep persisted artifacts in sync
         self.min_sigma = min_sigma
         self.translation.set_bins(new_policy["translation"])
         self.rotation.set_bins(new_policy["rotation"])

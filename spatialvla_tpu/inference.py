@@ -111,18 +111,28 @@ class SpatialVLAPolicy:
         return self
 
     # ------------------------------------------------------------------
-    def _jitted_predict(self, prefix_len: int, chunk: int):
-        key = (prefix_len, chunk)
+    def _jitted_predict(self, prefix_len: int, chunk: int, padded: bool = False):
+        key = (prefix_len, chunk, padded)
         if key not in self._predict_cache:
             cfg = self.config
 
-            @jax.jit
-            def fn(params, input_ids, pixel_values, intrinsic):
-                return spatialvla.predict_action(
-                    params, cfg, input_ids,
-                    pixel_values=pixel_values, intrinsic=intrinsic,
-                    action_chunk_size=chunk, compute_dtype=self.compute_dtype,
-                )
+            if padded:  # mixed-length batch: pad-aware masks/positions
+                @jax.jit
+                def fn(params, input_ids, pixel_values, intrinsic, attn):
+                    return spatialvla.predict_action(
+                        params, cfg, input_ids,
+                        pixel_values=pixel_values, intrinsic=intrinsic,
+                        attention_mask=attn,
+                        action_chunk_size=chunk, compute_dtype=self.compute_dtype,
+                    )
+            else:
+                @jax.jit
+                def fn(params, input_ids, pixel_values, intrinsic):
+                    return spatialvla.predict_action(
+                        params, cfg, input_ids,
+                        pixel_values=pixel_values, intrinsic=intrinsic,
+                        action_chunk_size=chunk, compute_dtype=self.compute_dtype,
+                    )
 
             self._predict_cache[key] = fn
         return self._predict_cache[key]
@@ -150,9 +160,16 @@ class SpatialVLAPolicy:
     def predict_batch(self, images, instructions, *, unnorm_key=None) -> Dict[str, np.ndarray]:
         inputs = self.processor(list(images), list(instructions), unnorm_key=unnorm_key)
         ids = jnp.asarray(inputs["input_ids"])
-        fn = self._jitted_predict(int(ids.shape[1]), self.processor.action_chunk_size)
-        generated = fn(
+        attn = np.asarray(inputs["attention_mask"])
+        padded = bool((attn == 0).any())  # mixed prompt lengths
+        fn = self._jitted_predict(
+            int(ids.shape[1]), self.processor.action_chunk_size, padded
+        )
+        args = (
             self.params, ids,
             jnp.asarray(inputs["pixel_values"]), jnp.asarray(inputs["intrinsic"]),
         )
+        if padded:
+            args = args + (jnp.asarray(attn),)
+        generated = fn(*args)
         return self.processor.decode_actions(np.asarray(generated), unnorm_key=unnorm_key)

@@ -181,12 +181,16 @@ def make_masks(
     cfg: Gemma2Config,
     base_mask: Array,  # (B, 1, T, S) bool — causal/prefix-LM/padding, prebuilt
     q_positions: Array,  # (B, T) absolute positions (0-based cache slots)
-    k_positions: Array,  # (S,) absolute positions of cache slots
+    k_positions: Array,  # (S,) or (B, S) absolute positions of cache slots
 ) -> Tuple[Array, Array]:
     """Returns (global_mask, sliding_mask). The sliding mask additionally
     requires q_pos - k_pos < window (only past tokens beyond the window are
-    dropped, matching modeling_gemma2.py:461-473)."""
-    delta = q_positions[:, :, None] - k_positions[None, None, :]
+    dropped, matching modeling_gemma2.py:461-473). k_positions may be
+    per-row (B, S) when cache slots do not equal token positions (right-
+    padded serving batches)."""
+    if k_positions.ndim == 1:
+        k_positions = k_positions[None, :]
+    delta = q_positions[:, :, None] - k_positions[:, None, :]
     within = (delta < cfg.sliding_window)[:, None]
     return base_mask, base_mask & within
 
@@ -293,13 +297,17 @@ def forward(
     *,
     cache: Optional[Params] = None,
     cache_position: Optional[Array] = None,  # scalar: first cache slot to write
+    window_positions: Optional[Tuple[Array, Array]] = None,
     use_remat: bool = False,
 ) -> Tuple[Array, Optional[Params]]:
     """Runs the decoder stack; returns (final_norm(h), new_cache).
 
     When cache is None, attention spans the input itself (S == T).
     cache_position indexes cache *slots* (0-based); RoPE uses position_ids
-    (the VLA passes cache slot + 1, PaliGemma convention)."""
+    (the VLA passes cache slot + 1, PaliGemma convention).
+    window_positions=(q_pos (B, T), k_pos (B, S)) overrides the slot-based
+    positions used by the sliding-window mask — needed when slots != token
+    positions (right-padded serving batches)."""
     B, T, H = inputs_embeds.shape
 
     # sqrt(hidden) embedding scale, computed in the activation dtype so the
@@ -319,6 +327,8 @@ def forward(
         jnp.arange(T)[None, :] + (cache_position if cache_position is not None else 0)
     )
     q_positions = jnp.broadcast_to(q_positions, (B, T))
+    if window_positions is not None:
+        q_positions, k_positions = window_positions
     mask_global, mask_sliding = make_masks(cfg, base_mask, q_positions, k_positions)
 
     flags = is_sliding_flags(cfg)

@@ -290,11 +290,12 @@ def _slice_head(lm_params: Params, begin: int, size: int):
 def generate_greedy(
     params: Params,
     cfg: SpatialVLAConfig,
-    input_ids: Array,  # (B, P) unpadded prefix (image tokens + prompt)
+    input_ids: Array,  # (B, P) prefix (image tokens + prompt [+ right pad])
     *,
     pixel_values: Optional[Array] = None,
     intrinsic: Optional[Array] = None,
     depth: Optional[Array] = None,
+    attention_mask: Optional[Array] = None,  # (B, P) 1=valid; None=unpadded
     max_new_tokens: int = 12,
     cache_dtype=jnp.bfloat16,
     compute_dtype=None,
@@ -306,6 +307,12 @@ def generate_greedy(
     Static-shape two-program structure (prefill + scanned decode steps), the
     TPU-idiomatic replacement for HF generate() with HybridCache
     (modeling_spatialvla.py:444-492).
+
+    With ``attention_mask`` (mixed-length batches, right-padded): pad keys
+    are masked, positions come from the mask cumsum, the first generated
+    token reads the hidden state of each row's LAST VALID token, and
+    generated tokens occupy the uniform static slots [P, P+t) — the
+    pad-aware equivalent of HF generate's attention_mask handling.
 
     token_range=(begin, size) restricts greedy argmax to an id block —
     predict_action only consumes spatial action ids, so slicing the 265k-row
@@ -324,19 +331,41 @@ def generate_greedy(
     embeds = merge_input_embeddings(params, cfg, input_ids, image_features, dtype=compute_dtype)
 
     cache = gemma2_mod.init_cache(cfg.text, B, S, dtype=cache_dtype)
-    position_ids = jnp.arange(1, P + 1)[None].repeat(B, 0)
-    mask = bidirectional_prefill_mask(P, S, B)
+    if attention_mask is None:
+        position_ids = jnp.arange(1, P + 1)[None].repeat(B, 0)
+        mask = bidirectional_prefill_mask(P, S, B)
+        valid = None
+        k_pos_true = None
+    else:
+        am = attention_mask.astype(jnp.int32)
+        valid = am.sum(axis=-1)  # (B,) per-row prefix length
+        position_ids = jnp.cumsum(am, axis=-1) * am  # 1-indexed at valid
+        key_valid = jnp.concatenate(
+            [am.astype(bool), jnp.zeros((B, S - P), bool)], axis=-1
+        )  # (B, S)
+        mask = jnp.broadcast_to(key_valid[:, None, None, :], (B, 1, P, S))
+        # true token positions of every cache slot (pads are masked; the
+        # generated slots [P, S) hold positions valid+1..): the sliding-
+        # window mask must use these, NOT slot indices, under padding
+        k_pos_true = jnp.concatenate(
+            [position_ids, valid[:, None] + jnp.arange(1, S - P + 1)[None]],
+            axis=-1,
+        )  # (B, S)
     hidden, cache = gemma2_mod.forward(
-        params["lm"], cfg.text, embeds, position_ids, mask, cache=cache, cache_position=0
+        params["lm"], cfg.text, embeds, position_ids, mask, cache=cache,
+        cache_position=0,
+        window_positions=None if valid is None else (position_ids, k_pos_true),
     )
 
     # whole-LM fused decode (ops/decode_step.py): one Pallas kernel per
     # token instead of ~105 launches; eligible for the fused-quantized
-    # serving tree at batch 1 off-CPU
+    # serving tree at batch 1 off-CPU. Padded batches take the XLA path
+    # (the fused kernel assumes a uniform valid-cache interval).
     use_fused = (
         "qkv" in params["lm"]["layers"]["attn"]
         and B <= 16  # per-batch-row VMEM scratch; attention loop unrolls in B
         and S <= cfg.text.sliding_window
+        and attention_mask is None
         and jax.devices()[0].platform != "cpu"
         if use_fused_decode is None
         else use_fused_decode
@@ -361,7 +390,13 @@ def generate_greedy(
             logits = gemma2_mod.compute_logits(params["lm"], cfg.text, hidden_last)
             return jnp.argmax(logits[:, 0], axis=-1)
 
-    next_token = next_from(hidden[:, -1:])  # (B,)
+    if valid is None:
+        last_hidden = hidden[:, -1:]
+    else:  # each row's last VALID token (pads sit after it)
+        last_hidden = jnp.take_along_axis(
+            hidden, (valid - 1)[:, None, None].astype(jnp.int32), axis=1
+        )
+    next_token = next_from(last_hidden)  # (B,)
 
     k_idx = jnp.arange(S)
 
@@ -369,11 +404,18 @@ def generate_greedy(
         cache, tok = carry
         # spatial-token override applies to generated action tokens too
         embeds = merge_input_embeddings(params, cfg, tok[:, None], None, dtype=compute_dtype)
-        pos = (P + t + 1) * jnp.ones((B, 1), dtype=jnp.int32)
-        step_mask = jnp.broadcast_to(k_idx <= P + t, (B, 1, 1, S))
+        if valid is None:
+            pos = (P + t + 1) * jnp.ones((B, 1), dtype=jnp.int32)
+            step_mask = jnp.broadcast_to(k_idx <= P + t, (B, 1, 1, S))
+            wpos = None
+        else:
+            pos = (valid + t + 1)[:, None].astype(jnp.int32)
+            gen = (k_idx >= P) & (k_idx <= P + t)
+            step_mask = (key_valid | gen[None, :])[:, None, None, :]
+            wpos = (pos, k_pos_true)
         hidden, new_cache = gemma2_mod.forward(
             params["lm"], cfg.text, embeds, pos, step_mask,
-            cache=cache, cache_position=P + t,
+            cache=cache, cache_position=P + t, window_positions=wpos,
         )
         nxt = next_from(hidden)
         return (new_cache, nxt), tok
@@ -464,6 +506,7 @@ def predict_action(
     pixel_values: Optional[Array] = None,
     intrinsic: Optional[Array] = None,
     depth: Optional[Array] = None,
+    attention_mask: Optional[Array] = None,  # (B, P) for right-padded batches
     action_chunk_size: int = 4,
     compute_dtype=jnp.bfloat16,
     restrict_to_action_tokens: bool = True,
@@ -483,6 +526,7 @@ def predict_action(
     return generate_greedy(
         params, cfg, input_ids,
         pixel_values=pixel_values, intrinsic=intrinsic, depth=depth,
+        attention_mask=attention_mask,
         max_new_tokens=3 * action_chunk_size, compute_dtype=compute_dtype,
         token_range=token_range, use_fused_decode=use_fused_decode,
     )

@@ -93,9 +93,11 @@ def beit_relative_position_index(window: int) -> np.ndarray:
     N = window * window
     idx = np.zeros((N + 1, N + 1), dtype=np.int64)
     idx[1:, 1:] = rel.sum(-1)
-    idx[0, 0:] = num_rel - 1
+    # tail-row assignment per HF modeling_beit.generate_relative_position_index:
+    # cls->token = num_rel-3, token->cls = num_rel-2, cls->cls = num_rel-1
+    idx[0, 0:] = num_rel - 3
     idx[0:, 0] = num_rel - 2
-    idx[0, 0] = num_rel - 3
+    idx[0, 0] = num_rel - 1
     return idx
 
 
@@ -387,10 +389,12 @@ def patch_transformer_forward(params: Params, cfg: ZoeDepthConfig, x: Array) -> 
         probs = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
         attn = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(B, S, C)
         attn = linear(lp["out"], attn)
-        h = layer_norm(lp["ln1"], h + attn)
+        # torch nn.LayerNorm default eps (HF ZoeDepthTransformerEncoderLayer
+        # uses bare nn.LayerNorm), NOT this repo's 1e-6 default
+        h = layer_norm(lp["ln1"], h + attn, 1e-5)
         y = jax.nn.relu(linear(lp["fc1"], h))
         y = linear(lp["fc2"], y)
-        h = layer_norm(lp["ln2"], h + y)
+        h = layer_norm(lp["ln2"], h + y, 1e-5)
         return h, None
 
     tokens, _ = jax.lax.scan(layer, tokens, params["layers"])

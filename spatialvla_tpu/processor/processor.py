@@ -99,9 +99,15 @@ class SpatialVLAProcessor:
                 min_sigma=min_sigma,
                 token_begin_idx=action_token_begin_idx,
             )
-        self.bin_policy = self.action_tokenizer.bin_policy
 
     # ------------------------------------------------------------------
+    @property
+    def bin_policy(self):
+        """Always the tokenizer's CURRENT bins — a snapshot here would go
+        stale after adapt_to_gaussian and persist wrong bin edges on save
+        (finetune's --adapt_emb path)."""
+        return self.action_tokenizer.bin_policy
+
     @property
     def action_token_begin_idx(self) -> int:
         return self.action_tokenizer.token_begin_idx
@@ -113,13 +119,16 @@ class SpatialVLAProcessor:
 
     # ------------------------------------------------------------------
     def build_prompt_ids(self, text: str, n_images: int = 1) -> List[int]:
-        """<image>*(n_images*N) + BOS + text + '\\n' as ids."""
+        """<image>*(n_images*N) + BOS + text + '\\n' as ids. The text and
+        trailing newline are tokenized in ONE pass like the reference's
+        f"{prompt}\\n" (processing_spatialvla.py) — separate encodes diverge
+        whenever the tokenizer would merge across the boundary (e.g. Gemma's
+        multi-newline pieces when the instruction itself ends in '\\n')."""
         tok = self.text_tokenizer
         return (
             [self.image_token_id] * (self.image_seq_length * n_images)
             + [tok.bos_id]
-            + tok.encode(text)
-            + tok.encode("\n")
+            + tok.encode(text + "\n")
         )
 
     def __call__(
@@ -162,17 +171,21 @@ class SpatialVLAProcessor:
 
         T = max(len(p) + len(s) for p, s in rows)
         if max_length is not None:
-            T = max(T, max_length)
+            # pad up to AND truncate down to max_length (HF-tokenizer
+            # semantics the reference relies on: padding='max_length' +
+            # truncation, processing_spatialvla.py) — truncation cuts from
+            # the end, like the reference's max_length tokenize
+            T = max_length
         pad_id = self.text_tokenizer.pad_id
 
         input_ids = np.full((B, T), pad_id, dtype=np.int32)
         attention_mask = np.zeros((B, T), dtype=np.int32)
         token_type_ids = np.zeros((B, T), dtype=np.int32)
         for i, (p, s) in enumerate(rows):
-            n = len(p) + len(s)
-            input_ids[i, :n] = p + s
+            n = min(len(p) + len(s), T)
+            input_ids[i, :n] = (p + s)[:n]
             attention_mask[i, :n] = 1
-            token_type_ids[i, len(p) : n] = 1
+            token_type_ids[i, min(len(p), T) : n] = 1
 
         if any(n > 1 for n in n_images):
             assert len(set(n_images)) == 1, "mixed obs counts in one batch"

@@ -39,10 +39,30 @@ class CheckpointManager:
             step, args=ocp.args.StandardSave(state), force=force
         )
         if saved and sidecar and jax.process_index() == 0:
-            path = os.path.join(self.directory, "artifacts.json")
-            with open(path, "w") as f:
+            # step-scoped sidecar so restore(step) pairs params with THAT
+            # step's artifacts (processor state can change mid-run, e.g.
+            # statistics/bin-policy adaptation); the unscoped copy stays as
+            # the latest for consumers that just want the newest
+            with open(self._sidecar_path(step), "w") as f:
+                json.dump(sidecar, f, indent=2)
+            with open(os.path.join(self.directory, "artifacts.json"), "w") as f:
                 json.dump(sidecar, f, indent=2)
         return saved
+
+    def _sidecar_path(self, step: int) -> str:
+        return os.path.join(self.directory, f"artifacts-{step}.json")
+
+    def load_sidecar(self, step: Optional[int] = None) -> Optional[Dict]:
+        """The sidecar saved WITH the given (default latest) step, falling
+        back to the directory-level latest copy for old checkpoints."""
+        step = step if step is not None else self.latest_step()
+        for path in (
+            [] if step is None else [self._sidecar_path(step)]
+        ) + [os.path.join(self.directory, "artifacts.json")]:
+            if os.path.exists(path):
+                with open(path) as f:
+                    return json.load(f)
+        return None
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

@@ -134,7 +134,7 @@ def build_everything(args):
         )
         params = dict(params)
         params["spatial_embed"] = jnp.asarray(new_emb, dtype=params["spatial_embed"].dtype)
-        processor.bin_policy = processor.action_tokenizer.bin_policy
+        # processor.bin_policy is a live view of the tokenizer's bins now
 
     params = shard_params(mesh, params)
 

@@ -106,26 +106,37 @@ def train_loop(
                 print(f"resumed from checkpoint step {start_step}", flush=True)
 
     t_last = time.perf_counter()
+    step_last = start_step
+    profiling = False
     step = start_step
     for step in range(start_step, config.max_steps):
-        if config.profile_steps and step == config.profile_steps[0]:
+        # window conditions are >= / interval-based so a resume INTO the
+        # window, or a window end past max_steps, behaves (start without
+        # stop crashed stop_trace; stop never reached leaked the trace)
+        if (
+            config.profile_steps and not profiling
+            and config.profile_steps[0] <= step < config.profile_steps[1]
+        ):
             jax.profiler.start_trace(os.path.join(config.output_dir, "traces"))
+            profiling = True
         batch = next(batches, None)
         if batch is None:
             break
         state, metrics = train_step(state, *step_args, batch)
 
-        if config.profile_steps and step == config.profile_steps[1]:
+        if profiling and step + 1 >= config.profile_steps[1]:
             jax.profiler.stop_trace()
+            profiling = False
 
         if (step + 1) % config.log_every == 0 or step == start_step:
             metrics = jax.tree_util.tree_map(np.asarray, metrics)  # sync
             now = time.perf_counter()
             metrics = dict(metrics)
+            n_steps = step + 1 - step_last  # actual steps in the interval
             metrics["steps_per_sec"] = (
-                config.log_every / (now - t_last) if step > start_step else 0.0
+                n_steps / (now - t_last) if step > start_step else 0.0
             )
-            t_last = now
+            t_last, step_last = now, step + 1
             logger.log(step + 1, metrics)
             if on_metrics is not None:
                 on_metrics(step + 1, metrics)
@@ -133,6 +144,8 @@ def train_loop(
         if checkpoint_manager is not None and (step + 1) % config.save_every == 0:
             checkpoint_manager.save(step + 1, state, sidecar=sidecar)
 
+    if profiling:  # loop ended inside the window (exhausted iterator etc.)
+        jax.profiler.stop_trace()
     if checkpoint_manager is not None:
         checkpoint_manager.save(int(state["step"]), state, sidecar=sidecar, force=True)
         checkpoint_manager.wait()

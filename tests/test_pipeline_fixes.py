@@ -138,3 +138,27 @@ def test_mixed_optional_keys_do_not_crash_batcher(data_dir):
     batch = next(batcher.batches(frames_with_partial_depth()))
     assert "depth" not in batch  # dropped for the mixed batch, no crash
     assert batch["input_ids"].shape[0] == 4
+
+
+def test_predict_batch_mixed_lengths_matches_single(tmp_path):
+    """predict_batch with right-padded mixed-length prompts must produce the
+    SAME action ids as per-sample predict (pad keys masked, positions from
+    the mask, last-valid-token readout)."""
+    from tests.test_hf_checkpoint import _build_reference_style_checkpoint
+    from spatialvla_tpu.inference import SpatialVLAPolicy
+
+    _build_reference_style_checkpoint(tmp_path)
+    policy = SpatialVLAPolicy.from_hf_checkpoint(str(tmp_path), param_dtype=None)
+    rng = np.random.RandomState(2)
+    images = [(rng.rand(64, 80, 3) * 255).astype(np.uint8) for _ in range(2)]
+    instructions = ["pick", "pick up the small green block on the left"]
+
+    singles = [
+        policy.predict(im, txt, unnorm_key="bridge_orig/1.0.0")
+        for im, txt in zip(images, instructions)
+    ]
+    batch = policy.predict_batch(images, instructions, unnorm_key="bridge_orig/1.0.0")
+    for i, single in enumerate(singles):
+        np.testing.assert_array_equal(
+            batch["action_ids"][i], single["action_ids"], err_msg=f"row {i}"
+        )

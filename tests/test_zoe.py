@@ -166,3 +166,23 @@ def test_precomputed_rel_bias_matches_gather(hf_model, jx_params):
         np.asarray(got["predicted_depth"]), np.asarray(ref["predicted_depth"]),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_relative_position_index_matches_hf_exactly():
+    """The cls tail-row assignment (cls->token=num-3, token->cls=num-2,
+    cls->cls=num-1) must match HF generate_relative_position_index bit-for-
+    bit — a swapped assignment survives the forward parity test because the
+    per-row-constant part of the bias cancels in softmax."""
+    from transformers.models.beit.modeling_beit import BeitRelativePositionBias
+
+    from spatialvla_tpu.models.zoe import beit_relative_position_index
+
+    for window in (4, 24):
+        m = BeitRelativePositionBias(
+            transformers.BeitConfig(image_size=window * 16, patch_size=16),
+            window_size=(window, window),
+        )
+        want = m.generate_relative_position_index(
+            torch.tensor((window, window))
+        ).numpy()
+        np.testing.assert_array_equal(beit_relative_position_index(window), want)
