@@ -80,7 +80,7 @@ def load_gs_params(path: str) -> Dict:
         return json.load(f)
 
 
-def norm_meshgrid(num_bins: Dict, bin_policy: Dict):
+def norm_meshgrid(bin_policy: Dict):
     """Normalized bin-center meshgrids (with replicated-edge padding rows)
     for trilinear embedding re-gridding.
 
@@ -124,8 +124,8 @@ def adapt_spatial_embeddings(
     out = emb.copy()
     E = emb.shape[1]
 
-    tgrid0, rgrid0 = norm_meshgrid(num_bins, old_policy)
-    tgrid1, rgrid1 = norm_meshgrid(num_bins, new_policy)
+    tgrid0, rgrid0 = norm_meshgrid(old_policy)
+    tgrid1, rgrid1 = norm_meshgrid(new_policy)
 
     def _regrid(table: np.ndarray, dims, grid0, grid1):
         m, n, k = dims

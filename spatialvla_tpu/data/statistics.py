@@ -19,12 +19,6 @@ import numpy as np
 _CACHE_DIR = os.path.expanduser("~/.cache/spatialvla_tpu/dataset_statistics")
 
 
-def _to_list(stats: Dict) -> Dict:
-    return {
-        k: (v.tolist() if isinstance(v, np.ndarray) else v) for k, v in stats.items()
-    }
-
-
 def array_stats(arr: np.ndarray) -> Dict[str, Any]:
     return {
         "mean": arr.mean(0).tolist(),
@@ -83,6 +77,11 @@ def compute_dataset_statistics(
     }
     if proprios:
         out["proprio"] = array_stats(np.concatenate(proprios))
+    else:
+        # the reference always emits a proprio block (zeros_like(action)
+        # substitute, data_utils.py:283-329) so ds_stats.json artifacts are
+        # schema-identical regardless of the dataset's proprio coverage
+        out["proprio"] = array_stats(np.zeros_like(np.concatenate(actions)))
 
     os.makedirs(cache_dir, exist_ok=True)
     with open(cache_path, "w") as f:
@@ -99,9 +98,7 @@ def save_dataset_statistics(stats_by_dataset: Dict[str, Dict], path: str) -> Dic
     return stats_by_dataset
 
 
-def fit_gaussian_params(
-    actions: np.ndarray, use_spherical: bool = True
-) -> Dict[str, Dict[str, float]]:
+def fit_gaussian_params(actions: np.ndarray) -> Dict[str, Dict[str, float]]:
     """Fit the per-dimension Gaussians used by the adaptive bin policy
     (the gs_*.json artifacts): translation in spherical (theta, phi, r),
     rotation in normalized Euler dims."""

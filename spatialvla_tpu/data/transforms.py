@@ -107,7 +107,15 @@ def subsample(traj: Traj, subsample_length: int, rng: np.random.Generator) -> Tr
     T = len(traj["action"])
     if T > subsample_length:
         idx = rng.permutation(T)[:subsample_length]
-        traj = tree_map(lambda x: x[idx], traj)
+        # only gather time-indexed array leaves: the canonical traj also
+        # carries scalar metadata (dataset_name str) the reference's
+        # all-tensor trajs don't have
+        traj = tree_map(
+            lambda x: x[idx]
+            if isinstance(x, np.ndarray) and x.ndim >= 1 and len(x) == T
+            else x,
+            traj,
+        )
     return traj
 
 

@@ -108,6 +108,8 @@ def forward(params: Params, cfg: Ego3DConfig, xyz: Array, dtype=None) -> Array:
     if dtype is not None:
         enc = enc.astype(dtype)
     h = enc @ params["fc1"]["w"].astype(enc.dtype) + params["fc1"]["b"].astype(enc.dtype)
-    h = layer_norm(params["ln"], h)
+    h = layer_norm(params["ln"], h, 1e-5)  # torch nn.LayerNorm default eps
+    # (reference Ego3DPositionEmbeddingMLP uses bare nn.LayerNorm,
+    # modeling_spatialvla.py:59-64)
     h = jax.nn.relu(h)
     return h @ params["fc2"]["w"].astype(h.dtype) + params["fc2"]["b"].astype(h.dtype)

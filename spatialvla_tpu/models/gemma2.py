@@ -367,7 +367,7 @@ def compute_logits(
 ) -> Array:
     """lm_head + final logit softcap. fp32 MXU accumulation."""
     head = params["lm_head"] if "lm_head" in params else params["embed"].T
-    if is_quantized(head):
+    if isinstance(head, dict):  # quantized OR LoRA-factored ('linear+emb+h')
         logits = qmatmul(hidden, head).astype(dtype)
     else:
         logits = jnp.einsum(

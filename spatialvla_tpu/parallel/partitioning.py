@@ -67,16 +67,35 @@ def spec_for(path_str: str, ndim: int, rules: Rules = None) -> P:
     return P()  # replicate by default
 
 
-def param_pspecs(params: Dict[str, Any], rules: Rules = None):
-    """Pytree of PartitionSpecs mirroring `params`."""
+def _divisible(spec: P, shape, mesh: Mesh) -> P:
+    """Drop axis assignments whose mesh size does not divide the dim — a
+    blanket rule can hit tensors with tiny dims (e.g. Zoe head convs with
+    1- or 2-channel outputs), and an indivisible NamedSharding raises at
+    device_put. Replicating those dims is always safe."""
+    if mesh is None:
+        return spec
+    out = []
+    for dim, ax in zip(shape[-len(tuple(spec)):] if spec else (), tuple(spec)):
+        n = mesh.shape[ax] if isinstance(ax, str) else None
+        out.append(ax if (ax is None or dim % n == 0) else None)
+    pad = len(shape) - len(out)
+    return P(*((None,) * pad + tuple(out)))
+
+
+def param_pspecs(params: Dict[str, Any], rules: Rules = None, mesh: Mesh = None):
+    """Pytree of PartitionSpecs mirroring `params`. With `mesh`, specs are
+    validated for divisibility (indivisible dims fall back to replicated)."""
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: spec_for(_path_str(path), leaf.ndim, rules), params
+        lambda path, leaf: _divisible(
+            spec_for(_path_str(path), leaf.ndim, rules), leaf.shape, mesh
+        ),
+        params,
     )
 
 
 def param_shardings(mesh: Mesh, params: Dict[str, Any], rules: Rules = None):
     return jax.tree_util.tree_map(
-        lambda spec: NamedSharding(mesh, spec), param_pspecs(params, rules)
+        lambda spec: NamedSharding(mesh, spec), param_pspecs(params, rules, mesh)
     )
 
 

@@ -32,7 +32,10 @@ TARGET_PRESETS: Dict[str, List[str]] = {
     "linear+emb": [],  # filled below
     "linear+emb+h": [],
 }
-TARGET_PRESETS["linear+emb"] = TARGET_PRESETS["linear"] + [r"lm/embed$"]
+# 'emb' in the reference preset means the SPATIAL embedding table
+# (spatialvla_finetune.py:271-286 adds 'spatial_embed_tokens' to
+# target_modules), never the frozen LM token embedding
+TARGET_PRESETS["linear+emb"] = TARGET_PRESETS["linear"] + [r"^spatial_embed$"]
 TARGET_PRESETS["linear+emb+h"] = TARGET_PRESETS["linear+emb"] + [r"lm/lm_head$"]
 
 # subtrees kept fully trainable alongside LoRA (peft modules_to_save)
@@ -53,20 +56,29 @@ def lora_init(
     target_patterns: List[str],
     rank: int = 32,
     dtype=jnp.float32,
+    exclude_patterns=DEFAULT_SAVED,
 ) -> Params:
     """Build the LoRA factor tree: for each matching 2D/3D weight
-    (..., in, out) -> {'a': (..., in, r) gaussian, 'b': (..., r, out) zeros}."""
+    (..., in, out) -> {'a': (..., in, r) gaussian, 'b': (..., r, out) zeros}.
+
+    Paths matching ``exclude_patterns`` (the fully-trainable 'saved'
+    subtrees, e.g. spatial_embed) never get factors: full training strictly
+    dominates a LoRA adapter, and a factor over a saved leaf would
+    stop-gradient it in lora_apply_tree."""
     leaves_with_paths = jax.tree_util.tree_leaves_with_path(params)
     factors = {}
     for i, (path, leaf) in enumerate(leaves_with_paths):
         p = _path_str(path)
         if not _matches(p, target_patterns) or leaf.ndim < 2:
             continue
+        if exclude_patterns and _matches(p, exclude_patterns):
+            continue
         k = jax.random.fold_in(key, i)
         a_shape = leaf.shape[:-1] + (rank,)
         b_shape = leaf.shape[:-2] + (rank, leaf.shape[-1])
         factors[p] = {
-            "a": (0.02 * jax.random.normal(k, a_shape)).astype(dtype),
+            # peft init_lora_weights='gaussian': A ~ N(0, 1/r), B zeros
+            "a": (jax.random.normal(k, a_shape) / rank).astype(dtype),
             "b": jnp.zeros(b_shape, dtype=dtype),
         }
     return factors

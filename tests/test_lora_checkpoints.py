@@ -45,7 +45,14 @@ def test_lora_init_targets():
         jax.random.PRNGKey(1), params,
         target_patterns=TARGET_PRESETS["linear+emb+h"], rank=4,
     )
-    assert "lm/embed" in lora_h and "lm/lm_head" in lora_h
+    # '+h' adds the lm_head; 'emb' means the SPATIAL embedding (reference
+    # spatialvla_finetune.py:271-286), which is excluded from factors here
+    # because it is fully trained via the saved set (full training
+    # dominates a LoRA adapter); the frozen LM token embedding is never a
+    # target
+    assert "lm/lm_head" in lora_h
+    assert "lm/embed" not in lora_h
+    assert "spatial_embed" not in lora_h
 
 
 def test_lora_merge_identity_at_init():
