@@ -1,0 +1,235 @@
+"""Closed-loop evaluation driver: episode loop, SimplerEnv task registry,
+and success-rate aggregation emitting the reference's table shape
+(README.md:154-161 eval recipe; README.md:206-495 result tables — Google
+robot Visual Matching / Variant Aggregation suites and the WidowX suite
+with per-task partial + success columns).
+
+The simulators stay optional imports: `evaluate()` takes an `env_factory`
+so tests drive the full loop with a fake env, and
+`scripts/run_simpler_eval.py` plugs in `simpler_env.make` when the sim is
+installed (the reference runs its fork of SimplerEnv-OpenVLA the same way).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .adapters import SimplerEnvPolicyAdapter
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalTask:
+    """One benchmark row: a SimplerEnv env id + its aggregation bucket."""
+
+    label: str          # table row label, e.g. "Pick Coke Can"
+    env_id: str         # simpler_env.make() name
+    suite: str          # "google_vm" | "google_va" | "widowx"
+    policy_setup: str   # adapter gripper convention
+    unnorm_key: str
+    episodes: int = 24
+    max_steps: int = 120
+    partial_key: Optional[str] = None  # info key for the partial metric
+                                       # (WidowX "Grasp X" columns)
+
+
+# SimplerEnv task registry for the reference's reported suites
+# (README.md:206-263 Google-robot visual-matching/variant-aggregation,
+# README.md:378-388 WidowX; env ids from the SimplerEnv-OpenVLA fork the
+# reference evaluates on). "Open Top Drawer and Place Apple" is omitted
+# exactly as the reference does (README.md:161).
+GOOGLE_ROBOT_VM_TASKS: List[EvalTask] = [
+    EvalTask("Pick Coke Can", "google_robot_pick_coke_can", "google_vm",
+             "google_robot", "fractal20220817_data/0.1.0"),
+    EvalTask("Move Near", "google_robot_move_near", "google_vm",
+             "google_robot", "fractal20220817_data/0.1.0"),
+    EvalTask("Open/Close Drawer", "google_robot_open_drawer", "google_vm",
+             "google_robot", "fractal20220817_data/0.1.0"),
+    EvalTask("Open/Close Drawer", "google_robot_close_drawer", "google_vm",
+             "google_robot", "fractal20220817_data/0.1.0"),
+]
+GOOGLE_ROBOT_VA_TASKS: List[EvalTask] = [
+    dataclasses.replace(t, suite="google_va")
+    for t in GOOGLE_ROBOT_VM_TASKS
+]
+WIDOWX_TASKS: List[EvalTask] = [
+    EvalTask("Put Spoon on Towel", "widowx_spoon_on_towel", "widowx",
+             "widowx_bridge", "bridge_orig/1.0.0",
+             partial_key="moved_correct_obj"),
+    EvalTask("Put Carrot on Plate", "widowx_carrot_on_plate", "widowx",
+             "widowx_bridge", "bridge_orig/1.0.0",
+             partial_key="moved_correct_obj"),
+    EvalTask("Stack Green Block on Yellow Block", "widowx_stack_cube",
+             "widowx", "widowx_bridge", "bridge_orig/1.0.0",
+             partial_key="moved_correct_obj"),
+    EvalTask("Put Eggplant in Yellow Basket", "widowx_put_eggplant_in_basket",
+             "widowx", "widowx_bridge", "bridge_orig/1.0.0",
+             partial_key="moved_correct_obj"),
+]
+SUITES: Dict[str, List[EvalTask]] = {
+    "google_vm": GOOGLE_ROBOT_VM_TASKS,
+    "google_va": GOOGLE_ROBOT_VA_TASKS,
+    "widowx": WIDOWX_TASKS,
+}
+
+
+def default_image_getter(env, obs):
+    """SimplerEnv's maniskill2 camera extraction (optional import)."""
+    from simpler_env.utils.env.observation_utils import (
+        get_image_from_maniskill2_obs_dict,
+    )
+
+    return get_image_from_maniskill2_obs_dict(env, obs)
+
+
+def run_episode(
+    env,
+    adapter: SimplerEnvPolicyAdapter,
+    *,
+    max_steps: int = 120,
+    image_getter: Callable = default_image_getter,
+) -> Dict:
+    """One closed-loop episode. Returns {'success', 'steps', 'info'} with
+    the final env info dict (partial-success flags live there)."""
+    obs, _ = env.reset()
+    task_description = env.get_language_instruction()
+    adapter.reset(task_description)
+    info: Dict = {}
+    for t in range(max_steps):
+        image = image_getter(env, obs)
+        _, action = adapter.step(image, task_description)
+        obs, reward, done, truncated, info = env.step(
+            np.concatenate(
+                [action["world_vector"], action["rot_axangle"], action["gripper"]]
+            )
+        )
+        if done or truncated:
+            return {
+                "success": bool(info.get("success", reward > 0)),
+                "steps": t + 1,
+                "info": dict(info),
+            }
+    return {"success": False, "steps": max_steps, "info": dict(info)}
+
+
+def evaluate_task(
+    task: EvalTask,
+    policy,
+    *,
+    env_factory: Callable[[EvalTask], object],
+    image_getter: Callable = default_image_getter,
+    episodes: Optional[int] = None,
+) -> Dict:
+    """All episodes of one task -> aggregated row stats."""
+    env = env_factory(task)
+    adapter = SimplerEnvPolicyAdapter(
+        policy, unnorm_key=task.unnorm_key, policy_setup=task.policy_setup
+    )
+    n = episodes if episodes is not None else task.episodes
+    succ, partial, steps = 0, 0, []
+    for _ in range(n):
+        ep = run_episode(env, adapter, max_steps=task.max_steps,
+                         image_getter=image_getter)
+        succ += int(ep["success"])
+        if task.partial_key is not None:
+            partial += int(bool(ep["info"].get(task.partial_key, ep["success"])))
+        steps.append(ep["steps"])
+    if hasattr(env, "close"):
+        env.close()
+    row = {
+        "label": task.label,
+        "env_id": task.env_id,
+        "suite": task.suite,
+        "episodes": n,
+        "successes": succ,
+        "success_rate": succ / max(n, 1),
+        "mean_steps": float(np.mean(steps)) if steps else 0.0,
+    }
+    if task.partial_key is not None:
+        row["partial_rate"] = partial / max(n, 1)
+    return row
+
+
+def evaluate(
+    policy,
+    tasks: Sequence[EvalTask],
+    *,
+    env_factory: Callable[[EvalTask], object],
+    image_getter: Callable = default_image_getter,
+    episodes: Optional[int] = None,
+) -> Dict:
+    """Run every task; returns {'rows': [...], 'suites': {suite: avg}}.
+
+    Rows with the same (suite, label) are averaged into one table row
+    (the reference reports Open/Close Drawer as one column covering both
+    env directions)."""
+    rows = [
+        evaluate_task(t, policy, env_factory=env_factory,
+                      image_getter=image_getter, episodes=episodes)
+        for t in tasks
+    ]
+    merged: Dict = {}
+    for r in rows:
+        key = (r["suite"], r["label"])
+        m = merged.setdefault(key, {**r, "episodes": 0, "successes": 0})
+        m["episodes"] += r["episodes"]
+        m["successes"] += r["successes"]
+        m["success_rate"] = m["successes"] / max(m["episodes"], 1)
+    table_rows = list(merged.values())
+    suites: Dict[str, float] = {}
+    for suite in {r["suite"] for r in table_rows}:
+        rs = [r for r in table_rows if r["suite"] == suite]
+        suites[suite] = float(np.mean([r["success_rate"] for r in rs]))
+    return {"rows": table_rows, "suites": suites}
+
+
+SUITE_TITLES = {
+    "google_vm": "Visual Matching",
+    "google_va": "Variant Aggregation",
+    "widowx": "WidowX",
+}
+
+
+def format_table(results: Dict, model_name: str = "spatialvla-tpu") -> str:
+    """Markdown tables in the reference README's shape: per-suite task
+    columns + #Average (README.md:206-263), WidowX with partial + Success
+    columns + #Overall Average (README.md:378-388)."""
+    out = []
+    rows = results["rows"]
+    for suite in ("google_vm", "google_va"):
+        rs = [r for r in rows if r["suite"] == suite]
+        if not rs:
+            continue
+        out.append(f"### SimplerEnv Google robot — {SUITE_TITLES[suite]}")
+        header = [r["label"] for r in rs] + ["#Average"]
+        vals = [f"{100*r['success_rate']:.1f}%" for r in rs] + [
+            f"{100*results['suites'][suite]:.1f}%"
+        ]
+        out.append("| Model | " + " | ".join(header) + " |")
+        out.append("|" + "---|" * (len(header) + 1))
+        out.append(f"| {model_name} | " + " | ".join(vals) + " |")
+        out.append("")
+    rs = [r for r in rows if r["suite"] == "widowx"]
+    if rs:
+        out.append("### SimplerEnv WidowX")
+        header, vals = [], []
+        for r in rs:
+            if "partial_rate" in r:
+                header.append(f"{r['label']} (partial)")
+                vals.append(f"{100*r['partial_rate']:.1f}%")
+            header.append(f"{r['label']} (Success)")
+            vals.append(f"{100*r['success_rate']:.1f}%")
+        header.append("#Overall Average")
+        vals.append(f"{100*results['suites']['widowx']:.1f}%")
+        out.append("| Model | " + " | ".join(header) + " |")
+        out.append("|" + "---|" * (len(header) + 1))
+        out.append(f"| {model_name} | " + " | ".join(vals) + " |")
+        out.append("")
+    return "\n".join(out)
+
+
+def save_results(path: str, results: Dict, model_name: str = "spatialvla-tpu"):
+    with open(path, "w") as f:
+        json.dump({"model": model_name, **results}, f, indent=2)

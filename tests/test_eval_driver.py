@@ -1,0 +1,171 @@
+"""Closed-loop eval driver (eval/driver.py) with the REAL tiny policy and a
+fake SimplerEnv-shaped sim: multi-episode evaluation, SR aggregation, and
+the README-shaped table (VERDICT r2 #5). The real sims are optional deps;
+this pins everything up to the env boundary."""
+import numpy as np
+import pytest
+
+pytest.importorskip("torch")
+pytest.importorskip("transformers")
+pytest.importorskip("safetensors")
+
+from spatialvla_tpu.eval.driver import (
+    SUITES,
+    EvalTask,
+    evaluate,
+    format_table,
+    run_episode,
+    save_results,
+)
+from tests.test_hf_checkpoint import _build_reference_style_checkpoint
+
+
+@pytest.fixture(scope="module")
+def policy(tmp_path_factory):
+    from spatialvla_tpu.inference import SpatialVLAPolicy
+
+    d = tmp_path_factory.mktemp("ckpt")
+    _build_reference_style_checkpoint(d)
+    return SpatialVLAPolicy.from_hf_checkpoint(str(d), param_dtype=None)
+
+
+class FakeEnv:
+    """SimplerEnv-shaped gym env: succeeds iff the cumulative |dx| motion
+    crosses a per-env threshold before the step limit; exposes a partial
+    flag at half the threshold (like the WidowX 'Grasp X' columns)."""
+
+    def __init__(self, env_id, threshold, horizon=6, seed=0):
+        self.env_id = env_id
+        self.threshold = threshold
+        self.horizon = horizon
+        self.rng = np.random.RandomState(seed)
+        self.n_resets = 0
+
+    def reset(self):
+        self.n_resets += 1
+        self.t = 0
+        self.travel = 0.0
+        return {"image": self._img()}, {}
+
+    def _img(self):
+        return (self.rng.rand(64, 80, 3) * 255).astype(np.uint8)
+
+    def get_language_instruction(self):
+        return f"do the {self.env_id} task"
+
+    def step(self, action_vec):
+        assert np.asarray(action_vec).shape == (7,)
+        self.t += 1
+        self.travel += float(np.abs(action_vec[0]))
+        info = {
+            "success": self.travel >= self.threshold,
+            "moved_correct_obj": self.travel >= self.threshold / 2,
+        }
+        done = info["success"] or self.t >= self.horizon
+        return {"image": self._img()}, float(info["success"]), done, False, info
+
+
+def fake_image_getter(env, obs):
+    return obs["image"]
+
+
+def test_run_episode_shapes(policy):
+    env = FakeEnv("widowx_spoon_on_towel", threshold=0.0)
+    from spatialvla_tpu.eval import SimplerEnvPolicyAdapter
+
+    adapter = SimplerEnvPolicyAdapter(
+        policy, unnorm_key="bridge_orig/1.0.0", policy_setup="widowx_bridge"
+    )
+    ep = run_episode(env, adapter, max_steps=4, image_getter=fake_image_getter)
+    assert ep["success"] is True  # threshold 0 -> first step succeeds
+    assert ep["steps"] == 1
+    assert "moved_correct_obj" in ep["info"]
+
+
+def test_evaluate_aggregation_and_table(policy, tmp_path):
+    # thresholds chosen so tasks land at different SRs: 0 always succeeds,
+    # inf never, half-threshold exercises the partial column
+    thresholds = {
+        "widowx_spoon_on_towel": 0.0,
+        "widowx_carrot_on_plate": np.inf,
+        "widowx_stack_cube": 0.0,
+        "widowx_put_eggplant_in_basket": np.inf,
+    }
+    tasks = [
+        EvalTask(t.label, t.env_id, t.suite, t.policy_setup, t.unnorm_key,
+                 episodes=3, max_steps=4, partial_key=t.partial_key)
+        for t in SUITES["widowx"]
+    ]
+    envs = {}
+
+    def factory(task):
+        envs[task.env_id] = FakeEnv(task.env_id, thresholds[task.env_id])
+        return envs[task.env_id]
+
+    results = evaluate(policy, tasks, env_factory=factory,
+                       image_getter=fake_image_getter)
+    assert len(results["rows"]) == 4
+    by_env = {r["env_id"]: r for r in results["rows"]}
+    assert by_env["widowx_spoon_on_towel"]["success_rate"] == 1.0
+    assert by_env["widowx_carrot_on_plate"]["success_rate"] == 0.0
+    assert by_env["widowx_carrot_on_plate"]["partial_rate"] == 0.0
+    assert all(envs[e].n_resets == 3 for e in envs)
+    # suite average = mean over the 4 task rows
+    assert results["suites"]["widowx"] == pytest.approx(0.5)
+
+    table = format_table(results)
+    assert "#Overall Average" in table and "50.0%" in table
+    assert "Put Spoon on Towel (Success)" in table
+
+    out = tmp_path / "res.json"
+    save_results(str(out), results)
+    import json
+
+    loaded = json.loads(out.read_text())
+    assert loaded["suites"]["widowx"] == pytest.approx(0.5)
+
+
+def test_google_suites_merge_drawer_rows(policy):
+    """The two drawer env directions merge into ONE 'Open/Close Drawer'
+    table row (reference README's column shape), and the suite average is
+    over merged rows."""
+    tasks = [
+        EvalTask(t.label, t.env_id, t.suite, t.policy_setup,
+                 "bridge_orig/1.0.0",  # the fabricated ckpt's only stats key
+                 episodes=2, max_steps=3)
+        for t in SUITES["google_vm"]
+    ]
+    thresholds = {
+        "google_robot_pick_coke_can": 0.0,
+        "google_robot_move_near": 0.0,
+        "google_robot_open_drawer": 0.0,
+        "google_robot_close_drawer": np.inf,  # half the drawer row succeeds
+    }
+    results = evaluate(
+        policy, tasks,
+        env_factory=lambda task: FakeEnv(task.env_id, thresholds[task.env_id]),
+        image_getter=fake_image_getter,
+    )
+    assert len(results["rows"]) == 3  # drawer rows merged
+    drawer = [r for r in results["rows"] if r["label"] == "Open/Close Drawer"][0]
+    assert drawer["episodes"] == 4
+    assert drawer["success_rate"] == pytest.approx(0.5)
+    assert results["suites"]["google_vm"] == pytest.approx((1 + 1 + 0.5) / 3)
+    table = format_table(results)
+    assert "Visual Matching" in table and "#Average" in table
+
+
+def test_cli_reports_missing_sim(tmp_path):
+    """run_simpler_eval exits 2 with guidance when simpler_env is absent."""
+    import importlib.util
+    import os
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "run_simpler_eval.py",
+    )
+    spec = importlib.util.spec_from_file_location("run_simpler_eval", script)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rc = mod.main(["--checkpoint_dir", str(tmp_path)])
+    assert rc == 2
