@@ -21,6 +21,11 @@ def main():
         "transforms, no decode) — this is the GIL-bound part that caps "
         "multi-core scaling of the full pipeline",
     )
+    p.add_argument(
+        "--workers", type=int, default=0,
+        help=">0 measures the process-sharded loader (data/mploader.py) "
+        "with N worker processes instead of the in-process pipeline",
+    )
     args = p.parse_args()
 
     from spatialvla_tpu.data import (
@@ -75,15 +80,41 @@ def main():
                     yield out
 
         it = undecoded()
+        loader = None
+    elif args.workers > 0:
+        from spatialvla_tpu.data.mploader import ProcessShardedFrameLoader
+
+        loader = ProcessShardedFrameLoader(
+            dict(
+                mixture=[(args.dataset, 1.0)],
+                data_dir=root,
+                traj_config=TrajTransformConfig(forward_window_size=3),
+                frame_config=FrameTransformConfig(
+                    resize_size=(args.image_size, args.image_size),
+                    augment=not args.no_augment,
+                ),
+                shuffle_buffer_size=256,
+                statistics_override=ds.statistics,
+            ),
+            num_workers=args.workers,
+        )
+        it = loader.frames()
     else:
         it = ds.frames()
+        loader = None
     next(it)  # warm
     t0 = time.perf_counter()
     for _ in itertools.islice(it, args.n_frames):
         pass
     dt = time.perf_counter() - t0
-    tag = "stream only, no decode" if args.stream_only else "single process"
+    tag = (
+        "stream only, no decode" if args.stream_only
+        else f"{args.workers} worker processes" if args.workers > 0
+        else "single process"
+    )
     print(f"{args.n_frames / dt:.1f} frames/sec ({tag})")
+    if loader is not None:
+        loader.close()
 
 
 if __name__ == "__main__":
