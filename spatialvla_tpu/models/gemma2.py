@@ -288,6 +288,77 @@ def forward_flash(
     return rms_norm(params["final_norm"], h, cfg.rms_norm_eps)
 
 
+def forward_ring(
+    params: Params,
+    cfg: Gemma2Config,
+    inputs_embeds: Array,
+    position_ids: Array,
+    prefix_lens: Array,  # (B,) global bidirectional-prefix boundary (0 = causal)
+    valid_lens: Array,  # (B,) global right-pad boundary
+    *,
+    mesh,
+    axis_name: str = "sp",
+    batch_axes: tuple = ("data", "fsdp"),
+    use_remat: bool = False,
+) -> Array:
+    """Sequence-parallel full forward: the forward_flash layer structure with
+    attention routed through the ring-flash kernel
+    (parallel/ring_attention.py) over the ``sp`` mesh axis. Activations are
+    constrained to (batch over ``batch_axes``, seq over ``sp``) so the
+    QKV/MLP matmuls are sequence-sharded too and only the K/V ring rotations
+    communicate. The reference has no SP (SURVEY §5.7); this is the
+    documented TPU-native stretch for seq >> 2048."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.ring_attention import ring_flash_attention
+
+    B, T, H = inputs_embeds.shape
+    L = cfg.num_layers
+    assert L % 2 == 0, "paired scan expects an even number of layers"
+    b_ax = tuple(a for a in batch_axes if a in mesh.shape) or None
+    act_sharding = NamedSharding(mesh, P(b_ax, axis_name, None))
+    constrain = lambda x: jax.lax.with_sharding_constraint(x, act_sharding)
+
+    normalizer = jnp.asarray(cfg.hidden_size**0.5, dtype=inputs_embeds.dtype)
+    h = constrain(inputs_embeds * normalizer)
+    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+
+    def attn(x, lp, window):
+        Nq, Nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        q = apply_rope(qmatmul(x, lp["q"]).reshape(B, T, Nq, D), cos, sin)
+        k = apply_rope(qmatmul(x, lp["k"]).reshape(B, T, Nkv, D), cos, sin)
+        v = qmatmul(x, lp["v"]).reshape(B, T, Nkv, D)
+        out = ring_flash_attention(
+            q, k, v, prefix_lens.astype(jnp.int32), valid_lens.astype(jnp.int32),
+            mesh=mesh, axis_name=axis_name, scale=cfg.query_pre_attn_scalar**-0.5,
+            logit_softcap=cfg.attn_logit_softcap, window=window, causal=True,
+            batch_axes=batch_axes,
+        )
+        return qmatmul(out.reshape(B, T, Nq * D), lp["o"])
+
+    def layer(h, lp, window):
+        x = rms_norm(lp["input_norm"], h, cfg.rms_norm_eps)
+        h = h + rms_norm(lp["post_attn_norm"], attn(x, lp["attn"], window), cfg.rms_norm_eps)
+        mlp_out = _mlp_block(lp["mlp"], h, lp["pre_ffn_norm"], cfg.rms_norm_eps)
+        return constrain(h + rms_norm(lp["post_ffn_norm"], mlp_out, cfg.rms_norm_eps))
+
+    paired = jax.tree_util.tree_map(
+        lambda x: x.reshape((L // 2, 2) + x.shape[1:]), params["layers"]
+    )
+
+    def step(carry, lp_pair):
+        lp0 = jax.tree_util.tree_map(lambda x: x[0], lp_pair)
+        lp1 = jax.tree_util.tree_map(lambda x: x[1], lp_pair)
+        hh = layer(carry, lp0, cfg.sliding_window)
+        hh = layer(hh, lp1, None)
+        return hh, None
+
+    if use_remat:
+        step = jax.checkpoint(step, prevent_cse=False)
+    h, _ = jax.lax.scan(step, h, paired)
+    return rms_norm(params["final_norm"], h, cfg.rms_norm_eps)
+
+
 def forward(
     params: Params,
     cfg: Gemma2Config,

@@ -198,7 +198,8 @@ def forward(
     depth: Optional[Array] = None,
     use_remat: bool = False,
     compute_dtype=None,
-    attn_backend: str = "xla",  # "xla" | "flash" (Pallas fused kernel)
+    attn_backend: str = "xla",  # "xla" | "flash" | "ring" (SP over mesh)
+    mesh=None,  # required for attn_backend="ring"
     with_logits: bool = True,
 ) -> Dict[str, Array]:
     """Full forward (no cache). Returns {'logits'?, 'loss'?, 'hidden'}.
@@ -219,7 +220,7 @@ def forward(
 
     position_ids = jnp.cumsum(attention_mask, axis=1)  # 1-indexed (PaliGemma)
 
-    if attn_backend == "flash":
+    if attn_backend in ("flash", "ring"):
         valid_lens = attention_mask.sum(axis=1).astype(jnp.int32)
         if token_type_ids is not None:
             # contiguous prefix [0, P): first suffix position, or valid len
@@ -228,10 +229,19 @@ def forward(
             prefix_lens = jnp.where(has_suffix, first_suffix, valid_lens)
         else:
             prefix_lens = jnp.zeros((B,), jnp.int32)
-        hidden = gemma2_mod.forward_flash(
-            params["lm"], cfg.text, embeds, position_ids,
-            prefix_lens.astype(jnp.int32), valid_lens, use_remat=use_remat,
-        )
+        if attn_backend == "ring":
+            if mesh is None:
+                raise ValueError("attn_backend='ring' requires a mesh with an 'sp' axis")
+            hidden = gemma2_mod.forward_ring(
+                params["lm"], cfg.text, embeds, position_ids,
+                prefix_lens.astype(jnp.int32), valid_lens,
+                mesh=mesh, use_remat=use_remat,
+            )
+        else:
+            hidden = gemma2_mod.forward_flash(
+                params["lm"], cfg.text, embeds, position_ids,
+                prefix_lens.astype(jnp.int32), valid_lens, use_remat=use_remat,
+            )
     else:
         if token_type_ids is not None:
             base_mask = prefix_lm_mask(attention_mask, token_type_ids)
@@ -370,6 +380,12 @@ def generate_greedy(
         if use_fused_decode is None
         else use_fused_decode
     )
+    if use_fused and attention_mask is not None:
+        raise ValueError(
+            "use_fused_decode=True requires attention_mask=None: the fused "
+            "kernel assumes a uniform unpadded prefix (scalar cache position) "
+            "and would silently mis-decode right-padded rows"
+        )
     if use_fused:
         return _generate_greedy_fused(
             params, cfg, cache, hidden, P, max_new_tokens, token_range,

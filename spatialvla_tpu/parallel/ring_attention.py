@@ -199,12 +199,18 @@ def ring_flash_attention(
     block_q: int = 128,
     block_k: int = 128,
     interpret: Optional[bool] = None,
+    batch_axes: tuple = (),
 ) -> jnp.ndarray:
     """Sequence-parallel flash attention: q/k/v sequence dim sharded over
     ``mesh.shape[axis_name]`` devices, output sharded the same way.
     Differentiable (fused ring backward). Global positions are the
     concatenation order of the shards; ``prefix_lens``/``valid_lens`` are
-    global and replicated."""
+    global and replicated.
+
+    ``batch_axes`` optionally shards the batch dim over further mesh axes
+    (e.g. ("data", "fsdp")) so SP composes with DP/FSDP instead of
+    all-gathering the batch at the shard_map boundary; the ring ppermutes
+    only ever ride ``axis_name``."""
     n = mesh.shape[axis_name]
     assert q.shape[1] % n == 0 and k.shape[1] % n == 0, (
         f"sequence {q.shape[1]} not divisible by sp={n}"
@@ -217,9 +223,10 @@ def ring_flash_attention(
         block_q=min(block_q, q.shape[1] // n), block_k=min(block_k, k.shape[1] // n),
         interpret=interpret,
     )
-    seq = P(None, axis_name, None, None)
+    b_ax = tuple(a for a in batch_axes if a in mesh.shape) or None
+    seq = P(b_ax, axis_name, None, None)
     kw = dict(
-        mesh=mesh, in_specs=(seq, seq, seq, P(None), P(None)), out_specs=seq
+        mesh=mesh, in_specs=(seq, seq, seq, P(b_ax), P(b_ax)), out_specs=seq
     )
     try:  # replication checking off (manual collectives): arg renamed across jax versions
         fn = shard_map(lambda q, k, v, p, vl: local(q, k, v, p, vl),

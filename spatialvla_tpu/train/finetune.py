@@ -51,7 +51,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--action_forward_steps", type=int, default=3)
     p.add_argument("--shuffle_buffer_size", type=int, default=2048)
-    p.add_argument("--attn_backend", type=str, default="flash", choices=["xla", "flash"])
+    p.add_argument("--attn_backend", type=str, default="flash",
+                   choices=["xla", "flash", "ring"])
+    p.add_argument("--mesh_sp", type=int, default=1,
+                   help="sequence-parallel axis (ring attention); >1 "
+                        "auto-selects attn_backend=ring")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--loss_chunk_size", type=int, default=256)
     p.add_argument("--mesh_data", type=int, default=1)
@@ -119,7 +123,12 @@ def build_everything(args):
     processor = SpatialVLAProcessor.load(args.pretrained_dir, text_tokenizer)
     processor.action_chunk_size = args.action_forward_steps + 1
 
-    mesh = make_mesh(MeshConfig(args.mesh_data, args.mesh_fsdp, args.mesh_model))
+    mesh = make_mesh(
+        MeshConfig(args.mesh_data, args.mesh_fsdp, args.mesh_model, args.mesh_sp)
+    )
+    if args.mesh_sp > 1 and args.attn_backend != "ring":
+        print(f"mesh_sp={args.mesh_sp}: selecting attn_backend=ring")
+        args.attn_backend = "ring"
     params = spatialvla.init_params(jax.random.PRNGKey(args.seed), cfg)
     params = load_params(
         os.path.join(args.pretrained_dir), jax.tree_util.tree_map(np.asarray, params)
@@ -176,7 +185,8 @@ def build_everything(args):
             rank=args.lora_rank,
         )
         step = make_lora_train_step(
-            cfg, tx, scfg, alpha=args.lora_alpha, rank=args.lora_rank, luts=luts
+            cfg, tx, scfg, alpha=args.lora_alpha, rank=args.lora_rank, luts=luts,
+            mesh=mesh,
         )
         jstep = jax.jit(step, donate_argnums=(0,))
         step_args = (params,)
@@ -184,7 +194,7 @@ def build_everything(args):
         mask = trainable_mask(params, freeze_llm_embed=cfg.use_spatial_token)
         tx = make_optimizer(ocfg, params, mask)
         state = init_train_state(params, tx)
-        step = make_train_step(cfg, tx, scfg, luts=luts)
+        step = make_train_step(cfg, tx, scfg, luts=luts, mesh=mesh)
         jstep, state = jit_train_step(step, mesh, state)
         step_args = ()
 

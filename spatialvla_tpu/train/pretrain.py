@@ -66,7 +66,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no_vision_zoe", action="store_true")
     p.add_argument("--flash_attn", dest="attn_backend", action="store_const",
                    const="flash", default="flash")
-    p.add_argument("--attn_backend", type=str, choices=["xla", "flash"])
+    p.add_argument("--attn_backend", type=str, choices=["xla", "flash", "ring"])
     # optimization
     p.add_argument("--per_device_batch_size", type=int, default=2)
     p.add_argument("--grad_accum", type=int, default=1)
@@ -81,6 +81,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_fsdp", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--mesh_sp", type=int, default=1,
+                   help="sequence-parallel axis (ring attention); >1 "
+                        "auto-selects attn_backend=ring")
+    p.add_argument("--loader_workers", type=int, default=1,
+                   help=">1 runs the input pipeline in N shard-disjoint "
+                        "worker processes (data/mploader.py)")
     # io
     p.add_argument("--output_dir", type=str, required=True)
     p.add_argument("--save_steps", type=int, default=20_000)
@@ -137,7 +143,13 @@ def build_everything(args):
         cfg = dataclasses.replace(cfg, use_vision_zoe=False, zoe=None)
 
     # mesh + params
-    mesh = make_mesh(MeshConfig(args.mesh_data, args.mesh_fsdp, args.mesh_model))
+    mesh = make_mesh(
+        MeshConfig(args.mesh_data, args.mesh_fsdp, args.mesh_model, args.mesh_sp)
+    )
+    if args.mesh_sp > 1 and (args.attn_backend or "flash") != "ring":
+        print(f"mesh_sp={args.mesh_sp}: selecting attn_backend=ring "
+              "(sequence-parallel ring flash attention)")
+        args.attn_backend = "ring"
     params = spatialvla.init_params(jax.random.PRNGKey(args.seed), cfg)
     if args.init_checkpoint:
         params = load_params(args.init_checkpoint, jax.tree_util.tree_map(np.asarray, params))
@@ -241,6 +253,7 @@ def build_everything(args):
             loss_chunk_size=args.loss_chunk_size,
         ),
         luts=luts,
+        mesh=mesh,
     )
     from jax.sharding import PartitionSpec as P
 
@@ -263,7 +276,30 @@ def build_everything(args):
     )
 
     def batches():
-        frames = ds.frames()
+        if args.loader_workers > 1:
+            # process-sharded loading: each worker owns a disjoint shard
+            # subset; the parent-computed statistics ride along so workers
+            # reuse them instead of racing the statistics pass
+            from ..data.mploader import ProcessShardedFrameLoader
+
+            loader = ProcessShardedFrameLoader(
+                dict(
+                    mixture=args.mixture,
+                    data_dir=args.data_root_dir,
+                    traj_config=ds.traj_config,
+                    frame_config=ds.frame_config,
+                    shuffle_buffer_size=args.shuffle_buffer_size,
+                    seed=args.seed + 3407 * jax.process_index(),
+                    shard_by_rank=(jax.process_index(), jax.process_count()),
+                    statistics_override=ds.statistics,
+                    load_camera_views=tuple(args.camera_views.split(",")),
+                    load_depth=args.load_depth,
+                ),
+                num_workers=args.loader_workers,
+            )
+            frames = loader.frames()
+        else:
+            frames = ds.frames()
         for batch in batcher.batches(frames):
             batch.pop("actions", None)
             if args.grad_accum > 1:

@@ -28,13 +28,18 @@ class TrainStepConfig:
     use_remat: bool = True
     compute_dtype: Any = jnp.bfloat16
     micro_steps: int = 1  # gradient accumulation
-    attn_backend: str = "xla"  # "xla" | "flash" (Pallas fused attention)
+    # "xla" | "flash" (Pallas fused attention) | "ring" (sequence-parallel
+    # ring flash attention over the mesh's sp axis; pass mesh=)
+    attn_backend: str = "xla"
     # sequence-chunked CE: caps logits memory at B x chunk x vocab (needed
     # for the 265k vocab at long seq); 0 = full-sequence logits
     loss_chunk_size: int = 0
 
 
-def make_loss_fn(cfg: SpatialVLAConfig, step_cfg: TrainStepConfig, luts=None):
+def make_loss_fn(cfg: SpatialVLAConfig, step_cfg: TrainStepConfig, luts=None, mesh=None):
+    if step_cfg.attn_backend == "ring" and mesh is None:
+        raise ValueError("attn_backend='ring' requires make_*_train_step(mesh=...)")
+
     def loss_fn(params: Params, batch: Dict[str, jnp.ndarray]):
         attn = batch.get("attention_mask", jnp.ones_like(batch["input_ids"]))
         chunked = step_cfg.loss_chunk_size > 0
@@ -51,6 +56,7 @@ def make_loss_fn(cfg: SpatialVLAConfig, step_cfg: TrainStepConfig, luts=None):
             use_remat=step_cfg.use_remat,
             compute_dtype=step_cfg.compute_dtype,
             attn_backend=step_cfg.attn_backend,
+            mesh=mesh,
             with_logits=not chunked,
         )
         if chunked:
@@ -80,12 +86,14 @@ def make_train_step(
     tx: optax.GradientTransformation,
     step_cfg: TrainStepConfig = TrainStepConfig(),
     luts=None,
+    mesh=None,
 ) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics).
 
     state = {'params', 'opt_state', 'step'}; batch leaves are (B, ...) or
-    (M, B, ...) when step_cfg.micro_steps > 1 (scanned accumulation)."""
-    loss_fn = make_loss_fn(cfg, step_cfg, luts=luts)
+    (M, B, ...) when step_cfg.micro_steps > 1 (scanned accumulation).
+    mesh is required for attn_backend='ring' (sequence parallelism)."""
+    loss_fn = make_loss_fn(cfg, step_cfg, luts=luts, mesh=mesh)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def compute_grads(params, batch):
@@ -131,6 +139,7 @@ def make_lora_train_step(
     alpha: float = 32.0,
     rank: int = 32,
     luts=None,
+    mesh=None,
 ) -> Callable:
     """LoRA step: state holds only {'lora': factors, 'saved': full tensors}
     + opt state; frozen base params are a separate argument (no optimizer
@@ -139,7 +148,7 @@ def make_lora_train_step(
     train_step(state, base_params, batch) -> (state, metrics)."""
     from .lora import insert_saved, lora_apply_tree
 
-    loss_inner = make_loss_fn(cfg, step_cfg, luts=luts)
+    loss_inner = make_loss_fn(cfg, step_cfg, luts=luts, mesh=mesh)
 
     def loss_fn(trainable, base_params, batch):
         params = insert_saved(base_params, trainable["saved"])

@@ -254,3 +254,18 @@ def test_restricted_decode_stays_in_action_block(params):
     begin = CFG.action_token_begin_idx
     expected = begin + np.argmax(logits[begin : begin + CFG.spatial_token_num])
     assert gen[0, 0] == expected
+
+
+def test_forced_fused_decode_rejects_padded_batch():
+    """use_fused_decode=True with a right-padded attention_mask must fail
+    loudly (the fused kernel assumes a uniform unpadded prefix, ADVICE r2)."""
+    B, P = 2, CFG.num_image_tokens + 4
+    ids = np.full((B, P), CFG.image_token_index, np.int32)
+    am = np.ones((B, P), np.int32)
+    am[1, -2:] = 0
+    with pytest.raises(ValueError, match="attention_mask"):
+        spatialvla.generate_greedy(
+            spatialvla.init_params(jax.random.PRNGKey(0), CFG), CFG,
+            jnp.asarray(ids), attention_mask=jnp.asarray(am),
+            max_new_tokens=3, use_fused_decode=True,
+        )
