@@ -373,4 +373,27 @@ def export_hf_checkpoint(
         inner = getattr(tok, "tok", None)  # HFTokenizerAdapter wraps .tok
         if inner is not None and hasattr(inner, "save_pretrained"):
             inner.save_pretrained(out_dir)
+        # reference-schema image-processor config (SiglipImageProcessor with
+        # do_normalize=False — raw pixels are re-used by ZoeDepth,
+        # spatialvla_pretrain.py:366): lets the reference's
+        # AutoProcessor.from_pretrained(dir, trust_remote_code=True)
+        # (test/test_huggingface.py:15) rebuild the image processor once the
+        # reference's processing_*.py files are copied into the directory
+        # (the auto_map caveat in this module's docstring applies to the
+        # processor exactly as to the model)
+        size = int(getattr(processor, "image_size", cfg.vision.image_size))
+        with open(os.path.join(out_dir, "preprocessor_config.json"), "w") as f:
+            json.dump({
+                "image_processor_type": "SiglipImageProcessor",
+                "processor_class": "SpatialVLAProcessor",
+                "do_resize": True,
+                "size": {"height": size, "width": size},
+                "resample": 3,
+                "do_rescale": True,
+                "rescale_factor": 1.0 / 255.0,
+                "do_normalize": False,
+                "image_mean": [0.5, 0.5, 0.5],
+                "image_std": [0.5, 0.5, 0.5],
+                "image_seq_length": int(processor.image_seq_length),
+            }, f, indent=2)
     return out_dir

@@ -47,7 +47,26 @@ class CheckpointManager:
                 json.dump(sidecar, f, indent=2)
             with open(os.path.join(self.directory, "artifacts.json"), "w") as f:
                 json.dump(sidecar, f, indent=2)
+        if saved and jax.process_index() == 0:
+            self._prune_sidecars(keep_extra={step})
         return saved
+
+    def _prune_sidecars(self, keep_extra=()):
+        """Delete artifacts-<step>.json for steps the manager's retention
+        policy (max_to_keep) already pruned, so sidecars never accumulate
+        without bound or pair with a deleted checkpoint."""
+        kept = set(self._mgr.all_steps() or []) | set(keep_extra)
+        for name in os.listdir(self.directory):
+            if name.startswith("artifacts-") and name.endswith(".json"):
+                try:
+                    step = int(name[len("artifacts-"):-len(".json")])
+                except ValueError:
+                    continue
+                if step not in kept:
+                    try:
+                        os.remove(os.path.join(self.directory, name))
+                    except OSError:
+                        pass
 
     def _sidecar_path(self, step: int) -> str:
         return os.path.join(self.directory, f"artifacts-{step}.json")

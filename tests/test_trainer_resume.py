@@ -61,3 +61,24 @@ def test_train_loop_resume(tmp_path):
     assert max(jax.tree_util.tree_leaves(d)) > 0
     mgr.close()
     mgr2.close()
+
+
+def test_sidecar_pruned_with_retention(tmp_path):
+    """artifacts-<step>.json sidecars follow the manager's max_to_keep:
+    sidecars for pruned checkpoints are deleted (ADVICE r2)."""
+    import os
+
+    state = {"x": jnp.zeros((2,)), "step": jnp.int32(0)}
+    mgr = CheckpointManager(str(tmp_path / "ck"), save_interval_steps=1, max_to_keep=2)
+    for s in range(1, 5):
+        st = {"x": jnp.full((2,), float(s)), "step": jnp.int32(s)}
+        mgr.save(s, st, sidecar={"step": s})
+        mgr.wait()
+    kept = sorted(mgr._mgr.all_steps())
+    assert kept == [3, 4]
+    sidecars = sorted(
+        f for f in os.listdir(str(tmp_path / "ck")) if f.startswith("artifacts-")
+    )
+    assert sidecars == ["artifacts-3.json", "artifacts-4.json"]
+    assert mgr.load_sidecar(4) == {"step": 4}
+    mgr.close()
