@@ -1,6 +1,6 @@
 """End-of-round benchmark: flagship spatialvla-4b-224 greedy action
 inference on one TPU chip (full model: SigLIP + ZoeDepth + Ego3D + Gemma2,
-int8 weight-only LM serving — ops/quant.py).
+int8 weight-only LM + int8 vision-front serving — ops/quant.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -26,22 +26,29 @@ ACTION_CHUNK = 4  # actions per generate call (3 tokens each)
 # SPATIALVLA_BENCH_BITS=4 switches the LM to packed-int4 weight streaming
 # (ops/quant.py) — quality-gated, NOT the default headline configuration
 QUANT_BITS = int(os.environ.get("SPATIALVLA_BENCH_BITS", "8"))
+# SPATIALVLA_BENCH_DEPTH_RES=256 runs the ZoeDepth stack at a reduced
+# internal resolution (opt-in quality trade, zoe.predict_depth); 0 = native
+DEPTH_RES = int(os.environ.get("SPATIALVLA_BENCH_DEPTH_RES", "0")) or None
 
 
 def main():
     from __graft_entry__ import _example_batch, _flagship_cfg
     from spatialvla_tpu.models import spatialvla
-    from spatialvla_tpu.ops.quant import quantize_lm_params
+    from spatialvla_tpu.ops.quant import quantize_lm_params, quantize_vision_params
 
     from spatialvla_tpu.models.zoe import precompute_rel_bias
 
     cfg = _flagship_cfg()
     params = spatialvla.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    # int8 weight-only LM (decode is HBM-bandwidth bound) + precomputed
-    # ZoeDepth relative-position bias (gather-free backbone)
+    # int8 weight-only LM (decode is HBM-bandwidth bound) + int8 vision
+    # front (SigLIP + zoe BEiT backbone + projector; the B=1 front is
+    # bandwidth-bound too) + precomputed ZoeDepth relative-position bias
+    # (gather-free backbone)
     qlm = jax.jit(functools.partial(quantize_lm_params, bits=QUANT_BITS))(params["lm"])
     jax.block_until_ready(qlm)
-    qzoe = jax.jit(lambda zp: precompute_rel_bias(zp, cfg.zoe))(params["zoe"])
+    qzoe = jax.jit(
+        lambda zp: precompute_rel_bias(zp, cfg.zoe, image_size=DEPTH_RES)
+    )(params["zoe"])
     jax.block_until_ready(qzoe)
     # sync before dropping the bf16 source tree: without it the enqueued
     # predict transients allocate while the 5.3 GB bf16 LM is still live
@@ -50,6 +57,16 @@ def main():
     params["lm"] = qlm
     params["zoe"] = qzoe
     del qlm, qzoe
+    gc.collect()
+    qfront = jax.jit(
+        lambda p: quantize_vision_params(
+            {"vision": p["vision"], "zoe": p["zoe"], "projector": p["projector"]},
+            bits=8,
+        )
+    )(params)
+    jax.block_until_ready(qfront)
+    params.update(qfront)
+    del qfront
     gc.collect()
 
     batch = _example_batch(cfg, B=1, n_text=10, n_action=0)
@@ -61,6 +78,7 @@ def main():
             params, cfg, input_ids,
             pixel_values=pixel_values, intrinsic=intrinsic,
             action_chunk_size=ACTION_CHUNK, compute_dtype=jnp.bfloat16,
+            depth_image_size=DEPTH_RES,
         )
 
     args = (params, batch["input_ids"], batch["pixel_values"], batch["intrinsic"])
@@ -109,8 +127,9 @@ def main():
     dt = (time.perf_counter() - t0) / n_iters
 
     actions_per_sec = ACTION_CHUNK / dt
+    depth_tag = ", depth@%d" % DEPTH_RES if DEPTH_RES else ""
     print(json.dumps({
-        "metric": "spatialvla-4b-224 greedy inference, full model incl. depth (chunk=4, prefix=%d, int%d LM)" % (prefix_len, QUANT_BITS),
+        "metric": "spatialvla-4b-224 greedy inference, full model incl. depth (chunk=4, prefix=%d, int%d LM, int8 front%s)" % (prefix_len, QUANT_BITS, depth_tag),
         "value": round(actions_per_sec, 2),
         "unit": "actions/sec/chip",
         "vs_baseline": round(actions_per_sec / A100_BASELINE_ACTIONS_PER_SEC, 3),

@@ -40,6 +40,7 @@ class SpatialVLAPolicy:
         self.config = config
         self.processor = processor
         self.compute_dtype = compute_dtype
+        self.depth_image_size: Optional[int] = None  # set by quantize()
         self._predict_cache: Dict = {}
 
     # ------------------------------------------------------------------
@@ -86,35 +87,53 @@ class SpatialVLAPolicy:
         return cls(params, config, processor)
 
     # ------------------------------------------------------------------
-    def quantize(self, bits: int = 8) -> "SpatialVLAPolicy":
+    def quantize(
+        self,
+        bits: int = 8,
+        *,
+        vision_bits: Optional[int] = 8,
+        depth_image_size: Optional[int] = None,
+    ) -> "SpatialVLAPolicy":
         """Switch to the serving-optimized parameterization: int8 (or, with
         bits=4, packed-int4 — quality-gate it first) weight-only LM (halves /
-        quarters decode HBM traffic; on-chip dequant — ops/quant.py) and a
+        quarters decode HBM traffic; on-chip dequant — ops/quant.py), int8
+        vision front (SigLIP encoder + zoe BEiT backbone + projector —
+        quantize_vision_params; vision_bits=None keeps it bf16), and a
         precomputed ZoeDepth relative-position bias (drops the per-forward
-        5M-row gather). In-place; returns self."""
+        5M-row gather). depth_image_size runs the zoe stack at a reduced
+        internal resolution (opt-in quality trade, zoe.predict_depth).
+        In-place; returns self."""
         import functools
 
-        from .ops.quant import quantize_lm_params
+        from .ops.quant import quantize_lm_params, quantize_vision_params
 
         params = dict(self.params)
         params["lm"] = jax.jit(
             functools.partial(quantize_lm_params, bits=bits)
         )(self.params["lm"])
+        if vision_bits:
+            params = jax.jit(
+                functools.partial(quantize_vision_params, bits=vision_bits)
+            )(params)
         if "zoe" in params and "rel_pos_table" in params["zoe"]["backbone"]["layers"]:
             from .models.zoe import precompute_rel_bias
 
             params["zoe"] = jax.jit(
-                lambda zp: precompute_rel_bias(zp, self.config.zoe)
+                lambda zp: precompute_rel_bias(
+                    zp, self.config.zoe, image_size=depth_image_size
+                )
             )(params["zoe"])
+        self.depth_image_size = depth_image_size
         self.params = params
         self._predict_cache.clear()
         return self
 
     # ------------------------------------------------------------------
     def _jitted_predict(self, prefix_len: int, chunk: int, padded: bool = False):
-        key = (prefix_len, chunk, padded)
+        key = (prefix_len, chunk, padded, self.depth_image_size)
         if key not in self._predict_cache:
             cfg = self.config
+            dres = self.depth_image_size
 
             if padded:  # mixed-length batch: pad-aware masks/positions
                 @jax.jit
@@ -124,6 +143,7 @@ class SpatialVLAPolicy:
                         pixel_values=pixel_values, intrinsic=intrinsic,
                         attention_mask=attn,
                         action_chunk_size=chunk, compute_dtype=self.compute_dtype,
+                        depth_image_size=dres,
                     )
             else:
                 @jax.jit
@@ -132,6 +152,7 @@ class SpatialVLAPolicy:
                         params, cfg, input_ids,
                         pixel_values=pixel_values, intrinsic=intrinsic,
                         action_chunk_size=chunk, compute_dtype=self.compute_dtype,
+                        depth_image_size=dres,
                     )
 
             self._predict_cache[key] = fn

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SiglipVisionConfig
+from ..ops.quant import qmatmul
 from .attention import multi_head_attention
 from .layers import gelu_tanh, layer_norm, layer_norm_init, normal_init
 
@@ -82,26 +83,28 @@ def _patchify(params: Params, cfg: SiglipVisionConfig, pixel_values: Array) -> A
     return x @ w + params["patch_embed"]["b"].astype(x.dtype)
 
 
+def _linear(x: Array, p: Params) -> Array:
+    """x @ w + b where w may be a plain array or an int8/int4 QuantW dict
+    (ops/quant.py) — the serving path quantizes the encoder matmuls."""
+    y = qmatmul(x, p["w"])
+    return y + p["b"].astype(y.dtype)
+
+
 def _encoder_layer(cfg: SiglipVisionConfig, h: Array, lp: Params) -> Array:
     B, N, H = h.shape
     nh, hd = cfg.num_heads, cfg.head_dim
 
     x = layer_norm(lp["ln1"], h, cfg.layer_norm_eps)
-    q = (x @ lp["attn"]["q"]["w"].astype(x.dtype) + lp["attn"]["q"]["b"].astype(x.dtype))
-    k = (x @ lp["attn"]["k"]["w"].astype(x.dtype) + lp["attn"]["k"]["b"].astype(x.dtype))
-    v = (x @ lp["attn"]["v"]["w"].astype(x.dtype) + lp["attn"]["v"]["b"].astype(x.dtype))
-    q = q.reshape(B, N, nh, hd)
-    k = k.reshape(B, N, nh, hd)
-    v = v.reshape(B, N, nh, hd)
+    q = _linear(x, lp["attn"]["q"]).reshape(B, N, nh, hd)
+    k = _linear(x, lp["attn"]["k"]).reshape(B, N, nh, hd)
+    v = _linear(x, lp["attn"]["v"]).reshape(B, N, nh, hd)
     attn = multi_head_attention(q, k, v, None, scale=hd**-0.5)
     attn = attn.reshape(B, N, H)
-    attn = attn @ lp["attn"]["o"]["w"].astype(x.dtype) + lp["attn"]["o"]["b"].astype(x.dtype)
-    h = h + attn
+    h = h + _linear(attn, lp["attn"]["o"])
 
     x2 = layer_norm(lp["ln2"], h, cfg.layer_norm_eps)
-    y = gelu_tanh(x2 @ lp["mlp"]["fc1"]["w"].astype(x.dtype) + lp["mlp"]["fc1"]["b"].astype(x.dtype))
-    y = y @ lp["mlp"]["fc2"]["w"].astype(x.dtype) + lp["mlp"]["fc2"]["b"].astype(x.dtype)
-    return h + y
+    y = gelu_tanh(_linear(x2, lp["mlp"]["fc1"]))
+    return h + _linear(y, lp["mlp"]["fc2"])
 
 
 def forward(

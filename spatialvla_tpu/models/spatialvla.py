@@ -103,11 +103,15 @@ def get_image_features(
     depth: Optional[Array] = None,  # (B, H, W) metric depth, overrides Zoe
     use_remat: bool = False,
     compute_dtype=None,
+    depth_image_size: Optional[int] = None,  # reduced-res zoe (serving)
 ) -> Array:
     """Returns (B, k*num_patches, lm_hidden) projected image features.
     pixel_values may be (B, H, W, 3) or (B, k, H, W, 3) for k observation
     steps (the reference concatenates multi-obs pixel_values through the
-    collator, monkey_patch.py:21-75)."""
+    collator, monkey_patch.py:21-75).
+
+    depth_image_size: run the internal ZoeDepth stack below its native
+    resolution (opt-in serving mode, see zoe.predict_depth)."""
     if compute_dtype is not None:
         pixel_values = pixel_values.astype(compute_dtype)
     multi_obs = pixel_values.ndim == 5
@@ -130,6 +134,7 @@ def get_image_features(
             depth = zoe_mod.predict_depth(
                 params["zoe"], cfg.zoe, pixel_values,
                 target_hw=pixel_values.shape[1:3],
+                image_size=depth_image_size,
             )
         depth = jax.lax.stop_gradient(depth)  # frozen depth branch (:315)
         xyz = ego3d_mod.backproject_patch(
@@ -143,7 +148,9 @@ def get_image_features(
         feats = feats + pos3d
 
     proj = params["projector"]
-    feats = feats @ proj["w"].astype(feats.dtype) + proj["b"].astype(feats.dtype)
+    from ..ops.quant import qmatmul
+
+    feats = qmatmul(feats, proj["w"]) + proj["b"].astype(feats.dtype)
     feats = feats / (cfg.text.hidden_size**0.5)
     if multi_obs:
         feats = feats.reshape(B, -1, feats.shape[-1])
@@ -311,6 +318,7 @@ def generate_greedy(
     compute_dtype=None,
     token_range: Optional[Tuple[int, int]] = None,
     use_fused_decode: Optional[bool] = None,  # None = auto-detect
+    depth_image_size: Optional[int] = None,  # reduced-res zoe (serving)
 ) -> Array:
     """Returns (B, max_new_tokens) generated token ids.
 
@@ -336,7 +344,7 @@ def generate_greedy(
     if pixel_values is not None:
         image_features = get_image_features(
             params, cfg, pixel_values, intrinsic, depth=depth,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, depth_image_size=depth_image_size,
         )
     embeds = merge_input_embeddings(params, cfg, input_ids, image_features, dtype=compute_dtype)
 
@@ -527,6 +535,7 @@ def predict_action(
     compute_dtype=jnp.bfloat16,
     restrict_to_action_tokens: bool = True,
     use_fused_decode: Optional[bool] = None,  # None = auto (generate_greedy)
+    depth_image_size: Optional[int] = None,  # reduced-res zoe (serving)
 ) -> Array:
     """Greedy-decode exactly 3 * chunk spatial action token ids
     (3 tokens per action step: translation, rotation, gripper).
@@ -545,4 +554,5 @@ def predict_action(
         attention_mask=attention_mask,
         max_new_tokens=3 * action_chunk_size, compute_dtype=compute_dtype,
         token_range=token_range, use_fused_decode=use_fused_decode,
+        depth_image_size=depth_image_size,
     )

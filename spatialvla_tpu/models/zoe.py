@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ZoeDepthConfig
+from ..ops.quant import qmatmul
 from .layers import layer_norm, layer_norm_init, normal_init
 from .resize import reflect_pad2d, resize2d
 
@@ -65,7 +66,9 @@ def conv_transpose_block(p, x: Array, factor: int) -> Array:
 
 
 def linear(p, x: Array) -> Array:
-    y = x @ p["w"].astype(x.dtype)
+    # w may be int8/int4-quantized for serving (ops/quant.py
+    # quantize_vision_params); qmatmul passes plain arrays through as x @ w
+    y = qmatmul(x, p["w"])
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
@@ -137,16 +140,46 @@ def init_backbone(key, cfg: ZoeDepthConfig, dtype=jnp.float32) -> Params:
     }
 
 
-def precompute_rel_bias(zoe_params: Params, cfg: ZoeDepthConfig, dtype=jnp.bfloat16) -> Params:
+def _rel_table_for_window(table: Array, window_src: int, window_dst: int) -> Array:
+    """(num_rel_src, nh) bias table -> (num_rel_dst, nh) for a different
+    patch-grid window: bicubic-resize the (2w-1, 2w-1) relative-offset grid
+    (HF BeitSelfAttention.interpolate_pos_encoding semantics); the 3 tail
+    rows (cls->token / token->cls / cls->cls) pass through unchanged."""
+    if window_dst == window_src:
+        return table
+    side_s, side_d = 2 * window_src - 1, 2 * window_dst - 1
+    grid = table[: side_s * side_s].reshape(side_s, side_s, -1)
+    grid = resize2d(
+        grid[None].astype(jnp.float32), (side_d, side_d),
+        method="bicubic", align_corners=True,
+    )[0].astype(table.dtype)
+    return jnp.concatenate(
+        [grid.reshape(side_d * side_d, -1), table[side_s * side_s:]], axis=0
+    )
+
+
+def precompute_rel_bias(
+    zoe_params: Params, cfg: ZoeDepthConfig, dtype=jnp.bfloat16,
+    image_size: Optional[int] = None,
+) -> Params:
     """Serving-time transform: materialize the (static) relative-position
     bias (L, nh, N+1, N+1) once, replacing the per-forward 5M-row gather
     from the (num_rel, nh) table — the gather's tiny-row DMA dominates the
     backbone otherwise. Costs ~(L * nh * 578^2) of HBM (bf16 ~256 MB for
-    beit-large/384)."""
-    window = cfg.image_size // cfg.patch_size
+    beit-large/384).
+
+    image_size: build the bias for a REDUCED internal zoe resolution (the
+    opt-in fast-depth serving mode; predict_depth(image_size=...) must
+    match). The bias grid is bicubically interpolated to the smaller
+    window (_rel_table_for_window)."""
+    window = (image_size or cfg.image_size) // cfg.patch_size
+    window_src = cfg.image_size // cfg.patch_size
     rel_idx = jnp.asarray(beit_relative_position_index(window))
     layers = dict(zoe_params["backbone"]["layers"])
     table = layers.pop("rel_pos_table")  # (L, num_rel, nh)
+    table = jax.vmap(
+        lambda t: _rel_table_for_window(t, window_src, window)
+    )(table)
     bias = table[:, rel_idx]  # (L, N+1, N+1, nh)
     layers["rel_pos_bias"] = jnp.transpose(bias, (0, 3, 1, 2)).astype(dtype)
     backbone = dict(zoe_params["backbone"])
@@ -167,7 +200,11 @@ def backbone_forward(
     C = cfg.hidden_size
     nh = cfg.num_heads
     hd = C // nh
-    window = cfg.image_size // cfg.patch_size
+    # patch-grid window from the ACTUAL input (reduced-resolution serving
+    # mode runs the backbone below cfg.image_size); the bias table is
+    # interpolated when the windows differ
+    window = pixel_values.shape[1] // cfg.patch_size
+    window_src = cfg.image_size // cfg.patch_size
 
     x = conv2d(params["patch_embed"], pixel_values, stride=cfg.patch_size)
     x = x.reshape(B, -1, C)
@@ -179,14 +216,17 @@ def backbone_forward(
     def layer(h, lp):
         x = layer_norm(lp["ln1"], h, cfg.layer_norm_eps)
         q = linear(lp["q"], x).reshape(B, -1, nh, hd)
-        k = (x @ lp["k"]["w"].astype(x.dtype)).reshape(B, -1, nh, hd)
+        k = linear(lp["k"], x).reshape(B, -1, nh, hd)  # no bias
         v = linear(lp["v"], x).reshape(B, -1, nh, hd)
         logits = jnp.einsum("bqnd,bknd->bnqk", q, k,
                             preferred_element_type=jnp.float32) * (hd**-0.5)
         if "rel_pos_bias" in lp:  # precomputed (nh, N+1, N+1)
             logits = logits + lp["rel_pos_bias"].astype(jnp.float32)[None]
         else:
-            bias = lp["rel_pos_table"].astype(jnp.float32)[rel_idx]  # (N+1, N+1, nh)
+            table = _rel_table_for_window(
+                lp["rel_pos_table"], window_src, window
+            )
+            bias = table.astype(jnp.float32)[rel_idx]  # (N+1, N+1, nh)
             logits = logits + bias.transpose(2, 0, 1)[None]
         probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         attn = jnp.einsum("bnqk,bknd->bqnd", probs, v).reshape(B, -1, C)
@@ -607,13 +647,18 @@ def forward(
     }
 
 
-def preprocess(pixel_values: Array, cfg: ZoeDepthConfig, pad: int = 31) -> Tuple[Array, int]:
+def preprocess(
+    pixel_values: Array, cfg: ZoeDepthConfig, pad: int = 31,
+    image_size: Optional[int] = None,
+) -> Tuple[Array, int]:
     """Raw [0,1] NHWC pixels -> Zoe input: reflect-pad 31px, bicubic resize
     to (image_size, image_size) with align_corners=True, then mean/std 0.5
     normalize — matching process_zoe (modeling_spatialvla.py:99-110, which
-    normalizes *after* pad+resize)."""
+    normalizes *after* pad+resize). image_size overrides cfg.image_size
+    (reduced-resolution serving mode)."""
+    size = image_size or cfg.image_size
     x = reflect_pad2d(pixel_values, pad, pad)
-    x = resize2d(x, (cfg.image_size, cfg.image_size), method="bicubic", align_corners=True)
+    x = resize2d(x, (size, size), method="bicubic", align_corners=True)
     x = (x - ZOE_MEAN) / ZOE_STD
     return x, pad
 
@@ -621,11 +666,18 @@ def preprocess(pixel_values: Array, cfg: ZoeDepthConfig, pad: int = 31) -> Tuple
 def predict_depth(
     params: Params, cfg: ZoeDepthConfig, pixel_values: Array,
     *, target_hw: Tuple[int, int], domain: Optional[str] = None,
+    image_size: Optional[int] = None,
 ) -> Array:
     """Full reference depth path (modeling_spatialvla.py:313-323): pad ->
     resize -> zoe -> bicubic upsample to padded resolution -> center crop
-    back to target_hw. Returns (B, H, W) metric depth."""
-    x, pad = preprocess(pixel_values, cfg)
+    back to target_hw. Returns (B, H, W) metric depth.
+
+    image_size: run the zoe stack at a reduced internal resolution (e.g.
+    256 instead of 384 — ~2.2x fewer backbone tokens). An opt-in serving
+    trade: depth quality degrades gracefully (quality-gate like int4,
+    scripts/eval_quant.py); a precomputed rel bias must be built for the
+    same size (precompute_rel_bias(image_size=...))."""
+    x, pad = preprocess(pixel_values, cfg, image_size=image_size)
     out = forward(params, cfg, x, domain=domain)
     depth = out["predicted_depth"]  # (B, h, w)
     H, W = target_hw

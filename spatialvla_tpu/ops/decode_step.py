@@ -68,12 +68,21 @@ def _rope(x, cos, sin):
 
 def _matvec_block(x_bf16, w_ref, s_ref):
     """(M, K) bf16 @ int8 block (bn, K) or packed-int4 uint8 block
-    (bn, K//2) -> (M, bn) f32 * scale.
+    (bn, K//2) -> (M, bn) f32, scale applied.
+
+    s_ref block: (1, 1, bn) per-channel, or (1, bn, G) for group-wise int4
+    scales (ops/quant.py:quantize_int4 group_size).
 
     int4 nibbles are offset-binary (code + 8; column j packed with column
-    j + K/2): unpack is widen + mask/shift + bf16 convert only, and the
-    +8 bias factors out of the dot as 8 * sum(x) (ops/quant.py:_q_dot)."""
+    j + K/2): unpack is widen + mask/shift + bf16 convert only. Per-channel
+    the +8 bias factors out of the dot as 8 * sum(x); group-wise the scales
+    fold into the nibble blocks (VPU repeat + multiply — codes are <= 4 bits
+    so the bf16 product rounding is ~0.2%, far under the int4 noise) and
+    the bias becomes an (M, G) x (G, bn) matmul of group sums against
+    scales (ops/quant.py:_q_dot_scaled)."""
     w = w_ref[0]
+    grouped = s_ref.shape[1] != 1  # (1, bn, G) vs (1, 1, bn)
+    dims = (((1,), (1,)), ((), ()))
     if w.dtype == jnp.uint8:
         # two half-K dots instead of unpack-then-concat: saves the lane
         # concat copy over the (bn, K) block
@@ -81,7 +90,27 @@ def _matvec_block(x_bf16, w_ref, s_ref):
         w32 = w.astype(jnp.int32)
         lo = (w32 & 15).astype(jnp.bfloat16)
         hi = (w32 >> 4).astype(jnp.bfloat16)
-        dims = (((1,), (1,)), ((), ()))
+        if grouped:
+            s = s_ref[0]  # (bn, G) — columns [0, Kh) map to groups [0, G/2)
+            G = s.shape[-1]
+            g = (2 * Kh) // G
+            s16 = s.astype(jnp.bfloat16)
+            slo = jnp.repeat(s16[:, : G // 2], g, axis=-1)  # (bn, Kh)
+            shi = jnp.repeat(s16[:, G // 2 :], g, axis=-1)
+            acc = jax.lax.dot_general(
+                x_bf16[:, :Kh], lo * slo, dims, preferred_element_type=jnp.float32
+            ) + jax.lax.dot_general(
+                x_bf16[:, Kh:], hi * shi, dims, preferred_element_type=jnp.float32
+            )
+            xsum = jnp.sum(
+                x_bf16.astype(jnp.float32).reshape(x_bf16.shape[0], G, g),
+                axis=-1,
+            )  # (M, G)
+            bias = 8.0 * jax.lax.dot_general(
+                xsum, s.astype(jnp.float32), dims,
+                preferred_element_type=jnp.float32,
+            )
+            return acc - bias
         acc = jax.lax.dot_general(
             x_bf16[:, :Kh], lo, dims, preferred_element_type=jnp.float32
         ) + jax.lax.dot_general(
@@ -92,7 +121,7 @@ def _matvec_block(x_bf16, w_ref, s_ref):
         )
     else:
         acc = jax.lax.dot_general(
-            x_bf16, w.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            x_bf16, w.astype(jnp.bfloat16), dims,
             preferred_element_type=jnp.float32,
         )
     return acc * s_ref[0, 0].astype(jnp.float32)[None, :]
@@ -334,11 +363,20 @@ def fused_decode_step(
             ),
         )
 
-    def sspec(n_blocks, start, bn):
+    def sspec(n_blocks, start, bn, scale):
+        if scale.ndim == 3:  # grouped (L, N, G): rows follow the weight block
+            G = scale.shape[-1]
+            return pl.BlockSpec(
+                (1, bn, G),
+                lambda l, t, s=start, nb=n_blocks: (l, jnp.clip(t - s, 0, nb - 1), 0),
+            )
         return pl.BlockSpec(
             (1, 1, bn),
             lambda l, t, s=start, nb=n_blocks: (l, 0, jnp.clip(t - s, 0, nb - 1)),
         )
+
+    def sop(scale):
+        return f32(scale) if scale.ndim == 3 else f32(scale)[:, None]
 
     out = pl.pallas_call(
         kernel,
@@ -349,10 +387,10 @@ def fused_decode_step(
             const(1, D), const(1, D),  # cos, sin
             perlayer(H), perlayer(H), perlayer(H), perlayer(H),  # layer norms
             const(1, H),  # final norm
-            wspec(B0, 0, bn0, Kb0), sspec(B0, 0, bn0),
-            wspec(B1, O0, bn1, Kb1), sspec(B1, O0, bn1),
-            wspec(B2, G0, bn2, Kb2), sspec(B2, G0, bn2),
-            wspec(B3, D0, bn3, Kb3), sspec(B3, D0, bn3),
+            wspec(B0, 0, bn0, Kb0), sspec(B0, 0, bn0, qkv["scale"]),
+            wspec(B1, O0, bn1, Kb1), sspec(B1, O0, bn1, o["scale"]),
+            wspec(B2, G0, bn2, Kb2), sspec(B2, G0, bn2, gu["scale"]),
+            wspec(B3, D0, bn3, Kb3), sspec(B3, D0, bn3, dn["scale"]),
             pl.BlockSpec((1, M, Nkv, S, D), lambda l, t: (l, 0, 0, 0, 0)),
             pl.BlockSpec((1, M, Nkv, S, D), lambda l, t: (l, 0, 0, 0, 0)),
         ],
@@ -387,10 +425,10 @@ def fused_decode_step(
         f32(norms["input_norm"])[:, None], f32(norms["post_attn_norm"])[:, None],
         f32(norms["pre_ffn_norm"])[:, None], f32(norms["post_ffn_norm"])[:, None],
         f32(lm_params["final_norm"]).reshape(1, H),
-        qkv["qt"], f32(qkv["scale"])[:, None],
-        o["qt"], f32(o["scale"])[:, None],
-        gu["qt"], f32(gu["scale"])[:, None],
-        dn["qt"], f32(dn["scale"])[:, None],
+        qkv["qt"], sop(qkv["scale"]),
+        o["qt"], sop(o["scale"]),
+        gu["qt"], sop(gu["scale"]),
+        dn["qt"], sop(dn["scale"]),
         cache_k, cache_v,
     )
     hidden, k_new, v_new = out

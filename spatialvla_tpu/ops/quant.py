@@ -40,22 +40,46 @@ def quantize_int8(w: jnp.ndarray) -> QuantW:
     return {"qt": jnp.swapaxes(q, -1, -2), "scale": scale[..., 0, :]}
 
 
-def quantize_int4(w: jnp.ndarray) -> QuantW:
-    """(..., K, N) float -> symmetric per-N-channel int4 (levels [-8, 7]),
-    stored (..., N, K//2) uint8 with column j packed against column j + K/2
-    (low nibble = j, high nibble = j + K/2)."""
+def quantize_int4(w: jnp.ndarray, group_size: int = 128) -> QuantW:
+    """(..., K, N) float -> symmetric int4 (levels [-8, 7]), stored
+    (..., N, K//2) uint8 with column j packed against column j + K/2
+    (low nibble = j, high nibble = j + K/2).
+
+    group_size: contraction-dim scale granularity. The default 128 cuts
+    the quantization error vs per-channel (the per-row amax over K=2048
+    gaussian weights is ~3.5 sigma; over a 128-group ~2.7 sigma) at the
+    cost of a (N, K/group) scale tensor — negligible DMA (1/256 of the
+    packed weights at group 128). group_size=None = one scale per output
+    channel (the round-2 format, kept loadable)."""
     wf = w.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # (..., 1, N)
-    scale = amax / 7.0
-    q = jnp.clip(
-        jnp.round(wf / jnp.maximum(scale, 1e-12)), -8, 7
-    ).astype(jnp.int32)
+    K = wf.shape[-2]
+    if group_size is not None:
+        # clamp so the nibble-pack halves (columns [0, K/2) and [K/2, K))
+        # stay group-aligned even for small K
+        group_size = min(group_size, K // 2)
+        assert group_size > 0 and K % group_size == 0 and (K // 2) % group_size == 0, (
+            K, group_size,
+        )
+        G = K // group_size
+        wg = wf.reshape(wf.shape[:-2] + (G, group_size, wf.shape[-1]))
+        amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)  # (..., G, 1, N)
+        scale_g = amax / 7.0
+        q = jnp.clip(jnp.round(wg / jnp.maximum(scale_g, 1e-12)), -8, 7)
+        q = q.reshape(wf.shape).astype(jnp.int32)
+        # scale stored (..., N, G): rows match the transposed weight layout
+        scale = jnp.swapaxes(scale_g[..., 0, :], -1, -2)
+    else:
+        amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # (..., 1, N)
+        scale = amax / 7.0
+        q = jnp.clip(
+            jnp.round(wf / jnp.maximum(scale, 1e-12)), -8, 7
+        ).astype(jnp.int32)
+        scale = scale[..., 0, :]
     qt = jnp.swapaxes(q, -1, -2)  # (..., N, K)
-    K = qt.shape[-1]
     assert K % 2 == 0, f"int4 packing needs an even contraction dim, got {K}"
     lo = qt[..., : K // 2] + 8
     hi = qt[..., K // 2 :] + 8
-    return {"qt": (lo | (hi << 4)).astype(jnp.uint8), "scale": scale[..., 0, :]}
+    return {"qt": (lo | (hi << 4)).astype(jnp.uint8), "scale": scale}
 
 
 def unpack_int4(qt: jnp.ndarray) -> jnp.ndarray:
@@ -68,10 +92,25 @@ def is_int4(w) -> bool:
     return is_quantized(w) and w["qt"].dtype == jnp.uint8
 
 
+def is_grouped(w) -> bool:
+    """Group-wise scales: scale has the trailing (N, G) shape (same rank as
+    qt) instead of per-channel (N,)."""
+    return is_quantized(w) and w["scale"].ndim == w["qt"].ndim
+
+
+def expand_group_scale(scale: jnp.ndarray, K: int) -> jnp.ndarray:
+    """(..., N, G) -> (..., N, K) by repeating each group's scale."""
+    G = scale.shape[-1]
+    return jnp.repeat(scale, K // G, axis=-1)
+
+
 def dequantize(qw: QuantW, dtype=jnp.float32) -> jnp.ndarray:
     """-> (..., K, N) float."""
     qt = unpack_int4(qw["qt"]) if is_int4(qw) else qw["qt"]
     q = jnp.swapaxes(qt, -1, -2).astype(jnp.float32)
+    if is_grouped(qw):
+        smap = jnp.swapaxes(expand_group_scale(qw["scale"], q.shape[-2]), -1, -2)
+        return (q * smap).astype(dtype)
     return (q * qw["scale"][..., None, :]).astype(dtype)
 
 
@@ -89,35 +128,67 @@ def is_lora_factored(w) -> bool:
 # pallas kernel: x (M, K) bf16 @ wq (K, N) int8/int4 * scale (N,) -> (M, N)
 # ---------------------------------------------------------------------------
 
-def _q_dot(x_bf16, w, *, k_dim=None):
-    """(M, K) bf16 @ quantized block -> (M, bn) f32 (unscaled).
+def _q_dot_scaled(x_bf16, w, s):
+    """(M, K) bf16 @ quantized block -> (M, bn) f32, scale applied.
 
     w is either an int8 block (bn, K) or a packed-int4 uint8 block
-    (bn, K//2). int4 nibbles are stored offset-binary (code + 8) so the
-    unpack is just widen + mask/shift + bf16 convert (3 VPU ops per
-    element); the +8 bias factors out of the dot as 8 * sum(x), which is
-    O(M) instead of two O(bn*K) vector subtractions. int8/int4 codes are
-    exact in bf16, and fp32 MXU would be 4x slower for the same matvec."""
+    (bn, K//2). s is the scale block: (1, bn) per-channel, or (bn, G)
+    group-wise (int4 only; column k's scale is s[:, k // (K/G)]).
+
+    int4 nibbles are stored offset-binary (code + 8) so the unpack is just
+    widen + mask/shift + bf16 convert (3 VPU ops per element). Per-channel:
+    the +8 bias factors out of the dot as 8 * sum(x) — O(M) instead of two
+    O(bn*K) vector subtractions. Group-wise: scales fold into the code
+    block (one VPU repeat + multiply; biased codes are <= 4 bits so the
+    bf16 product rounding is ~0.2% — far under the int4 noise) and the
+    bias becomes an (M, G) x (G, bn) matmul of group sums against scales.
+    int8/int4 codes are exact in bf16; fp32 MXU would be 4x slower."""
+    grouped = s.shape[0] != 1  # (bn, G) vs (1, bn)
     if w.dtype == jnp.uint8:  # int4 nibbles, biased +8
         w32 = w.astype(jnp.int32)
         wb = jnp.concatenate([w32 & 15, w32 >> 4], axis=-1).astype(jnp.bfloat16)
+        K = wb.shape[-1]
+        if grouped:
+            G = s.shape[-1]
+            smap = jnp.repeat(s.astype(jnp.bfloat16), K // G, axis=-1)
+            acc = jax.lax.dot_general(
+                x_bf16, wb * smap, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            xsum = jnp.sum(
+                x_bf16.astype(jnp.float32).reshape(x_bf16.shape[0], G, K // G),
+                axis=-1,
+            )  # (M, G)
+            bias = 8.0 * jax.lax.dot_general(
+                xsum, s.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc - bias
         acc = jax.lax.dot_general(
             x_bf16, wb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         bias = 8.0 * jnp.sum(x_bf16.astype(jnp.float32), axis=-1, keepdims=True)
-        return acc - bias
-    return jax.lax.dot_general(
+        return (acc - bias) * s[0].astype(jnp.float32)[None, :]
+    acc = jax.lax.dot_general(
         x_bf16, w.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    return acc * s[0].astype(jnp.float32)[None, :]
 
 
 def _q8_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
     # bf16 MXU with fp32 accumulation
     x = x_ref[:].astype(jnp.bfloat16)  # (M, K)
-    acc = _q_dot(x, w_ref[:])  # (M, bn) — contiguous weight rows
-    o_ref[:] = (acc * s_ref[0, :].astype(jnp.float32)[None, :]).astype(out_dtype)
+    o_ref[:] = _q_dot_scaled(x, w_ref[:], s_ref[:]).astype(out_dtype)
+
+
+# Pallas path covers decode matvecs AND prefill/vision activations: the XLA
+# fallback materializes a transient bf16 weight copy in HBM (int8 read +
+# bf16 write + bf16 read ≈ 5x the streamed bytes — measured ~11 ms for the
+# 270-token prefill vs ~3 ms in-kernel), so any M where the x block fits
+# VMEM should take the kernel.
+QKERNEL_MAX_M = 512
 
 
 def _pick_block_n(K: int, N: int, M: int) -> int:
@@ -128,11 +199,25 @@ def _pick_block_n(K: int, N: int, M: int) -> int:
     return (bn // 128) * 128
 
 
+def _scale_spec(scale: jnp.ndarray, bn: int):
+    """(BlockSpec, operand) for a per-channel (N,) or grouped (N, G) scale."""
+    if scale.ndim == 2:  # grouped: row block follows the weight block
+        G = scale.shape[-1]
+        return (
+            pl.BlockSpec((bn, G), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            scale,
+        )
+    return (
+        pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        scale.reshape(1, -1),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
 def int8_matmul(
     x: jnp.ndarray,  # (M, K)
     qt: jnp.ndarray,  # (N, K) int8 (transposed weight)
-    scale: jnp.ndarray,  # (N,)
+    scale: jnp.ndarray,  # (N,) per-channel or (N, G) grouped
     *,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
@@ -142,18 +227,19 @@ def int8_matmul(
     bn = _pick_block_n(K, N, M)
     # non-divisible N: pallas pads boundary blocks automatically
     grid = (pl.cdiv(N, bn),)
+    sspec, sop = _scale_spec(scale, bn)
     return pl.pallas_call(
         functools.partial(_q8_kernel, out_dtype=out_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((M, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, Kb), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            sspec,
         ],
         out_specs=pl.BlockSpec((M, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         interpret=interpret,
-    )(x, qt, scale.reshape(1, -1))
+    )(x, qt, sop)
 
 
 def _q8_norm_kernel(x_ref, nw_ref, w_ref, s_ref, o_ref, *, out_dtype, eps):
@@ -163,8 +249,7 @@ def _q8_norm_kernel(x_ref, nw_ref, w_ref, s_ref, o_ref, *, out_dtype, eps):
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     xn = xf * jax.lax.rsqrt(var + eps) * (1.0 + nw_ref[0, :].astype(jnp.float32))
     x = xn.astype(jnp.bfloat16)
-    acc = _q_dot(x, w_ref[:])  # (M, bn)
-    o_ref[:] = (acc * s_ref[0, :].astype(jnp.float32)[None, :]).astype(out_dtype)
+    o_ref[:] = _q_dot_scaled(x, w_ref[:], s_ref[:]).astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "out_dtype", "interpret"))
@@ -183,6 +268,7 @@ def int8_rmsnorm_matmul(
     N, Kb = qt.shape
     bn = _pick_block_n(K, N, M)
     grid = (pl.cdiv(N, bn),)
+    sspec, sop = _scale_spec(scale, bn)
     return pl.pallas_call(
         functools.partial(_q8_norm_kernel, out_dtype=out_dtype, eps=eps),
         grid=grid,
@@ -190,12 +276,12 @@ def int8_rmsnorm_matmul(
             pl.BlockSpec((M, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, Kb), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            sspec,
         ],
         out_specs=pl.BlockSpec((M, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         interpret=interpret,
-    )(x, norm_w.reshape(1, -1), qt, scale.reshape(1, -1))
+    )(x, norm_w.reshape(1, -1), qt, sop)
 
 
 def qnorm_matmul(x, norm_w, w, *, eps: float = 1e-6, use_kernel=None):
@@ -208,7 +294,7 @@ def qnorm_matmul(x, norm_w, w, *, eps: float = 1e-6, use_kernel=None):
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    if is_quantized(w) and use_kernel and x2.shape[0] <= 16:
+    if is_quantized(w) and use_kernel and x2.shape[0] <= QKERNEL_MAX_M:
         y = int8_rmsnorm_matmul(
             x2, norm_w, w["qt"], w["scale"], eps=eps, out_dtype=x.dtype
         )
@@ -230,13 +316,16 @@ def qmatmul(x: jnp.ndarray, w, *, use_kernel=None) -> jnp.ndarray:
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    # the kernel is the decode (small-M matvec) path; prefill/training
-    # shapes go through XLA (transient f32 dequant is cheap vs the matmul)
-    if use_kernel and x2.shape[0] <= 16:
+    if use_kernel and x2.shape[0] <= QKERNEL_MAX_M:
         y = int8_matmul(x2, w["qt"], w["scale"], out_dtype=x.dtype)
     else:  # XLA path (prefill / training shapes): transient bf16 dequant
         qt = unpack_int4(w["qt"]) if is_int4(w) else w["qt"]
-        wd = qt.astype(x.dtype) * w["scale"].astype(x.dtype)[:, None]
+        if is_grouped(w):
+            wd = qt.astype(x.dtype) * expand_group_scale(
+                w["scale"], qt.shape[-1]
+            ).astype(x.dtype)
+        else:
+            wd = qt.astype(x.dtype) * w["scale"].astype(x.dtype)[:, None]
         y = jnp.einsum("mk,nk->mn", x2, wd)
     return y.reshape(lead + (y.shape[-1],))
 
@@ -246,7 +335,8 @@ def qmatmul(x: jnp.ndarray, w, *, use_kernel=None) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def quantize_lm_params(
-    lm_params: Dict[str, Any], *, fuse: bool = True, bits: int = 8
+    lm_params: Dict[str, Any], *, fuse: bool = True, bits: int = 8,
+    group_size: int = 128,
 ) -> Dict[str, Any]:
     """Quantize the Gemma2 weight matrices (stacked layer tensors and the
     lm_head); embeddings/norms stay high precision (gather/elementwise).
@@ -256,9 +346,14 @@ def quantize_lm_params(
     launch count dominates the bandwidth win otherwise).
 
     bits=4 packs two weights per byte (quantize_int4) — halves the decode
-    DMA floor again, but per-channel symmetric int4 is an accuracy trade;
-    quality-gate it before serving with it."""
-    quantize = {8: quantize_int8, 4: quantize_int4}[bits]
+    DMA floor again. Scales are group-wise along the contraction dim
+    (group_size, default 128; group_size=None = per-channel) which cuts
+    the int4 quantization error ~25% for free DMA-wise; int4 remains an
+    accuracy trade to quality-gate before serving (scripts/eval_quant.py)."""
+    if bits == 4:
+        quantize = functools.partial(quantize_int4, group_size=group_size)
+    else:
+        quantize = quantize_int8
     out = dict(lm_params)
     attn = lm_params["layers"]["attn"]
     mlp = lm_params["layers"]["mlp"]
@@ -280,4 +375,57 @@ def quantize_lm_params(
     out["layers"] = layers
     if "lm_head" in lm_params:
         out["lm_head"] = quantize(lm_params["lm_head"])
+    return out
+
+
+def _quantize_wb(p: Dict[str, Any], quantize) -> Dict[str, Any]:
+    """{'w': (..., K, N) float, 'b'?} -> {'w': QuantW, 'b'?} (bias stays
+    high precision — one elementwise add outside the kernel)."""
+    out = dict(p)
+    out["w"] = quantize(p["w"])
+    return out
+
+
+def quantize_vision_params(
+    params: Dict[str, Any], *, bits: int = 8, group_size: int = 128
+) -> Dict[str, Any]:
+    """Weight-only quantization of the serving FRONT: the SigLIP encoder's
+    stacked layer matmuls, the ZoeDepth BEiT-backbone matmuls (~85% of the
+    zoe parameter bytes; neck/head convs stay bf16 — they are small and
+    conv-shaped), and the vision->LM projector. Patch embeds, positional
+    tables, norms, and layer-scale vectors stay high precision.
+
+    At B=1 the whole front is HBM-bandwidth bound on TPU (M = 256/577
+    tokens), so halving the streamed weight bytes is a direct latency win;
+    the matmuls dispatch to the Pallas int8 kernel (M <= QKERNEL_MAX_M)
+    which dequantizes in VMEM — no bf16 weight copy ever exists in HBM.
+    Vision counterpart of quantize_lm_params; same opt-in serving-only
+    contract (the reference serves torch bf16 end to end, README.md:93)."""
+    if bits == 4:
+        quantize = functools.partial(quantize_int4, group_size=group_size)
+    else:
+        quantize = quantize_int8
+    out = dict(params)
+    if "vision" in params:
+        vis = dict(params["vision"])
+        layers = dict(vis["layers"])
+        layers["attn"] = {
+            k: _quantize_wb(v, quantize) for k, v in layers["attn"].items()
+        }
+        layers["mlp"] = {
+            k: _quantize_wb(v, quantize) for k, v in layers["mlp"].items()
+        }
+        vis["layers"] = layers
+        out["vision"] = vis
+    if "zoe" in params:
+        zoe = dict(params["zoe"])
+        backbone = dict(zoe["backbone"])
+        layers = dict(backbone["layers"])
+        for name in ("q", "k", "v", "proj", "fc1", "fc2"):
+            layers[name] = _quantize_wb(layers[name], quantize)
+        backbone["layers"] = layers
+        zoe["backbone"] = backbone
+        out["zoe"] = zoe
+    if "projector" in params:
+        out["projector"] = _quantize_wb(params["projector"], quantize)
     return out

@@ -120,7 +120,7 @@ def test_quantize_int4_pack_layout_and_round_trip():
 
     rng = np.random.RandomState(5)
     w = jnp.asarray(rng.randn(128, 256).astype(np.float32))
-    qw = quantize_int4(w)
+    qw = quantize_int4(w, group_size=None)
     assert qw["qt"].dtype == jnp.uint8
     assert qw["qt"].shape == (256, 64)  # (N, K // 2), transposed + packed
     codes = np.asarray(unpack_int4(qw["qt"]))
@@ -140,7 +140,7 @@ def test_int4_matmul_kernel_parity():
     rng = np.random.RandomState(6)
     x = jnp.asarray(rng.randn(4, 128).astype(np.float32))
     w = jnp.asarray(rng.randn(128, 384).astype(np.float32))
-    qw = quantize_int4(w)
+    qw = quantize_int4(w, group_size=None)
     xb = x.astype(jnp.bfloat16).astype(jnp.float32)
     wd = unpack_int4(qw["qt"]).astype(jnp.float32)
     ref = np.asarray((xb @ wd.T) * qw["scale"][None, :])
@@ -162,7 +162,7 @@ def test_int4_rmsnorm_matmul_kernel_parity():
     x = jnp.asarray(rng.randn(2, 128).astype(np.float32))
     nw = jnp.asarray(rng.randn(128).astype(np.float32) * 0.1)
     w = jnp.asarray(rng.randn(128, 256).astype(np.float32))
-    qw = quantize_int4(w)
+    qw = quantize_int4(w, group_size=None)
     got = np.asarray(
         int8_rmsnorm_matmul(x, nw, qw["qt"], qw["scale"],
                             out_dtype=jnp.float32, interpret=True)
@@ -180,7 +180,7 @@ def test_qmatmul_int4_dispatch_and_lm_tree():
     x = jnp.asarray(rng.randn(2, 3, 64).astype(np.float32))
     w = jnp.asarray(rng.randn(64, 128).astype(np.float32))
     plain = np.asarray(qmatmul(x, w))
-    quant = np.asarray(qmatmul(x, quantize_int4(w), use_kernel=False))
+    quant = np.asarray(qmatmul(x, quantize_int4(w, group_size=None), use_kernel=False))
     rel = np.abs(quant - plain).mean() / (np.abs(plain).mean() + 1e-9)
     assert rel < 0.15, rel  # int4 step is 16x coarser than int8 (~11%
     # relative error on gaussian weights — the documented quality trade)
