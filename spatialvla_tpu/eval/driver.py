@@ -192,6 +192,128 @@ SUITE_TITLES = {
 }
 
 
+# ---------------------------------------------------------------------------
+# LIBERO (reference README.md:579-590: 4 suites + average, SR +- SE)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class LiberoSuite:
+    """One LIBERO benchmark suite row. max_steps follow the OpenVLA-style
+    per-suite budgets the SpatialVLA fine-tuned numbers were produced
+    under."""
+
+    label: str          # table label, e.g. "LIBERO-Spatial"
+    benchmark: str      # libero benchmark name for get_benchmark()
+    episodes_per_task: int = 50
+    max_steps: int = 300
+
+
+LIBERO_SUITES: List[LiberoSuite] = [
+    LiberoSuite("LIBERO-Spatial", "libero_spatial", max_steps=220),
+    LiberoSuite("LIBERO-Object", "libero_object", max_steps=280),
+    LiberoSuite("LIBERO-Goal", "libero_goal", max_steps=300),
+    LiberoSuite("LIBERO-Long", "libero_10", max_steps=520),
+]
+
+
+def run_libero_episode(
+    env,
+    adapter,
+    task_description: str,
+    *,
+    max_steps: int = 300,
+    image_getter: Callable = lambda env, obs: obs["agentview_image"][::-1, ::-1],
+) -> Dict:
+    """One closed-loop LIBERO episode through LiberoPolicyAdapter (7-dim
+    delta action, gripper -1=open). The default image getter flips the
+    agentview render to camera convention."""
+    obs = env.reset()
+    if isinstance(obs, tuple):  # gym-style (obs, info)
+        obs = obs[0]
+    adapter.reset()
+    for t in range(max_steps):
+        image = image_getter(env, obs)
+        action = adapter.step(image, task_description)
+        stepped = env.step(action)
+        if len(stepped) == 5:
+            obs, reward, done, truncated, info = stepped
+        else:  # robosuite-style 4-tuple
+            obs, reward, done, info = stepped
+            truncated = False
+        if done or truncated:
+            return {"success": bool(info.get("success", reward > 0)), "steps": t + 1}
+    return {"success": False, "steps": max_steps}
+
+
+def evaluate_libero(
+    policy,
+    suites: Sequence[LiberoSuite],
+    *,
+    task_factory: Callable[[LiberoSuite], Sequence],
+    image_getter: Optional[Callable] = None,
+    episodes_per_task: Optional[int] = None,
+    unnorm_key: Optional[str] = None,
+) -> Dict:
+    """Run the LIBERO suites; returns {'rows': [...], 'average': {...}}.
+
+    task_factory(suite) yields (task_description, env) pairs — the test
+    suite injects fakes; scripts/run_libero_eval.py builds them from the
+    installed `libero` package. SR standard errors are binomial over
+    episodes, the shape the reference table reports."""
+    from .adapters import LiberoPolicyAdapter
+
+    adapter = LiberoPolicyAdapter(policy, unnorm_key=unnorm_key)
+    rows = []
+    for suite in suites:
+        succ, n = 0, 0
+        for task_description, env in task_factory(suite):
+            n_ep = episodes_per_task or suite.episodes_per_task
+            for _ in range(n_ep):
+                kw = {"max_steps": suite.max_steps}
+                if image_getter is not None:
+                    kw["image_getter"] = image_getter
+                ep = run_libero_episode(env, adapter, task_description, **kw)
+                succ += int(ep["success"])
+                n += 1
+            if hasattr(env, "close"):
+                env.close()
+        p = succ / max(n, 1)
+        rows.append({
+            "label": suite.label,
+            "benchmark": suite.benchmark,
+            "episodes": n,
+            "successes": succ,
+            "success_rate": p,
+            "stderr": float(np.sqrt(p * (1 - p) / max(n, 1))),
+        })
+    p_avg = float(np.mean([r["success_rate"] for r in rows])) if rows else 0.0
+    se_avg = (
+        float(np.sqrt(np.sum([r["stderr"] ** 2 for r in rows])) / len(rows))
+        if rows else 0.0
+    )
+    return {"rows": rows, "average": {"success_rate": p_avg, "stderr": se_avg}}
+
+
+def format_libero_table(results: Dict, model_name: str = "spatialvla-tpu") -> str:
+    """Markdown table in the reference README's LIBERO shape: one column
+    per suite + Average, cells 'SR +- SE' (README.md:579-590)."""
+    rows = results["rows"]
+    header = [r["label"] for r in rows] + ["Average"]
+    cells = [
+        f"{100*r['success_rate']:.1f} ± {100*r['stderr']:.1f}%" for r in rows
+    ] + [
+        f"{100*results['average']['success_rate']:.1f} ± "
+        f"{100*results['average']['stderr']:.1f}%"
+    ]
+    return "\n".join([
+        "### LIBERO",
+        "| Model | " + " | ".join(header) + " |",
+        "|" + "---|" * (len(header) + 1),
+        f"| {model_name} | " + " | ".join(cells) + " |",
+        "",
+    ])
+
+
 def format_table(results: Dict, model_name: str = "spatialvla-tpu") -> str:
     """Markdown tables in the reference README's shape: per-suite task
     columns + #Average (README.md:206-263), WidowX with partial + Success

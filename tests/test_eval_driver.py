@@ -169,3 +169,96 @@ def test_cli_reports_missing_sim(tmp_path):
     spec.loader.exec_module(mod)
     rc = mod.main(["--checkpoint_dir", str(tmp_path)])
     assert rc == 2
+
+
+# ---------------------------------------------------------------------------
+# LIBERO driver (reference README.md:579-590 table shape)
+# ---------------------------------------------------------------------------
+
+class FakeLiberoEnv:
+    """Robosuite-shaped env: 4-tuple step, dict obs with agentview_image;
+    succeeds iff cumulative |dx| crosses the threshold."""
+
+    def __init__(self, threshold, horizon=5, seed=0):
+        self.threshold = threshold
+        self.horizon = horizon
+        self.rng = np.random.RandomState(seed)
+        self.n_resets = 0
+
+    def reset(self):
+        self.n_resets += 1
+        self.t = 0
+        self.travel = 0.0
+        return {"agentview_image": self._img()}
+
+    def _img(self):
+        return (self.rng.rand(64, 64, 3) * 255).astype(np.uint8)
+
+    def step(self, action):
+        action = np.asarray(action)
+        assert action.shape == (7,)
+        assert action[6] in (-1.0, 1.0)  # libero gripper convention
+        self.t += 1
+        self.travel += float(np.abs(action[0]))
+        success = self.travel >= self.threshold
+        done = success or self.t >= self.horizon
+        return (
+            {"agentview_image": self._img()},
+            float(success),
+            done,
+            {"success": success},
+        )
+
+
+def test_libero_episode_and_suite_aggregation(policy):
+    from spatialvla_tpu.eval.driver import (
+        LiberoSuite,
+        evaluate_libero,
+        format_libero_table,
+    )
+
+    suites = [
+        LiberoSuite("LIBERO-Spatial", "libero_spatial", max_steps=4),
+        LiberoSuite("LIBERO-Object", "libero_object", max_steps=4),
+    ]
+    thresholds = {"libero_spatial": 0.0, "libero_object": np.inf}
+    made = []
+
+    def task_factory(suite):
+        for i in range(2):  # two tasks per suite
+            env = FakeLiberoEnv(thresholds[suite.benchmark])
+            made.append(env)
+            yield f"task {i} of {suite.benchmark}", env
+
+    results = evaluate_libero(
+        policy, suites, task_factory=task_factory, episodes_per_task=2,
+        unnorm_key="bridge_orig/1.0.0",
+    )
+    assert [r["label"] for r in results["rows"]] == [
+        "LIBERO-Spatial", "LIBERO-Object",
+    ]
+    spatial, obj = results["rows"]
+    assert spatial["episodes"] == 4 and spatial["success_rate"] == 1.0
+    assert obj["success_rate"] == 0.0
+    assert spatial["stderr"] == pytest.approx(0.0)  # p in {0,1} -> se 0
+    assert results["average"]["success_rate"] == pytest.approx(0.5)
+    assert all(e.n_resets == 2 for e in made)
+
+    table = format_libero_table(results)
+    assert "LIBERO-Spatial" in table and "Average" in table
+    assert "100.0 ± 0.0%" in table and "50.0 ±" in table
+
+
+def test_libero_cli_reports_missing_sim(tmp_path):
+    import importlib.util
+    import os
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "run_libero_eval.py",
+    )
+    spec = importlib.util.spec_from_file_location("run_libero_eval", script)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rc = mod.main(["--checkpoint_dir", str(tmp_path)])
+    assert rc == 2
