@@ -288,6 +288,105 @@ def forward_flash(
     return rms_norm(params["final_norm"], h, cfg.rms_norm_eps)
 
 
+def _attention_block_flash_cache(
+    lp: Params,
+    cfg: Gemma2Config,
+    h: Array,  # (B, P, H) pre-norm residual
+    norm_w: Array,
+    cos: Array,
+    sin: Array,
+    prefix_lens: Array,
+    valid_lens: Array,
+    window: Optional[int],
+) -> Tuple[Array, Array, Array]:
+    """Serving-prefill attention through the Pallas flash kernel; returns
+    (attn_out, k, v) with k roped — the (B, P, Nkv, D) cache rows. Handles
+    both the plain q/k/v tree and the fused-quantized serving tree
+    (qkv + norm fused into the int8 kernel, like _attention_block)."""
+    from ..ops.flash_attention import flash_attention
+
+    B, P, H = h.shape
+    Nq, Nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if "qkv" in lp:  # fused quantized serving tree
+        qkv = qnorm_matmul(h, norm_w, lp["qkv"], eps=cfg.rms_norm_eps)
+        q, k, v = jnp.split(qkv, [Nq * D, Nq * D + Nkv * D], axis=-1)
+        q = q.reshape(B, P, Nq, D)
+        k = k.reshape(B, P, Nkv, D)
+        v = v.reshape(B, P, Nkv, D)
+    else:
+        x = rms_norm(norm_w, h, cfg.rms_norm_eps)
+        q = qmatmul(x, lp["q"]).reshape(B, P, Nq, D)
+        k = qmatmul(x, lp["k"]).reshape(B, P, Nkv, D)
+        v = qmatmul(x, lp["v"]).reshape(B, P, Nkv, D)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    out = flash_attention(
+        q, k, v, prefix_lens, valid_lens, jnp.zeros_like(prefix_lens),
+        cfg.query_pre_attn_scalar**-0.5, cfg.attn_logit_softcap, window, True,
+    )
+    out = qmatmul(out.reshape(B, P, Nq * D).astype(h.dtype), lp["o"])
+    return out, k, v
+
+
+def prefill_flash(
+    params: Params,
+    cfg: Gemma2Config,
+    inputs_embeds: Array,  # (B, P, H) raw merged embeds (pre-normalizer)
+    position_ids: Array,  # (B, P)
+    cache_len: int,
+    *,
+    cache_dtype=jnp.bfloat16,
+) -> Tuple[Array, Params]:
+    """Serving prefill over an UNPADDED fully-bidirectional prefix through
+    the Pallas flash kernel, returning (final_normed_hidden, cache) — the
+    flash-path replacement for gemma2.forward(..., cache=, cache_position=0)
+    with bidirectional_prefill_mask (generation prefill,
+    modeling_gemma2.py:712-720). K/V are collected from the scan and placed
+    in cache slots [0, P); slots [P, cache_len) are zero (masked by the
+    decode step's length bound)."""
+    B, P, H = inputs_embeds.shape
+    L = cfg.num_layers
+    assert L % 2 == 0, "paired scan expects an even number of layers"
+    normalizer = jnp.asarray(cfg.hidden_size**0.5, dtype=inputs_embeds.dtype)
+    h = inputs_embeds * normalizer
+    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
+    prefix_lens = jnp.full((B,), P, jnp.int32)  # fully bidirectional prefix
+    valid_lens = prefix_lens
+
+    def one(h, lp, window):
+        attn_out, k, v = _attention_block_flash_cache(
+            lp["attn"], cfg, h, lp["input_norm"], cos, sin,
+            prefix_lens, valid_lens, window,
+        )
+        h = h + rms_norm(lp["post_attn_norm"], attn_out, cfg.rms_norm_eps)
+        mlp_out = _mlp_block(lp["mlp"], h, lp["pre_ffn_norm"], cfg.rms_norm_eps)
+        h = h + rms_norm(lp["post_ffn_norm"], mlp_out, cfg.rms_norm_eps)
+        return h, k, v
+
+    paired = jax.tree_util.tree_map(
+        lambda x: x.reshape((L // 2, 2) + x.shape[1:]), params["layers"]
+    )
+
+    def step(carry, lp_pair):
+        lp0 = jax.tree_util.tree_map(lambda x: x[0], lp_pair)
+        lp1 = jax.tree_util.tree_map(lambda x: x[1], lp_pair)
+        hh, k0, v0 = one(carry, lp0, cfg.sliding_window)
+        hh, k1, v1 = one(hh, lp1, None)
+        return hh, (
+            jnp.stack([k0, k1]).astype(cache_dtype),
+            jnp.stack([v0, v1]).astype(cache_dtype),
+        )
+
+    h, (ks, vs) = jax.lax.scan(step, h, paired)
+    # (L/2, 2, B, P, Nkv, D) -> (L, B, S, Nkv, D) cache with zero tail
+    pad = [(0, 0), (0, 0), (0, cache_len - P), (0, 0), (0, 0)]
+    cache = {
+        "k": jnp.pad(ks.reshape((L,) + ks.shape[2:]), pad),
+        "v": jnp.pad(vs.reshape((L,) + vs.shape[2:]), pad),
+    }
+    return rms_norm(params["final_norm"], h, cfg.rms_norm_eps), cache
+
+
 def forward_ring(
     params: Params,
     cfg: Gemma2Config,

@@ -318,6 +318,7 @@ def generate_greedy(
     compute_dtype=None,
     token_range: Optional[Tuple[int, int]] = None,
     use_fused_decode: Optional[bool] = None,  # None = auto-detect
+    use_flash_prefill: Optional[bool] = None,  # None = auto (TPU, unpadded)
     depth_image_size: Optional[int] = None,  # reduced-res zoe (serving)
 ) -> Array:
     """Returns (B, max_new_tokens) generated token ids.
@@ -348,6 +349,29 @@ def generate_greedy(
         )
     embeds = merge_input_embeddings(params, cfg, input_ids, image_features, dtype=compute_dtype)
 
+    # prefill through the Pallas flash kernel (fused attention, no (P, S)
+    # mask materialization, K/V collected straight into the cache) — the
+    # unpadded serving default off-CPU; XLA masked attention remains the
+    # padded-batch and CPU path
+    if use_flash_prefill is None:
+        use_flash_prefill = (
+            attention_mask is None and jax.devices()[0].platform != "cpu"
+        )
+    if use_flash_prefill:
+        assert attention_mask is None, "flash prefill assumes unpadded rows"
+        position_ids = jnp.arange(1, P + 1)[None].repeat(B, 0)
+        valid = None
+        k_pos_true = None
+        hidden, cache = gemma2_mod.prefill_flash(
+            params["lm"], cfg.text, embeds, position_ids, S,
+            cache_dtype=cache_dtype,
+        )
+        return _decode_after_prefill(
+            params, cfg, cache, hidden, P, S, max_new_tokens, token_range,
+            use_fused_decode, compute_dtype, valid=None, key_valid=None,
+            k_pos_true=None,
+        )
+
     cache = gemma2_mod.init_cache(cfg.text, B, S, dtype=cache_dtype)
     if attention_mask is None:
         position_ids = jnp.arange(1, P + 1)[None].repeat(B, 0)
@@ -374,7 +398,34 @@ def generate_greedy(
         cache_position=0,
         window_positions=None if valid is None else (position_ids, k_pos_true),
     )
+    return _decode_after_prefill(
+        params, cfg, cache, hidden, P, S, max_new_tokens, token_range,
+        use_fused_decode, compute_dtype,
+        valid=valid,
+        key_valid=None if valid is None else key_valid,
+        k_pos_true=k_pos_true,
+    )
 
+
+def _decode_after_prefill(
+    params: Params,
+    cfg: SpatialVLAConfig,
+    cache,
+    hidden: Array,  # (B, P, H) final-normed prefill hidden states
+    P: int,
+    S: int,
+    max_new_tokens: int,
+    token_range,
+    use_fused_decode,
+    compute_dtype,
+    *,
+    valid: Optional[Array],  # (B,) per-row prefix lengths (None = unpadded)
+    key_valid: Optional[Array],  # (B, S) valid-key mask for padded batches
+    k_pos_true: Optional[Array],  # (B, S) true positions of cache slots
+) -> Array:
+    """The greedy decode loop shared by both prefill paths (XLA masked
+    attention and Pallas flash prefill)."""
+    B = hidden.shape[0]
     # whole-LM fused decode (ops/decode_step.py): one Pallas kernel per
     # token instead of ~105 launches; eligible for the fused-quantized
     # serving tree at batch 1 off-CPU. Padded batches take the XLA path
@@ -383,12 +434,12 @@ def generate_greedy(
         "qkv" in params["lm"]["layers"]["attn"]
         and B <= 16  # per-batch-row VMEM scratch; attention loop unrolls in B
         and S <= cfg.text.sliding_window
-        and attention_mask is None
+        and valid is None
         and jax.devices()[0].platform != "cpu"
         if use_fused_decode is None
         else use_fused_decode
     )
-    if use_fused and attention_mask is not None:
+    if use_fused and valid is not None:
         raise ValueError(
             "use_fused_decode=True requires attention_mask=None: the fused "
             "kernel assumes a uniform unpadded prefix (scalar cache position) "

@@ -187,9 +187,11 @@ def flash_attention(
 
 def _flash_attention_impl(
     q, k, v, prefix_lens, valid_lens, q_offset, scale, logit_softcap,
-    window, causal, block_q, block_k, interpret: bool = False,
+    window, causal, block_q, block_k, interpret: Optional[bool] = None,
     with_lse: bool = False,
 ):
+    if interpret is None:  # Mosaic has no CPU backend; interpret there
+        interpret = jax.devices()[0].platform == "cpu"
     B, Tq, Nq, D = q.shape
     Tk, Nkv = k.shape[1], k.shape[2]
     g = Nq // Nkv
@@ -444,8 +446,10 @@ def _fa_bwd_dkv_kernel(
 def _flash_attention_bwd_impl(
     q, k, v, out, lse, do, prefix_lens, valid_lens, q_offset,
     scale, logit_softcap, window, causal, block_q, block_k,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ):
+    if interpret is None:  # Mosaic has no CPU backend; interpret there
+        interpret = jax.devices()[0].platform == "cpu"
     B, Tq, Nq, D = q.shape
     Tk, Nkv = k.shape[1], k.shape[2]
     g = Nq // Nkv

@@ -100,6 +100,59 @@ def test_reduced_res_depth_precomputed_matches_raw_table(params, batch):
     )
 
 
+def test_flash_prefill_matches_xla_prefill(params):
+    """gemma2.prefill_flash (Pallas flash attention + cache collection)
+    must match gemma2.forward with the bidirectional prefill mask: same
+    final-normed hidden states AND the same K/V cache rows."""
+    from spatialvla_tpu.models import gemma2
+
+    tcfg = CFG.text
+    B, P, S = 2, 10, 16
+    rng = np.random.RandomState(3)
+    embeds = jnp.asarray(
+        rng.randn(B, P, tcfg.hidden_size).astype(np.float32) * 0.1
+    )
+    pos = jnp.arange(1, P + 1)[None].repeat(B, 0)
+
+    h_flash, cache_flash = gemma2.prefill_flash(
+        params["lm"], tcfg, embeds, pos, S, cache_dtype=jnp.float32
+    )
+    cache = gemma2.init_cache(tcfg, B, S, dtype=jnp.float32)
+    mask = spatialvla.bidirectional_prefill_mask(P, S, B)
+    h_xla, cache_xla = gemma2.forward(
+        params["lm"], tcfg, embeds, pos, mask, cache=cache, cache_position=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_flash), np.asarray(h_xla), rtol=2e-4, atol=2e-5
+    )
+    for key in ("k", "v"):
+        np.testing.assert_allclose(
+            np.asarray(cache_flash[key]), np.asarray(cache_xla[key]),
+            rtol=2e-4, atol=2e-5,
+        )
+
+
+def test_generate_greedy_flash_prefill_token_parity(params, batch):
+    """Forcing the flash prefill on the CPU interpret path produces the
+    same greedy tokens as the XLA prefill (full generate, fp32)."""
+    px, intr = batch
+    N = CFG.num_image_tokens
+    ids = jnp.asarray(
+        np.concatenate(
+            [np.full((1, N), CFG.image_token_index), [[5, 6, 7]]], axis=1
+        ).astype(np.int32)
+    )
+    kw = dict(
+        pixel_values=px, intrinsic=intr, max_new_tokens=4,
+        compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+        token_range=(CFG.action_token_begin_idx, CFG.spatial_token_num),
+        use_fused_decode=False,
+    )
+    ref = spatialvla.generate_greedy(params, CFG, ids, use_flash_prefill=False, **kw)
+    got = spatialvla.generate_greedy(params, CFG, ids, use_flash_prefill=True, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_predict_action_quantized_front_reduced_depth(params, batch):
     """End-to-end predict through the int8 front + reduced-res depth:
     valid action ids, and the depth trade perturbs features only mildly
