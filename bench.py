@@ -29,6 +29,13 @@ QUANT_BITS = int(os.environ.get("SPATIALVLA_BENCH_BITS", "8"))
 # SPATIALVLA_BENCH_DEPTH_RES=256 runs the ZoeDepth stack at a reduced
 # internal resolution (opt-in quality trade, zoe.predict_depth); 0 = native
 DEPTH_RES = int(os.environ.get("SPATIALVLA_BENCH_DEPTH_RES", "0")) or None
+# SPATIALVLA_BENCH_VISION_BITS=8 additionally quantizes the vision front
+# (SigLIP + zoe backbone + projector). Default off for the HEADLINE: the
+# bench host's MXU is virtualized/throttled, so the front is compute-bound
+# there and weight-streaming cuts measure neutral-to-negative
+# (NOTES_ROUND3.md); on real v5e parts the B=1 front is bandwidth-bound
+# and int8 should pay. Serving users opt in via policy.quantize().
+VISION_BITS = int(os.environ.get("SPATIALVLA_BENCH_VISION_BITS", "0"))
 
 
 def main():
@@ -58,16 +65,17 @@ def main():
     params["zoe"] = qzoe
     del qlm, qzoe
     gc.collect()
-    qfront = jax.jit(
-        lambda p: quantize_vision_params(
-            {"vision": p["vision"], "zoe": p["zoe"], "projector": p["projector"]},
-            bits=8,
-        )
-    )(params)
-    jax.block_until_ready(qfront)
-    params.update(qfront)
-    del qfront
-    gc.collect()
+    if VISION_BITS:
+        qfront = jax.jit(
+            lambda p: quantize_vision_params(
+                {"vision": p["vision"], "zoe": p["zoe"], "projector": p["projector"]},
+                bits=VISION_BITS,
+            )
+        )(params)
+        jax.block_until_ready(qfront)
+        params.update(qfront)
+        del qfront
+        gc.collect()
 
     batch = _example_batch(cfg, B=1, n_text=10, n_action=0)
     prefix_len = int(batch["input_ids"].shape[1])
@@ -127,9 +135,10 @@ def main():
     dt = (time.perf_counter() - t0) / n_iters
 
     actions_per_sec = ACTION_CHUNK / dt
-    depth_tag = ", depth@%d" % DEPTH_RES if DEPTH_RES else ""
+    tag = ", int%d front" % VISION_BITS if VISION_BITS else ""
+    tag += ", depth@%d" % DEPTH_RES if DEPTH_RES else ""
     print(json.dumps({
-        "metric": "spatialvla-4b-224 greedy inference, full model incl. depth (chunk=4, prefix=%d, int%d LM, int8 front%s)" % (prefix_len, QUANT_BITS, depth_tag),
+        "metric": "spatialvla-4b-224 greedy inference, full model incl. depth (chunk=4, prefix=%d, int%d LM%s)" % (prefix_len, QUANT_BITS, tag),
         "value": round(actions_per_sec, 2),
         "unit": "actions/sec/chip",
         "vs_baseline": round(actions_per_sec / A100_BASELINE_ACTIONS_PER_SEC, 3),

@@ -350,13 +350,14 @@ def generate_greedy(
     embeds = merge_input_embeddings(params, cfg, input_ids, image_features, dtype=compute_dtype)
 
     # prefill through the Pallas flash kernel (fused attention, no (P, S)
-    # mask materialization, K/V collected straight into the cache) — the
-    # unpadded serving default off-CPU; XLA masked attention remains the
-    # padded-batch and CPU path
+    # mask materialization, K/V collected straight into the cache).
+    # Default OFF: on the virtualized bench chip it measures ~4 ms slower
+    # than the XLA masked prefill at P=266 (NOTES_ROUND3.md) — the q-block
+    # padding (266 -> 384 rows) plus the in-kernel dequant lose to XLA's
+    # fused attention at this shape; re-evaluate on real parts where the
+    # kernel's fewer launches and fused masks should win.
     if use_flash_prefill is None:
-        use_flash_prefill = (
-            attention_mask is None and jax.devices()[0].platform != "cpu"
-        )
+        use_flash_prefill = False
     if use_flash_prefill:
         assert attention_mask is None, "flash prefill assumes unpadded rows"
         position_ids = jnp.arange(1, P + 1)[None].repeat(B, 0)
@@ -586,6 +587,7 @@ def predict_action(
     compute_dtype=jnp.bfloat16,
     restrict_to_action_tokens: bool = True,
     use_fused_decode: Optional[bool] = None,  # None = auto (generate_greedy)
+    use_flash_prefill: Optional[bool] = None,  # None = auto (TPU, unpadded)
     depth_image_size: Optional[int] = None,  # reduced-res zoe (serving)
 ) -> Array:
     """Greedy-decode exactly 3 * chunk spatial action token ids
@@ -605,5 +607,5 @@ def predict_action(
         attention_mask=attention_mask,
         max_new_tokens=3 * action_chunk_size, compute_dtype=compute_dtype,
         token_range=token_range, use_fused_decode=use_fused_decode,
-        depth_image_size=depth_image_size,
+        use_flash_prefill=use_flash_prefill, depth_image_size=depth_image_size,
     )

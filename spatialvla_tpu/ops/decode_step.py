@@ -94,9 +94,11 @@ def _matvec_block(x_bf16, w_ref, s_ref):
             s = s_ref[0]  # (bn, G) — columns [0, Kh) map to groups [0, G/2)
             G = s.shape[-1]
             g = (2 * Kh) // G
-            s16 = s.astype(jnp.bfloat16)
-            slo = jnp.repeat(s16[:, : G // 2], g, axis=-1)  # (bn, Kh)
-            shi = jnp.repeat(s16[:, G // 2 :], g, axis=-1)
+            # repeat in f32: Mosaic only supports the minor-dim-inserting
+            # reshape inside jnp.repeat for 32-bit types
+            s32 = s.astype(jnp.float32)
+            slo = jnp.repeat(s32[:, : G // 2], g, axis=-1).astype(jnp.bfloat16)
+            shi = jnp.repeat(s32[:, G // 2 :], g, axis=-1).astype(jnp.bfloat16)
             acc = jax.lax.dot_general(
                 x_bf16[:, :Kh], lo * slo, dims, preferred_element_type=jnp.float32
             ) + jax.lax.dot_general(

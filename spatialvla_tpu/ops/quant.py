@@ -150,7 +150,11 @@ def _q_dot_scaled(x_bf16, w, s):
         K = wb.shape[-1]
         if grouped:
             G = s.shape[-1]
-            smap = jnp.repeat(s.astype(jnp.bfloat16), K // G, axis=-1)
+            # repeat in f32 (Mosaic: minor-dim-inserting reshape is
+            # 32-bit-only), cast after
+            smap = jnp.repeat(
+                s.astype(jnp.float32), K // G, axis=-1
+            ).astype(jnp.bfloat16)
             acc = jax.lax.dot_general(
                 x_bf16, wb * smap, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
