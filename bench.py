@@ -10,7 +10,6 @@ roofline-derived A100 estimate for the same workload (prefill ~266 tokens +
 12 greedy decode steps on the ~4B-param VLM, action chunk 4):
 ~57 actions/sec. vs_baseline = ours / 57.
 """
-import functools
 import gc
 import json
 import os
@@ -46,36 +45,31 @@ def main():
     from spatialvla_tpu.models.zoe import precompute_rel_bias
 
     cfg = _flagship_cfg()
-    params = spatialvla.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    # int8 weight-only LM (decode is HBM-bandwidth bound) + int8 vision
-    # front (SigLIP + zoe BEiT backbone + projector; the B=1 front is
-    # bandwidth-bound too) + precomputed ZoeDepth relative-position bias
-    # (gather-free backbone)
-    qlm = jax.jit(functools.partial(quantize_lm_params, bits=QUANT_BITS))(params["lm"])
-    jax.block_until_ready(qlm)
-    qzoe = jax.jit(
-        lambda zp: precompute_rel_bias(zp, cfg.zoe, image_size=DEPTH_RES)
-    )(params["zoe"])
-    jax.block_until_ready(qzoe)
-    # sync before dropping the bf16 source tree: without it the enqueued
-    # predict transients allocate while the 5.3 GB bf16 LM is still live
-    # (HBM RESOURCE_EXHAUSTED on the axon backend at bits=4)
-    params = dict(params)
-    params["lm"] = qlm
-    params["zoe"] = qzoe
-    del qlm, qzoe
+
+    # int8/int4 weight-only LM (decode is HBM-bandwidth bound), optional
+    # int8 vision front, precomputed ZoeDepth relative-position bias
+    # (gather-free backbone). Init + quantize run as ONE jitted program so
+    # the bf16 LM and the quantization's f32 temporaries are program-
+    # internal and never resident together with the final tree: the staged
+    # materialize-bf16-then-quantize flow peaks over HBM at bits=4 with
+    # grouped scales (the (L, G, 128, N) f32 reshape materializes full-
+    # tensor copies that per-channel's fused amax reduction never does).
+    def build(key):
+        p = spatialvla.init_params(key, cfg, dtype=jnp.bfloat16)
+        p = dict(p)
+        p["lm"] = quantize_lm_params(p["lm"], bits=QUANT_BITS)
+        p["zoe"] = precompute_rel_bias(p["zoe"], cfg.zoe, image_size=DEPTH_RES)
+        if VISION_BITS:
+            p = quantize_vision_params(p, bits=VISION_BITS)
+        return p
+
+    params = jax.jit(build)(jax.random.PRNGKey(0))
+    # block_until_ready is NOT reliable on the axon backend (CLAUDE.md):
+    # sync via tiny dependent host transfers so the build retires before
+    # the predict program's transients enqueue
+    for leaf in jax.tree_util.tree_leaves(params):
+        np.asarray(leaf[(0,) * leaf.ndim])
     gc.collect()
-    if VISION_BITS:
-        qfront = jax.jit(
-            lambda p: quantize_vision_params(
-                {"vision": p["vision"], "zoe": p["zoe"], "projector": p["projector"]},
-                bits=VISION_BITS,
-            )
-        )(params)
-        jax.block_until_ready(qfront)
-        params.update(qfront)
-        del qfront
-        gc.collect()
 
     batch = _example_batch(cfg, B=1, n_text=10, n_action=0)
     prefix_len = int(batch["input_ids"].shape[1])

@@ -7,7 +7,6 @@ below ~5 ms are dispatch-bound and only indicative.
 Usage: PYTHONPATH=/root/repo python scripts/profile_front.py [--bits 8] [--vision_bits 0]
 """
 import argparse
-import functools
 import gc
 import time
 
@@ -44,29 +43,23 @@ def main():
 
     depth_res = args.depth_res or None
     cfg = _flagship_cfg()
-    params = spatialvla.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    qlm = jax.jit(functools.partial(quantize_lm_params, bits=args.bits))(params["lm"])
-    jax.block_until_ready(qlm)
-    qzoe = jax.jit(
-        lambda zp: precompute_rel_bias(zp, cfg.zoe, image_size=depth_res)
-    )(params["zoe"])
-    jax.block_until_ready(qzoe)
-    params = dict(params)
-    params["lm"] = qlm
-    params["zoe"] = qzoe
-    del qlm, qzoe
+
+    # init + quantize as ONE jitted program (same HBM reasoning as bench.py:
+    # the staged materialize-bf16-then-quantize flow peaks over HBM at
+    # bits=4 with grouped scales)
+    def build(key):
+        p = spatialvla.init_params(key, cfg, dtype=jnp.bfloat16)
+        p = dict(p)
+        p["lm"] = quantize_lm_params(p["lm"], bits=args.bits)
+        p["zoe"] = precompute_rel_bias(p["zoe"], cfg.zoe, image_size=depth_res)
+        if args.vision_bits:
+            p = quantize_vision_params(p, bits=args.vision_bits)
+        return p
+
+    params = jax.jit(build)(jax.random.PRNGKey(0))
+    for leaf in jax.tree_util.tree_leaves(params):
+        np.asarray(leaf[(0,) * leaf.ndim])
     gc.collect()
-    if args.vision_bits:
-        qfront = jax.jit(
-            lambda p: quantize_vision_params(
-                {"vision": p["vision"], "zoe": p["zoe"], "projector": p["projector"]},
-                bits=args.vision_bits,
-            )
-        )(params)
-        jax.block_until_ready(qfront)
-        params.update(qfront)
-        del qfront
-        gc.collect()
 
     batch = _example_batch(cfg, B=1, n_text=10, n_action=0)
     ids, px, intr = batch["input_ids"], batch["pixel_values"], batch["intrinsic"]

@@ -429,27 +429,21 @@ def _decode_after_prefill(
     B = hidden.shape[0]
     # whole-LM fused decode (ops/decode_step.py): one Pallas kernel per
     # token instead of ~105 launches; eligible for the fused-quantized
-    # serving tree at batch 1 off-CPU. Padded batches take the XLA path
-    # (the fused kernel assumes a uniform valid-cache interval).
+    # serving tree off-CPU. Right-padded batches are served with per-row
+    # cache positions (mixed prompt lengths decode compactly after each
+    # row's valid prefix).
     use_fused = (
         "qkv" in params["lm"]["layers"]["attn"]
         and B <= 16  # per-batch-row VMEM scratch; attention loop unrolls in B
         and S <= cfg.text.sliding_window
-        and valid is None
         and jax.devices()[0].platform != "cpu"
         if use_fused_decode is None
         else use_fused_decode
     )
-    if use_fused and valid is not None:
-        raise ValueError(
-            "use_fused_decode=True requires attention_mask=None: the fused "
-            "kernel assumes a uniform unpadded prefix (scalar cache position) "
-            "and would silently mis-decode right-padded rows"
-        )
     if use_fused:
         return _generate_greedy_fused(
             params, cfg, cache, hidden, P, max_new_tokens, token_range,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, valid=valid,
         )
 
     if token_range is not None:
@@ -506,16 +500,22 @@ def _generate_greedy_fused(
     params: Params,
     cfg: SpatialVLAConfig,
     cache,
-    prefill_hidden: Array,  # (1, P, H) final-normed prefill output
+    prefill_hidden: Array,  # (B, P, H) final-normed prefill output
     P: int,
     max_new_tokens: int,
     token_range,
     *,
     compute_dtype=None,
+    valid: Optional[Array] = None,  # (B,) per-row prefix lengths (padded)
 ) -> Array:
     """Decode loop over the whole-LM fused kernel (ops/decode_step.py).
-    Batch entries share the unpadded prefix length P, so a single scalar
-    cache position serves the whole batch."""
+
+    Unpadded (`valid=None`): all rows share prefix length P and one scalar
+    cache position serves the batch. Right-padded: each row decodes with its
+    own cache position — generated tokens are written compactly at slots
+    [valid_m, valid_m + t), overwriting the pad slots the prefill left
+    behind, and RoPE positions continue each row's true sequence (the
+    pad-aware equivalent of the XLA path's mask/position handling)."""
     from ..ops.decode_step import fused_decode_step
     from ..ops.quant import qmatmul
 
@@ -535,31 +535,50 @@ def _generate_greedy_fused(
     # serving cache layout (L, B, Nkv, S, D)
     ck = jnp.transpose(cache["k"], (0, 1, 3, 2, 4))
     cv = jnp.transpose(cache["v"], (0, 1, 3, 2, 4))
+    if valid is None:
+        last_hidden = prefill_hidden[:, -1]
+    else:  # each row's last VALID token (pads sit after it)
+        last_hidden = jnp.take_along_axis(
+            prefill_hidden, (valid - 1)[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
     next_token = next_from(
-        prefill_hidden[:, -1].astype(compute_dtype or prefill_hidden.dtype)
+        last_hidden.astype(compute_dtype or prefill_hidden.dtype)
     )
     normalizer = jnp.asarray(
         tcfg.hidden_size**0.5,
         dtype=compute_dtype or prefill_hidden.dtype,
     )
 
+    def _scatter_rows(c, new, slots):
+        # per-row cache write: c (L, B, Nkv, S, D), new (L, B, Nkv, D),
+        # slots (B,) int32
+        return jax.vmap(
+            lambda cr, nr, s: jax.lax.dynamic_update_slice(
+                cr, nr[:, :, None, :], (0, 0, s, 0)
+            ),
+            in_axes=(1, 1, 0), out_axes=1,
+        )(c, new, slots)
+
     def step(carry, t):
         ck, cv, tok = carry
         embeds = merge_input_embeddings(
             params, cfg, tok[:, None], None, dtype=compute_dtype
-        )  # (1, 1, H) — spatial-token override included
+        )  # (B, 1, H) — spatial-token override included
         x = (embeds[:, 0] * normalizer)
-        slot = P + t
+        slot = (P + t).astype(jnp.int32) if valid is None else (valid + t).astype(jnp.int32)
         hidden, k_new, v_new = fused_decode_step(
-            params["lm"], tcfg, x, ck, cv,
-            slot.astype(jnp.int32), (slot + 1).astype(jnp.int32),
+            params["lm"], tcfg, x, ck, cv, slot, slot + 1,
         )
-        ck = jax.lax.dynamic_update_slice(
-            ck, k_new[:, :, :, None, :], (0, 0, 0, slot, 0)
-        )
-        cv = jax.lax.dynamic_update_slice(
-            cv, v_new[:, :, :, None, :], (0, 0, 0, slot, 0)
-        )
+        if valid is None:
+            ck = jax.lax.dynamic_update_slice(
+                ck, k_new[:, :, :, None, :], (0, 0, 0, slot, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cv, v_new[:, :, :, None, :], (0, 0, 0, slot, 0)
+            )
+        else:
+            ck = _scatter_rows(ck, k_new, slot)
+            cv = _scatter_rows(cv, v_new, slot)
         nxt = next_from(hidden.astype(compute_dtype or hidden.dtype))
         return (ck, cv, nxt), tok
 

@@ -131,10 +131,10 @@ def _matvec_block(x_bf16, w_ref, s_ref):
 
 def _decode_kernel(
     # scalars (SMEM)
-    p_ref,  # (1,) int32: current cache slot / number of valid cached slots
+    p_ref,  # (M,) int32: per-row cache slot / number of valid cached slots
     # inputs (VMEM blocks)
     x_ref,  # (M, H) f32 — sqrt(H)-scaled input embedding
-    cos_ref, sin_ref,  # (1, D) f32
+    cos_ref, sin_ref,  # (M, D) f32 — per-row RoPE tables
     norm_in_ref, norm_pa_ref, norm_pf_ref, norm_pd_ref,  # (1, H)
     norm_final_ref,  # (1, H)
     qkv_qt_ref, qkv_s_ref,
@@ -188,13 +188,15 @@ def _decode_kernel(
 
     @pl.when(t == A)
     def _attention():
-        p = p_ref[0]
-        cos = cos_ref[0].astype(jnp.bfloat16).astype(jnp.float32)  # (D,)
-        sin = sin_ref[0].astype(jnp.bfloat16).astype(jnp.float32)
-        # slots [0, p) are valid cache; column S is the current token
         kiota = jax.lax.broadcasted_iota(jnp.int32, (1, S + 1), 1)
-        mask = (kiota < p) | (kiota == S)
         for m in range(M):
+            # per-row cache occupancy: slots [0, p_m) are valid; column S is
+            # the current token. Rows may sit at different positions (mixed
+            # prompt lengths in one serving batch).
+            p = p_ref[m]
+            mask = (kiota < p) | (kiota == S)
+            cos = cos_ref[m].astype(jnp.bfloat16).astype(jnp.float32)  # (D,)
+            sin = sin_ref[m].astype(jnp.bfloat16).astype(jnp.float32)
             for h in range(Nkv):
                 # current k/v for this head
                 k_new = qkv_scr[m : m + 1, NqD + h * D : NqD + (h + 1) * D]
@@ -298,14 +300,19 @@ def fused_decode_step(
     x: jnp.ndarray,  # (M, H) bf16/f32 — embeddings * sqrt(H)
     cache_k: jnp.ndarray,  # (L, M, Nkv, S, D) bf16, valid slots [0, position)
     cache_v: jnp.ndarray,
-    position: jnp.ndarray,  # scalar int32 — slot the new token occupies
-    rope_position: jnp.ndarray,  # scalar int32 — RoPE position id
+    position: jnp.ndarray,  # int32 scalar or (M,) — slot the new token occupies
+    rope_position: jnp.ndarray,  # int32 scalar or (M,) — RoPE position id
     *,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (hidden (M, H) bf16 final-normed, k_new, v_new
     (L, M, Nkv, D) bf16). Caller scatters k_new/v_new into the cache at
-    `position`."""
+    `position`.
+
+    `position`/`rope_position` may be per-row (M,) vectors: rows of a
+    serving batch may sit at different sequence positions (mixed prompt
+    lengths, right-padded prefill) — each row masks its own valid-cache
+    interval [0, position[m]) and applies its own RoPE angle."""
     layers = lm_params["layers"]
     qkv, o = layers["attn"]["qkv"], layers["attn"]["o"]
     gu, dn = layers["mlp"]["gate_up"], layers["mlp"]["down"]
@@ -330,12 +337,19 @@ def fused_decode_step(
     B0, B1, B2, B3 = N0 // bn0, H // bn1, 2 * I // bn2, H // bn3
     T = B0 + 1 + B1 + B2 + B3
 
-    # rope tables for the single position
+    position = jnp.broadcast_to(
+        jnp.asarray(position, jnp.int32).reshape(-1), (M,)
+    )
+    rope_position = jnp.broadcast_to(
+        jnp.asarray(rope_position, jnp.int32).reshape(-1), (M,)
+    )
+
+    # per-row rope tables for the current positions
     inv_freq = 1.0 / (
         cfg.rope_theta ** (jnp.arange(0, D, 2, dtype=jnp.float32) / D)
     )
-    freqs = rope_position.astype(jnp.float32) * inv_freq  # (D/2,)
-    emb = jnp.concatenate([freqs, freqs])[None]  # (1, D)
+    freqs = rope_position.astype(jnp.float32)[:, None] * inv_freq[None]  # (M, D/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # (M, D)
     cos, sin = jnp.cos(emb), jnp.sin(emb)
 
     f32 = lambda a: a.astype(jnp.float32)
@@ -384,9 +398,9 @@ def fused_decode_step(
         kernel,
         grid=(L, T),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # position
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # position (M,)
             const(M, H),  # x
-            const(1, D), const(1, D),  # cos, sin
+            const(M, D), const(M, D),  # cos, sin (per row)
             perlayer(H), perlayer(H), perlayer(H), perlayer(H),  # layer norms
             const(1, H),  # final norm
             wspec(B0, 0, bn0, Kb0), sspec(B0, 0, bn0, qkv["scale"]),
@@ -421,7 +435,7 @@ def fused_decode_step(
         ),
         interpret=interpret,
     )(
-        position.reshape(1).astype(jnp.int32),
+        position,
         f32(x),
         cos, sin,
         f32(norms["input_norm"])[:, None], f32(norms["post_attn_norm"])[:, None],

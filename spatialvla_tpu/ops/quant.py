@@ -104,13 +104,28 @@ def expand_group_scale(scale: jnp.ndarray, K: int) -> jnp.ndarray:
     return jnp.repeat(scale, K // G, axis=-1)
 
 
+def grouped_dequant_t(qt_codes: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Transposed-layout grouped dequant: codes (..., N, K) x scale
+    (..., N, G) -> (..., N, K) via a reshape-multiply — (N, G, K/G) *
+    scale[..., None] — which XLA fuses into the consuming dot's operand.
+    (An explicit jnp.repeat scale map defeats that fusion; at 4B scale the
+    resulting materialized/hoisted buffers exhausted device memory —
+    NOTES_ROUND3.md.)"""
+    N, K = qt_codes.shape[-2:]
+    G = scale.shape[-1]
+    lead = qt_codes.shape[:-2]
+    q3 = qt_codes.astype(dtype).reshape(lead + (N, G, K // G))
+    return (q3 * scale[..., None].astype(dtype)).reshape(lead + (N, K))
+
+
 def dequantize(qw: QuantW, dtype=jnp.float32) -> jnp.ndarray:
     """-> (..., K, N) float."""
     qt = unpack_int4(qw["qt"]) if is_int4(qw) else qw["qt"]
-    q = jnp.swapaxes(qt, -1, -2).astype(jnp.float32)
     if is_grouped(qw):
-        smap = jnp.swapaxes(expand_group_scale(qw["scale"], q.shape[-2]), -1, -2)
-        return (q * smap).astype(dtype)
+        return jnp.swapaxes(
+            grouped_dequant_t(qt, qw["scale"], jnp.float32), -1, -2
+        ).astype(dtype)
+    q = jnp.swapaxes(qt, -1, -2).astype(jnp.float32)
     return (q * qw["scale"][..., None, :]).astype(dtype)
 
 
@@ -195,11 +210,16 @@ def _q8_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
 QKERNEL_MAX_M = 512
 
 
-def _pick_block_n(K: int, N: int, M: int) -> int:
-    # VMEM per grid step ≈ w_int8 (K*bn) + w_bf16 convert (2*K*bn) +
-    # x_bf16 (M*K*2) + out; stay well under the 16MB scoped limit
+def _pick_block_n(K: int, N: int, M: int, *, grouped: bool = False) -> int:
+    # VMEM per grid step ≈ w block + dequant temporaries + x_bf16 + out;
+    # stay well under the 16MB scoped limit. Per-channel: w_int8/packed
+    # (≤ K) + w_bf16 convert (2K) ≈ 3K bytes/row. Grouped scales add the
+    # f32 scale-map repeat (4K) + its bf16 cast (2K) + the scaled weight
+    # block (2K) ≈ 11K bytes/row (measured: bn=1664 @ K=2048 grouped
+    # overflows the 16M scoped-vmem stack by 2.2M).
+    per_row = 11 * K if grouped else 3 * K
     budget = 10 * 1024 * 1024 - M * K * 2
-    bn = max(128, min(N, budget // max(3 * K + 4 * M, 1)))
+    bn = max(128, min(N, budget // max(per_row + 4 * M, 1)))
     return (bn // 128) * 128
 
 
@@ -228,7 +248,7 @@ def int8_matmul(
 ) -> jnp.ndarray:
     M, K = x.shape
     N, Kb = qt.shape  # Kb == K (int8) or K // 2 (packed int4)
-    bn = _pick_block_n(K, N, M)
+    bn = _pick_block_n(K, N, M, grouped=scale.ndim == 2)
     # non-divisible N: pallas pads boundary blocks automatically
     grid = (pl.cdiv(N, bn),)
     sspec, sop = _scale_spec(scale, bn)
@@ -270,7 +290,7 @@ def int8_rmsnorm_matmul(
     """rms_norm(x) @ dequant(qt) in one kernel (decode fast path)."""
     M, K = x.shape
     N, Kb = qt.shape
-    bn = _pick_block_n(K, N, M)
+    bn = _pick_block_n(K, N, M, grouped=scale.ndim == 2)
     grid = (pl.cdiv(N, bn),)
     sspec, sop = _scale_spec(scale, bn)
     return pl.pallas_call(
@@ -325,9 +345,7 @@ def qmatmul(x: jnp.ndarray, w, *, use_kernel=None) -> jnp.ndarray:
     else:  # XLA path (prefill / training shapes): transient bf16 dequant
         qt = unpack_int4(w["qt"]) if is_int4(w) else w["qt"]
         if is_grouped(w):
-            wd = qt.astype(x.dtype) * expand_group_scale(
-                w["scale"], qt.shape[-1]
-            ).astype(x.dtype)
+            wd = grouped_dequant_t(qt, w["scale"], x.dtype)
         else:
             wd = qt.astype(x.dtype) * w["scale"].astype(x.dtype)[:, None]
         y = jnp.einsum("mk,nk->mn", x2, wd)

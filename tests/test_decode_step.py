@@ -87,6 +87,72 @@ def test_fused_step_matches_xla_serving_path(qparams, B):
     )
 
 
+def test_fused_step_per_row_positions(qparams):
+    """A vector-position call on rows sitting at DIFFERENT cache depths
+    (mixed-length serving batch) matches reference calls at each row's
+    scalar position.
+
+    The references are batched at the SAME M with the row replicated:
+    XLA's dot accumulation order differs between M=1 and M=3 (gemv vs gemm
+    tiling), which perturbs the int4 grouped-dequant f32 sums by bf16 ULPs
+    that compound over layers — measured 0.0156 max on this config with
+    IDENTICAL rows and a uniform scalar position, i.e. pure M-dependence,
+    no per-row logic involved. Holding M fixed makes the comparison exact,
+    so a wrong per-row mask/RoPE position cannot hide under tolerance."""
+    Smax = 16
+    M = 3
+    lens = [6, 4, 5]
+    rows = [prefill(qparams, 1, p, Smax, seed=20 + i) for i, p in enumerate(lens)]
+    xs = [
+        jnp.asarray(r[2].randn(1, CFG.hidden_size).astype(np.float32)).astype(
+            jnp.bfloat16
+        )
+        for r in rows
+    ]
+    normalizer = jnp.asarray(CFG.hidden_size**0.5, dtype=jnp.bfloat16)
+
+    singles = []
+    for (_, cache, _), x, p in zip(rows, xs, lens):
+        ck = jnp.transpose(cache["k"], (0, 1, 3, 2, 4))
+        cv = jnp.transpose(cache["v"], (0, 1, 3, 2, 4))
+        singles.append(
+            fused_decode_step(
+                qparams, CFG,
+                jnp.concatenate([x] * M, axis=0) * normalizer,
+                jnp.concatenate([ck] * M, axis=1),
+                jnp.concatenate([cv] * M, axis=1),
+                jnp.int32(p), jnp.int32(p + 1), interpret=True,
+            )
+        )
+
+    ck_all = jnp.concatenate(
+        [jnp.transpose(c["k"], (0, 1, 3, 2, 4)) for _, c, _ in rows], axis=1
+    )
+    cv_all = jnp.concatenate(
+        [jnp.transpose(c["v"], (0, 1, 3, 2, 4)) for _, c, _ in rows], axis=1
+    )
+    x_all = jnp.concatenate(xs, axis=0)
+    h, k_new, v_new = fused_decode_step(
+        qparams, CFG, x_all * normalizer, ck_all, cv_all,
+        jnp.asarray(lens, jnp.int32), jnp.asarray(lens, jnp.int32) + 1,
+        interpret=True,
+    )
+    # compare against row m of the replicated call: same M, same unrolled
+    # attention loop index -> bit-identical expected
+    for m, (hs, ks, vs) in enumerate(singles):
+        np.testing.assert_allclose(
+            np.asarray(h[m], np.float32), np.asarray(hs[m], np.float32), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(k_new[:, m], np.float32), np.asarray(ks[:, m], np.float32),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_new[:, m], np.float32), np.asarray(vs[:, m], np.float32),
+            atol=1e-5,
+        )
+
+
 def test_fused_decode_loop_token_parity(qparams):
     """4 chained fused steps (cache scatter outside the kernel) produce the
     same greedy tokens as the XLA decode loop."""

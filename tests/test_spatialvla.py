@@ -256,16 +256,50 @@ def test_restricted_decode_stays_in_action_block(params):
     assert gen[0, 0] == expected
 
 
-def test_forced_fused_decode_rejects_padded_batch():
-    """use_fused_decode=True with a right-padded attention_mask must fail
-    loudly (the fused kernel assumes a uniform unpadded prefix, ADVICE r2)."""
-    B, P = 2, CFG.num_image_tokens + 4
-    ids = np.full((B, P), CFG.image_token_index, np.int32)
+def test_padded_fused_decode_matches_xla_path(monkeypatch):
+    """Right-padded mixed-length batches through the fused decode path
+    (per-row cache positions, ops/decode_step.py) produce the same greedy
+    tokens as the pad-aware XLA path — the serving engine batches requests
+    with different instruction lengths through this route."""
+    import functools
+
+    from spatialvla_tpu.ops import decode_step as ds
+    from spatialvla_tpu.ops.quant import quantize_lm_params
+
+    monkeypatch.setattr(
+        ds, "fused_decode_step",
+        functools.partial(ds.fused_decode_step, interpret=True),
+    )
+    # widen the window so serving S fits it (the fused kernel treats window
+    # and global layers identically below the window, as at 4b scale)
+    cfg = dataclasses.replace(
+        CFG, text=dataclasses.replace(CFG.text, sliding_window=512)
+    )
+    params = spatialvla.init_params(jax.random.PRNGKey(2), cfg)
+    qparams = dict(params)
+    qparams["lm"] = quantize_lm_params(params["lm"], fuse=True)
+
+    rng = np.random.RandomState(11)
+    B, n_text = 3, 6
+    N = cfg.num_image_tokens
+    P = N + n_text
+    ids = np.concatenate(
+        [np.full((B, N), cfg.image_token_index), rng.randint(0, 1000, (B, n_text))],
+        axis=1,
+    )
     am = np.ones((B, P), np.int32)
-    am[1, -2:] = 0
-    with pytest.raises(ValueError, match="attention_mask"):
-        spatialvla.generate_greedy(
-            spatialvla.init_params(jax.random.PRNGKey(0), CFG), CFG,
-            jnp.asarray(ids), attention_mask=jnp.asarray(am),
-            max_new_tokens=3, use_fused_decode=True,
-        )
+    am[1, -3:] = 0  # mixed prompt lengths, right-padded
+    am[2, -1:] = 0
+    pixels = jnp.asarray(
+        rng.rand(B, cfg.vision.image_size, cfg.vision.image_size, 3).astype(np.float32)
+    )
+    common = dict(
+        pixel_values=pixels, attention_mask=jnp.asarray(am), max_new_tokens=6,
+    )
+    gen_xla = spatialvla.generate_greedy(
+        qparams, cfg, jnp.asarray(ids), use_fused_decode=False, **common
+    )
+    gen_fused = spatialvla.generate_greedy(
+        qparams, cfg, jnp.asarray(ids), use_fused_decode=True, **common
+    )
+    np.testing.assert_array_equal(np.asarray(gen_fused), np.asarray(gen_xla))
