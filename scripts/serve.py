@@ -1,0 +1,124 @@
+"""HTTP serving front-end for a SpatialVLA checkpoint.
+
+Stdlib-only (http.server) JSON API over the continuous-batching engine
+(spatialvla_tpu/serve/engine.py). Concurrent client requests are batched
+onto the TPU by the engine; the reference has no serving stack
+(/root/reference/test/test_huggingface.py is its only inference entry).
+
+Usage:
+    PYTHONPATH=/root/repo python scripts/serve.py --ckpt /path/to/ckpt \
+        [--hf] [--bits 8] [--port 8000] [--max_batch 16]
+
+API:
+    POST /predict   {"image": <base64 PNG/JPEG or nested [H][W][3] list>,
+                     "instruction": str, "unnorm_key": str|null}
+                 -> {"actions": [[...7]...chunk], "action_ids": [...],
+                     "latency_ms": float}
+    GET  /stats  -> engine batching/latency counters
+    GET  /health -> {"ok": true}
+"""
+import argparse
+import base64
+import io
+import json
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def _decode_image(spec):
+    if isinstance(spec, str):  # base64-encoded PNG/JPEG
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(base64.b64decode(spec))).convert("RGB")
+        return np.asarray(img)
+    return np.asarray(spec, dtype=np.uint8)
+
+
+def make_handler(engine):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, {"ok": True})
+            elif self.path == "/stats":
+                self._send(200, engine.stats())
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                image = _decode_image(req["image"])
+                t0 = time.monotonic()
+                out = engine.predict(
+                    image, req["instruction"], unnorm_key=req.get("unnorm_key")
+                )
+                self._send(
+                    200,
+                    {
+                        "actions": np.asarray(out["actions"]).tolist(),
+                        "action_ids": np.asarray(out["action_ids"]).tolist(),
+                        "latency_ms": (time.monotonic() - t0) * 1e3,
+                    },
+                )
+            except Exception as e:  # surface the failure to the client
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, *args):
+            pass  # keep stdout clean for operators
+
+    return Handler
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True, help="checkpoint directory")
+    ap.add_argument("--hf", action="store_true", help="reference-format HF checkpoint")
+    ap.add_argument("--bits", type=int, default=8, help="LM weight bits (0 = bf16)")
+    ap.add_argument("--vision_bits", type=int, default=8)
+    ap.add_argument("--depth_res", type=int, default=0, help="reduced zoe resolution (0 = full)")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max_batch", type=int, default=16)
+    ap.add_argument("--max_wait_ms", type=float, default=4.0)
+    args = ap.parse_args(argv)
+
+    from spatialvla_tpu.inference import SpatialVLAPolicy
+    from spatialvla_tpu.serve import ServingEngine
+
+    policy = (
+        SpatialVLAPolicy.from_hf_checkpoint(args.ckpt)
+        if args.hf
+        else SpatialVLAPolicy.load(args.ckpt)
+    )
+    if args.bits:
+        policy.quantize(
+            args.bits,
+            vision_bits=args.vision_bits or None,
+            depth_image_size=args.depth_res or None,
+        )
+    engine = ServingEngine(
+        policy, max_batch_size=args.max_batch, max_wait_ms=args.max_wait_ms
+    )
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(engine))
+    print(f"serving on :{args.port} (max_batch={args.max_batch})", flush=True)
+    try:
+        server.serve_forever()
+    finally:
+        engine.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,276 @@
+"""Continuous-batching serving engine.
+
+The reference serves one request at a time through HF `generate`
+(`/root/reference/test/test_huggingface.py:12-31`,
+`model/modeling_spatialvla.py:484-492`) — there is no serving stack to
+match, so this component is beyond-parity infrastructure for production
+deployment on TPU.
+
+Design (TPU-first):
+
+- ONE dispatch thread owns the device: requests are submitted from any
+  number of caller threads, host-side preprocessing (tokenize + image
+  resize) runs on the caller's thread, and the dispatch thread only
+  assembles batches and launches compiled programs — the TPU never waits
+  on host preprocessing.
+- Shape bucketing bounds compilation: prompt lengths are right-padded to a
+  multiple of `prompt_pad_multiple`, batch sizes to the next entry of
+  `batch_buckets` (rows replicated, extras dropped after decode). Every
+  (T, B) bucket is one XLA program, compiled once and cached by
+  `SpatialVLAPolicy._jitted_predict`.
+- Mixed prompt lengths ride the pad-aware decode path: right-padded rows
+  decode through the per-row-position fused kernel on TPU
+  (ops/decode_step.py) with token parity against the XLA path pinned by
+  tests/test_spatialvla.py.
+- Per-request `unnorm_key`: normalization statistics only matter at decode
+  time (host side), so requests against different datasets batch together
+  freely; each result is unnormalized with its own stats.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+DEFAULT_BATCH_BUCKETS = (1, 2, 4, 8, 16)
+
+
+@dataclass
+class _Request:
+    ids: np.ndarray  # (1, T_i) all-valid prompt ids
+    pixel_values: np.ndarray  # (1, ...) preprocessed image(s)
+    intrinsic: np.ndarray  # (1, 3, 3)
+    unnorm_key: Optional[str]
+    future: Future = field(default_factory=Future)
+    t_submit: float = field(default_factory=time.monotonic)
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def _pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if b >= n:
+            return b
+    return buckets[-1]
+
+
+def assemble_batch(
+    requests: List[_Request],
+    *,
+    pad_id: int,
+    prompt_pad_multiple: int,
+    batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Right-pad mixed-length requests into one fixed-shape batch.
+
+    Returns (input_ids (B, T), attention_mask, pixel_values, intrinsic)
+    with B = the batch bucket (filler rows replicate request 0) and
+    T = max prompt length rounded up to `prompt_pad_multiple`. Split out
+    from the dispatch loop so tests can pin batch assembly against the
+    processor's own max_length padding."""
+    n = len(requests)
+    B = _pick_bucket(n, batch_buckets)
+    T = _round_up(max(r.ids.shape[1] for r in requests), prompt_pad_multiple)
+    ids = np.full((B, T), pad_id, dtype=np.int32)
+    attn = np.zeros((B, T), dtype=np.int32)
+    for i, r in enumerate(requests):
+        t = r.ids.shape[1]
+        ids[i, :t] = r.ids[0]
+        attn[i, :t] = 1
+    if n < B:  # filler rows: replicate request 0 (decoded rows are dropped)
+        ids[n:] = ids[0]
+        attn[n:] = attn[0]
+    px = np.concatenate(
+        [r.pixel_values for r in requests]
+        + [requests[0].pixel_values] * (B - n),
+        axis=0,
+    )
+    intr = np.concatenate(
+        [r.intrinsic for r in requests] + [requests[0].intrinsic] * (B - n),
+        axis=0,
+    )
+    return ids, attn, px, intr
+
+
+class ServingEngine:
+    """Dynamic batcher over a `SpatialVLAPolicy`.
+
+    Usage:
+        engine = ServingEngine(policy, max_batch_size=16)
+        fut = engine.submit(image, "pick up the cup", unnorm_key=...)
+        fut.result()  # {"actions": (chunk, 7), "action_ids": (3*chunk,)}
+    """
+
+    def __init__(
+        self,
+        policy,
+        *,
+        max_batch_size: int = 16,
+        max_wait_ms: float = 4.0,
+        prompt_pad_multiple: int = 16,
+        batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
+    ):
+        if max_batch_size > max(batch_buckets):
+            raise ValueError("max_batch_size exceeds the largest batch bucket")
+        self.policy = policy
+        self.max_batch_size = max_batch_size
+        self.max_wait_ms = max_wait_ms
+        self.prompt_pad_multiple = prompt_pad_multiple
+        self.batch_buckets = tuple(sorted(batch_buckets))
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._pending: List[_Request] = []  # shape-incompatible holdovers
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._stats = {
+            "requests": 0,
+            "batches": 0,
+            "batched_rows": 0,  # real rows summed over batches
+            "padded_rows": 0,  # filler rows summed over batches
+            "latency_ms": [],  # submit -> result, per request
+        }
+        self._worker = threading.Thread(
+            target=self._dispatch_loop, name="spatialvla-serve", daemon=True
+        )
+        self._worker.start()
+
+    # -- client side -----------------------------------------------------
+    def submit(self, image, instruction: str, *, unnorm_key: Optional[str] = None) -> Future:
+        """Preprocess on the caller's thread, enqueue for batched dispatch."""
+        if self._stop.is_set():
+            raise RuntimeError("engine is shut down")
+        inputs = self.policy.processor(image, instruction, unnorm_key=unnorm_key)
+        req = _Request(
+            ids=np.asarray(inputs["input_ids"]),
+            pixel_values=np.asarray(inputs["pixel_values"]),
+            intrinsic=np.asarray(inputs["intrinsic"]),
+            unnorm_key=unnorm_key,
+        )
+        self._queue.put(req)
+        return req.future
+
+    def predict(self, image, instruction: str, *, unnorm_key: Optional[str] = None):
+        """Blocking convenience wrapper around submit()."""
+        return self.submit(image, instruction, unnorm_key=unnorm_key).result()
+
+    def stats(self) -> Dict:
+        with self._lock:
+            lat = sorted(self._stats["latency_ms"])
+            served = self._stats["requests"]
+            batches = self._stats["batches"]
+            return {
+                "requests": served,
+                "batches": batches,
+                "mean_batch_occupancy": (
+                    self._stats["batched_rows"] / batches if batches else 0.0
+                ),
+                "pad_fraction": (
+                    self._stats["padded_rows"]
+                    / max(self._stats["batched_rows"] + self._stats["padded_rows"], 1)
+                ),
+                "latency_ms_p50": lat[len(lat) // 2] if lat else None,
+                "latency_ms_p95": lat[min(len(lat) - 1, int(0.95 * len(lat)))]
+                if lat
+                else None,
+            }
+
+    def shutdown(self, *, wait: bool = True):
+        self._stop.set()
+        self._queue.put(None)  # wake the worker
+        if wait:
+            self._worker.join(timeout=60)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
+
+    # -- dispatch side ----------------------------------------------------
+    def _collect(self) -> List[_Request]:
+        """Block for one request, then drain compatible ones for up to
+        max_wait_ms (or until the batch is full)."""
+        batch: List[_Request] = []
+        if self._pending:
+            batch.append(self._pending.pop(0))
+        else:
+            first = self._queue.get()
+            if first is None:
+                return batch
+            batch.append(first)
+        deadline = time.monotonic() + self.max_wait_ms / 1e3
+        while len(batch) < self.max_batch_size:
+            timeout = deadline - time.monotonic()
+            try:
+                r = (
+                    self._pending.pop(0)
+                    if self._pending
+                    else self._queue.get(timeout=max(timeout, 0.0))
+                )
+            except queue.Empty:
+                break
+            if r is None:
+                break
+            # only identically-shaped observations batch together
+            # (e.g. multi-view vs single-view requests)
+            if r.pixel_values.shape[1:] != batch[0].pixel_values.shape[1:]:
+                self._pending.append(r)
+                break
+            batch.append(r)
+        return batch
+
+    def _dispatch_loop(self):
+        while not self._stop.is_set() or self._pending or not self._queue.empty():
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                self._run_batch(batch)
+            except Exception as e:  # fail the batch loudly, keep serving
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _run_batch(self, batch: List[_Request]):
+        ids, attn, px, intr = assemble_batch(
+            batch,
+            pad_id=self.policy.processor.text_tokenizer.pad_id,
+            prompt_pad_multiple=self.prompt_pad_multiple,
+            batch_buckets=self.batch_buckets,
+        )
+        fn = self.policy._jitted_predict(
+            ids.shape[1], self.policy.processor.action_chunk_size, padded=True
+        )
+        generated = np.asarray(
+            fn(
+                self.policy.params,
+                jnp.asarray(ids),
+                jnp.asarray(px),
+                jnp.asarray(intr),
+                jnp.asarray(attn),
+            )
+        )
+        now = time.monotonic()
+        with self._lock:
+            self._stats["batches"] += 1
+            self._stats["requests"] += len(batch)
+            self._stats["batched_rows"] += len(batch)
+            self._stats["padded_rows"] += ids.shape[0] - len(batch)
+            self._stats["latency_ms"] = self._stats["latency_ms"][-999:] + [
+                (now - r.t_submit) * 1e3 for r in batch
+            ]
+        for i, r in enumerate(batch):
+            out = self.policy.processor.decode_actions(
+                generated[i : i + 1], unnorm_key=r.unnorm_key
+            )
+            r.future.set_result(
+                {"actions": out["actions"][0], "action_ids": out["action_ids"][0]}
+            )
