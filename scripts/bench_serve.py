@@ -1,0 +1,232 @@
+"""Serving load benchmark for the continuous-batching engine.
+
+Drives `spatialvla_tpu/serve/engine.py` with N concurrent closed-loop
+clients (each models a robot control loop: submit an observation, wait for
+the action chunk, repeat) and reports throughput, latency percentiles, and
+batching efficiency as ONE JSON line.
+
+The reference has no serving stack to compare against
+(`/root/reference/test/test_huggingface.py:12-31` is its single-shot
+inference entry); this measures the beyond-parity serving path: dynamic
+batching + pad-aware per-row fused decode.
+
+Usage (real TPU, random-init flagship — the bench.py counterpart):
+    PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_serve.py \
+        --clients 8 --requests 8 [--bits 8] [--depth_res 256]
+
+    # or against a real checkpoint:
+    ... bench_serve.py --ckpt /path/to/orbax_ckpt
+    ... bench_serve.py --hf /path/to/hf_ckpt
+
+    # CPU smoke (fabricated tiny checkpoint, also exercised by tests):
+    ... bench_serve.py --tiny --clients 3 --requests 2
+"""
+import argparse
+import json
+import sys
+import tempfile
+import threading
+import time
+
+import numpy as np
+
+# varied lengths so the run exercises mixed-length pad-aware batches
+INSTRUCTION_POOL = (
+    "go",
+    "pick up the cup",
+    "push the green bowl to the left side",
+    "open the top drawer and place the sponge inside of it",
+)
+
+
+def _build_policy(args):
+    import jax
+    import jax.numpy as jnp
+
+    from spatialvla_tpu.inference import SpatialVLAPolicy
+
+    if args.tiny:
+        sys.path.insert(0, args.repo_root)
+        from tests.test_hf_checkpoint import _build_reference_style_checkpoint
+
+        import pathlib
+
+        d = tempfile.mkdtemp(prefix="bench_serve_tiny_")
+        _build_reference_style_checkpoint(pathlib.Path(d))
+        return SpatialVLAPolicy.from_hf_checkpoint(d, param_dtype=None)
+    if args.hf:
+        policy = SpatialVLAPolicy.from_hf_checkpoint(args.hf)
+    elif args.ckpt:
+        policy = SpatialVLAPolicy.load(args.ckpt)
+    else:  # random-init flagship, same weights-shape as bench.py
+        from spatialvla_tpu.config import spatialvla_4b
+        from spatialvla_tpu.models import spatialvla
+        from spatialvla_tpu.processor import SpatialVLAProcessor
+
+        cfg = spatialvla_4b()
+        params = jax.jit(
+            lambda k: spatialvla.init_params(k, cfg, dtype=jnp.bfloat16)
+        )(jax.random.PRNGKey(0))
+        proc = SpatialVLAProcessor(
+            statistics={
+                "bench/1.0.0": {
+                    "action": {
+                        "q01": (-np.ones(7)).tolist(),
+                        "q99": np.ones(7).tolist(),
+                        "mask": [1, 1, 1, 1, 1, 1, 0],
+                    }
+                }
+            }
+        )
+        policy = SpatialVLAPolicy(params, cfg, proc)
+    if args.bits:
+        policy.quantize(
+            bits=args.bits,
+            vision_bits=args.vision_bits or None,
+            depth_image_size=args.depth_res or None,
+        )
+    return policy
+
+
+def _warmup(policy, args, images):
+    """Compile every (T, B) bucket the measured phase can hit — a stray
+    20-40 s XLA compile inside the measured window would otherwise dominate
+    the wall clock. On the flagship model all pool instructions land in ONE
+    padded-T bucket (256 image tokens + short text, pad multiple 64), so
+    this is one compile per batch bucket."""
+    import jax.numpy as jnp
+
+    from spatialvla_tpu.serve.engine import _Request, assemble_batch
+
+    by_bucket = {}  # padded-T -> representative request
+    for instr in INSTRUCTION_POOL:
+        inputs = policy.processor(images[0], instr, unnorm_key=args.unnorm_key)
+        req = _Request(
+            ids=np.asarray(inputs["input_ids"]),
+            pixel_values=np.asarray(inputs["pixel_values"]),
+            intrinsic=np.asarray(inputs["intrinsic"]),
+            unnorm_key=args.unnorm_key,
+        )
+        t = -(-req.ids.shape[1] // args.pad_multiple) * args.pad_multiple
+        by_bucket.setdefault(t, req)
+    for req in by_bucket.values():
+        for B in (b for b in (1, 2, 4, 8, 16) if b <= args.max_batch):
+            ids, attn, px, intr = assemble_batch(
+                [req], pad_id=policy.processor.text_tokenizer.pad_id,
+                prompt_pad_multiple=args.pad_multiple, batch_buckets=(B,),
+            )
+            fn = policy._jitted_predict(
+                ids.shape[1], policy.processor.action_chunk_size, padded=True
+            )
+            np.asarray(fn(policy.params, jnp.asarray(ids), jnp.asarray(px),
+                          jnp.asarray(intr), jnp.asarray(attn)))
+
+
+def _run_phase(policy, args, images, n_clients, n_requests):
+    """n_clients closed-loop clients x n_requests each; returns (engine
+    stats, wall seconds)."""
+    from spatialvla_tpu.serve import ServingEngine
+
+    errors = []
+    with ServingEngine(
+        policy,
+        max_batch_size=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        prompt_pad_multiple=args.pad_multiple,
+        batch_buckets=tuple(
+            b for b in (1, 2, 4, 8, 16) if b <= max(args.max_batch, 1)
+        ),
+    ) as engine:
+
+        def client(i):
+            rng = np.random.RandomState(100 + i)
+            try:
+                for j in range(n_requests):
+                    instr = INSTRUCTION_POOL[(i + j) % len(INSTRUCTION_POOL)]
+                    engine.predict(
+                        images[(i + j) % len(images)], instr,
+                        unnorm_key=args.unnorm_key,
+                    )
+            except Exception as e:  # pragma: no cover - surfaced below
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(n_clients)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        stats = engine.stats()
+    if errors:
+        raise errors[0]
+    return stats, wall
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt", help="Orbax checkpoint dir")
+    p.add_argument("--hf", help="reference-format HF checkpoint dir")
+    p.add_argument("--tiny", action="store_true",
+                   help="fabricated tiny checkpoint (CPU smoke)")
+    p.add_argument("--bits", type=int, default=0,
+                   help="weight-only LM quantization (8 or 4; 0 = bf16)")
+    p.add_argument("--vision_bits", type=int, default=0)
+    p.add_argument("--depth_res", type=int, default=0)
+    p.add_argument("--clients", type=int, default=8)
+    p.add_argument("--requests", type=int, default=8, help="per client")
+    p.add_argument("--max_batch", type=int, default=16)
+    p.add_argument("--max_wait_ms", type=float, default=4.0)
+    p.add_argument("--pad_multiple", type=int, default=64,
+                   help="prompt pad multiple (64 keeps the short-instruction "
+                        "pool in one padded-length bucket -> one compile per "
+                        "batch bucket)")
+    p.add_argument("--unnorm_key", default=None)
+    p.add_argument("--repo_root", default=None, help=argparse.SUPPRESS)
+    args = p.parse_args(argv)
+    if args.repo_root is None:
+        import os
+
+        args.repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    policy = _build_policy(args)
+    if args.unnorm_key is None and policy.processor.statistics:
+        args.unnorm_key = next(iter(policy.processor.statistics))
+
+    s = policy.config.vision.image_size
+    rng = np.random.RandomState(0)
+    images = [
+        (rng.rand(s, s, 3) * 255).astype(np.uint8) for _ in range(4)
+    ]
+
+    # compiled programs live on the policy's _predict_cache, so the
+    # measured engine reuses every bucket compiled here
+    _warmup(policy, args, images)
+
+    stats, wall = _run_phase(policy, args, images, args.clients, args.requests)
+
+    total = args.clients * args.requests
+    chunk = policy.processor.action_chunk_size
+    result = {
+        "metric": "serving load, %d closed-loop clients (%s LM%s)" % (
+            args.clients,
+            "int%d" % args.bits if args.bits else "bf16",
+            ", depth@%d" % args.depth_res if args.depth_res else "",
+        ),
+        "requests": total,
+        "wall_s": round(wall, 3),
+        "throughput_rps": round(total / wall, 2),
+        "actions_per_sec": round(total * chunk / wall, 2),
+        "latency_ms_p50": stats["latency_ms_p50"],
+        "latency_ms_p95": stats["latency_ms_p95"],
+        "mean_batch_occupancy": round(stats["mean_batch_occupancy"], 2),
+        "pad_fraction": round(stats["pad_fraction"], 3),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()
