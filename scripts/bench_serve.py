@@ -88,40 +88,6 @@ def _build_policy(args):
     return policy
 
 
-def _warmup(policy, args, images):
-    """Compile every (T, B) bucket the measured phase can hit — a stray
-    20-40 s XLA compile inside the measured window would otherwise dominate
-    the wall clock. On the flagship model all pool instructions land in ONE
-    padded-T bucket (256 image tokens + short text, pad multiple 64), so
-    this is one compile per batch bucket."""
-    import jax.numpy as jnp
-
-    from spatialvla_tpu.serve.engine import _Request, assemble_batch
-
-    by_bucket = {}  # padded-T -> representative request
-    for instr in INSTRUCTION_POOL:
-        inputs = policy.processor(images[0], instr, unnorm_key=args.unnorm_key)
-        req = _Request(
-            ids=np.asarray(inputs["input_ids"]),
-            pixel_values=np.asarray(inputs["pixel_values"]),
-            intrinsic=np.asarray(inputs["intrinsic"]),
-            unnorm_key=args.unnorm_key,
-        )
-        t = -(-req.ids.shape[1] // args.pad_multiple) * args.pad_multiple
-        by_bucket.setdefault(t, req)
-    for req in by_bucket.values():
-        for B in (b for b in (1, 2, 4, 8, 16) if b <= args.max_batch):
-            ids, attn, px, intr = assemble_batch(
-                [req], pad_id=policy.processor.text_tokenizer.pad_id,
-                prompt_pad_multiple=args.pad_multiple, batch_buckets=(B,),
-            )
-            fn = policy._jitted_predict(
-                ids.shape[1], policy.processor.action_chunk_size, padded=True
-            )
-            np.asarray(fn(policy.params, jnp.asarray(ids), jnp.asarray(px),
-                          jnp.asarray(intr), jnp.asarray(attn)))
-
-
 def _run_phase(policy, args, images, n_clients, n_requests):
     """n_clients closed-loop clients x n_requests each; returns (engine
     stats, wall seconds)."""
@@ -201,9 +167,18 @@ def main(argv=None):
         (rng.rand(s, s, 3) * 255).astype(np.uint8) for _ in range(4)
     ]
 
-    # compiled programs live on the policy's _predict_cache, so the
-    # measured engine reuses every bucket compiled here
-    _warmup(policy, args, images)
+    # compile every (padded-T, B) bucket the measured phase can hit — a
+    # stray 20-40 s XLA compile inside the measured window would otherwise
+    # dominate the wall clock. Compiled programs live on the policy's
+    # _predict_cache, so the measured engine reuses them.
+    from spatialvla_tpu.serve import warmup_buckets
+
+    warmup_buckets(
+        policy, sample_image=images[0], instructions=INSTRUCTION_POOL,
+        prompt_pad_multiple=args.pad_multiple,
+        batch_buckets=tuple(b for b in (1, 2, 4, 8, 16) if b <= args.max_batch),
+        unnorm_key=args.unnorm_key,
+    )
 
     stats, wall = _run_phase(policy, args, images, args.clients, args.requests)
 

@@ -93,10 +93,27 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--max_wait_ms", type=float, default=4.0)
+    ap.add_argument("--pad_multiple", type=int, default=16)
+    ap.add_argument(
+        "--no_warmup", action="store_true",
+        help="skip startup pre-compilation of the serving buckets "
+             "(first requests then pay the XLA compiles)",
+    )
+    ap.add_argument(
+        "--compilation_cache", default=None, metavar="DIR",
+        help="persist XLA executables across restarts "
+             "(jax persistent compilation cache)",
+    )
     args = ap.parse_args(argv)
 
+    if args.compilation_cache:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", args.compilation_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from spatialvla_tpu.inference import SpatialVLAPolicy
-    from spatialvla_tpu.serve import ServingEngine
+    from spatialvla_tpu.serve import ServingEngine, warmup_buckets
 
     policy = (
         SpatialVLAPolicy.from_hf_checkpoint(args.ckpt)
@@ -109,8 +126,24 @@ def main(argv=None):
             vision_bits=args.vision_bits or None,
             depth_image_size=args.depth_res or None,
         )
+    if not args.no_warmup:
+        s = policy.config.vision.image_size
+        buckets = tuple(b for b in (1, 2, 4, 8, 16) if b <= args.max_batch)
+        print("warming serving buckets (one XLA compile per (T, B))...",
+              flush=True)
+        warmup_buckets(
+            policy,
+            sample_image=np.zeros((s, s, 3), np.uint8),
+            # one short + one long instruction covers the padded-T buckets
+            # realistic robot instructions land in
+            instructions=("go", "open the top drawer and place the sponge "
+                          "inside of it then close the drawer again"),
+            prompt_pad_multiple=args.pad_multiple,
+            batch_buckets=buckets,
+        )
     engine = ServingEngine(
-        policy, max_batch_size=args.max_batch, max_wait_ms=args.max_wait_ms
+        policy, max_batch_size=args.max_batch, max_wait_ms=args.max_wait_ms,
+        prompt_pad_multiple=args.pad_multiple,
     )
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(engine))
     print(f"serving on :{args.port} (max_batch={args.max_batch})", flush=True)

@@ -1,3 +1,3 @@
-from .engine import ServingEngine, assemble_batch
+from .engine import ServingEngine, assemble_batch, warmup_buckets
 
-__all__ = ["ServingEngine", "assemble_batch"]
+__all__ = ["ServingEngine", "assemble_batch", "warmup_buckets"]

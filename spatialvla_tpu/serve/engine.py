@@ -101,6 +101,47 @@ def assemble_batch(
     return ids, attn, px, intr
 
 
+def warmup_buckets(
+    policy,
+    *,
+    sample_image,
+    instructions: Sequence[str],
+    prompt_pad_multiple: int = 16,
+    batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
+    unnorm_key: Optional[str] = None,
+):
+    """Pre-compile every (padded-T, B) serving program the given
+    instruction lengths can produce, so no client request ever pays a
+    20-40 s XLA compile. Compiled programs live on the policy's
+    `_predict_cache`, shared by every engine over that policy. Pair with
+    `jax.config.update("jax_compilation_cache_dir", ...)` to also persist
+    the XLA executables across server restarts."""
+    reps: Dict[int, _Request] = {}  # padded-T -> representative request
+    for instr in instructions:
+        inputs = policy.processor(sample_image, instr, unnorm_key=unnorm_key)
+        req = _Request(
+            ids=np.asarray(inputs["input_ids"]),
+            pixel_values=np.asarray(inputs["pixel_values"]),
+            intrinsic=np.asarray(inputs["intrinsic"]),
+            unnorm_key=unnorm_key,
+        )
+        reps.setdefault(_round_up(req.ids.shape[1], prompt_pad_multiple), req)
+    pad_id = policy.processor.text_tokenizer.pad_id
+    for req in reps.values():
+        for B in batch_buckets:
+            ids, attn, px, intr = assemble_batch(
+                [req], pad_id=pad_id,
+                prompt_pad_multiple=prompt_pad_multiple, batch_buckets=(B,),
+            )
+            fn = policy._jitted_predict(
+                ids.shape[1], policy.processor.action_chunk_size, padded=True
+            )
+            np.asarray(  # host-transfer sync: reliable on the axon backend
+                fn(policy.params, jnp.asarray(ids), jnp.asarray(px),
+                   jnp.asarray(intr), jnp.asarray(attn))
+            )
+
+
 class ServingEngine:
     """Dynamic batcher over a `SpatialVLAPolicy`.
 

@@ -140,6 +140,119 @@ def test_engine_per_request_unnorm_keys(policy):
         stats.pop("scaled/1.0.0")
 
 
+def test_warmup_buckets_precompiles_serving_programs(policy):
+    """warmup_buckets must populate the policy's predict cache with one
+    padded program per (padded-T, B) bucket, so a fresh engine serves its
+    first request without compiling."""
+    from spatialvla_tpu.serve import ServingEngine, warmup_buckets
+
+    policy._predict_cache.clear()
+    rng = np.random.RandomState(5)
+    warmup_buckets(
+        policy, sample_image=_image(rng, policy),
+        instructions=("go", "pick up the green cup"),
+        prompt_pad_multiple=16, batch_buckets=(1, 2),
+        unnorm_key=UNNORM,
+    )
+    warmed = set(policy._predict_cache)
+    assert warmed, "warmup compiled nothing"
+    assert all(key[2] for key in warmed)  # all padded-path programs
+    # a request whose padded length matches a warmed bucket adds no program
+    with ServingEngine(policy, max_batch_size=1, max_wait_ms=1.0) as eng:
+        eng.predict(_image(rng, policy), "go", unnorm_key=UNNORM)
+    assert set(policy._predict_cache) == warmed
+
+
+def test_http_front_end_end_to_end(policy):
+    """scripts/serve.py over a live socket: concurrent POST /predict
+    clients coalesce into batched dispatches, /stats and /health respond,
+    and malformed requests return a 500 without killing the server."""
+    import importlib.util
+    import json
+    import os
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from spatialvla_tpu.serve import ServingEngine
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_script",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "serve.py"),
+    )
+    serve_script = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve_script)
+
+    rng = np.random.RandomState(21)
+    s = policy.config.vision.image_size
+    with ServingEngine(policy, max_batch_size=4, max_wait_ms=200.0) as engine:
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0), serve_script.make_handler(engine)
+        )
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            def post(path, payload):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}{path}",
+                    data=json.dumps(payload).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=300) as r:
+                        return r.status, json.loads(r.read())
+                except urllib.error.HTTPError as e:
+                    return e.code, json.loads(e.read())
+
+            results = {}
+
+            def client(i):
+                results[i] = post("/predict", {
+                    "image": (rng.rand(s, s, 3) * 255).astype(np.uint8).tolist(),
+                    "instruction": f"task {i}",
+                    "unnorm_key": UNNORM,
+                })
+
+            threads = [threading.Thread(target=client, args=(i,)) for i in range(3)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join(timeout=300)
+            assert sorted(results) == [0, 1, 2]
+            chunk = policy.processor.action_chunk_size
+            for code, body in results.values():
+                assert code == 200
+                assert np.asarray(body["actions"]).shape == (chunk, 7)
+                assert body["latency_ms"] > 0
+
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health", timeout=30
+            ) as r:
+                assert json.loads(r.read()) == {"ok": True}
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=30
+            ) as r:
+                stats = json.loads(r.read())
+            assert stats["requests"] == 3
+            # the 200 ms window must have batched the burst (<= 2 dispatches
+            # even if one client raced ahead of the others)
+            assert stats["batches"] <= 2
+
+            code, body = post("/predict", {"instruction": "no image"})
+            assert code == 500 and "error" in body
+            # server survives the bad request
+            code, body = post("/predict", {
+                "image": (rng.rand(s, s, 3) * 255).astype(np.uint8).tolist(),
+                "instruction": "after error",
+                "unnorm_key": UNNORM,
+            })
+            assert code == 200
+        finally:
+            server.shutdown()
+            server.server_close()
+
+
 def test_engine_threaded_submit_and_shutdown(policy):
     """Concurrent client threads all get results; shutdown drains; submit
     after shutdown fails loudly."""
