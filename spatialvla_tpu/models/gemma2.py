@@ -458,6 +458,79 @@ def forward_ring(
     return rms_norm(params["final_norm"], h, cfg.rms_norm_eps)
 
 
+def forward_pipeline(
+    params: Params,
+    cfg: Gemma2Config,
+    inputs_embeds: Array,
+    position_ids: Array,
+    prefix_lens: Array,  # (B,) bidirectional-prefix boundary (0 = causal)
+    valid_lens: Array,  # (B,) right-pad boundary
+    *,
+    mesh,
+    axis_name: str = "pipe",
+    n_microbatches: int = 0,  # 0 -> one microbatch per stage
+    batch_axes: tuple = ("data", "fsdp"),
+    use_remat: bool = False,
+) -> Array:
+    """Pipeline-parallel full forward: the decoder stack split into
+    ``mesh.shape["pipe"]`` depth-wise stages with GPipe microbatching
+    (parallel/pipeline.py). Per-stage math is exactly forward_flash's layer
+    pairs, so outputs match the unsharded flash path. The reference has no
+    PP (SURVEY §2.2: not required for parity) — beyond-parity scaling for
+    models whose depth exceeds one chip/slice."""
+    from ..parallel.pipeline import pipeline_apply
+
+    B, T, H = inputs_embeds.shape
+    L = cfg.num_layers
+    S = mesh.shape[axis_name]
+    assert L % S == 0 and (L // S) % 2 == 0, (
+        f"{L} layers cannot split into {S} stages of whole window/global "
+        f"layer pairs"
+    )
+    m = n_microbatches or S
+    normalizer = jnp.asarray(cfg.hidden_size**0.5, dtype=inputs_embeds.dtype)
+    h = inputs_embeds * normalizer
+
+    # (L, ...) -> (S, L/S/2, 2, ...): stage-major, window/global pairs inside
+    staged = jax.tree_util.tree_map(
+        lambda x: x.reshape((S, L // S // 2, 2) + x.shape[1:]),
+        params["layers"],
+    )
+
+    def stage_fn(sp, x, aux):
+        cos, sin = rope_cos_sin(aux["position_ids"], cfg.head_dim, cfg.rope_theta)
+
+        def step(carry, lp_pair):
+            lp0 = jax.tree_util.tree_map(lambda w: w[0], lp_pair)
+            lp1 = jax.tree_util.tree_map(lambda w: w[1], lp_pair)
+            hh = _decoder_layer_flash(
+                cfg, carry, lp0, cos, sin, aux["prefix_lens"],
+                aux["valid_lens"], cfg.sliding_window,
+            )
+            hh = _decoder_layer_flash(
+                cfg, hh, lp1, cos, sin, aux["prefix_lens"],
+                aux["valid_lens"], None,
+            )
+            return hh, None
+
+        if use_remat:
+            step = jax.checkpoint(step, prevent_cse=False)
+        y, _ = jax.lax.scan(step, x, sp)
+        return y
+
+    aux = {
+        "position_ids": position_ids,
+        "prefix_lens": prefix_lens.astype(jnp.int32),
+        "valid_lens": valid_lens.astype(jnp.int32),
+    }
+    out = pipeline_apply(
+        stage_fn, staged, h, aux,
+        mesh=mesh, n_microbatches=m, axis_name=axis_name,
+        batch_axes=batch_axes,
+    )
+    return rms_norm(params["final_norm"], out, cfg.rms_norm_eps)
+
+
 def forward(
     params: Params,
     cfg: Gemma2Config,

@@ -205,8 +205,9 @@ def forward(
     depth: Optional[Array] = None,
     use_remat: bool = False,
     compute_dtype=None,
-    attn_backend: str = "xla",  # "xla" | "flash" | "ring" (SP over mesh)
-    mesh=None,  # required for attn_backend="ring"
+    attn_backend: str = "xla",  # "xla" | "flash" | "ring" (SP) | "pipeline" (PP)
+    mesh=None,  # required for attn_backend="ring" / "pipeline"
+    pp_microbatches: int = 0,  # "pipeline": GPipe microbatches (0 = n stages)
     with_logits: bool = True,
 ) -> Dict[str, Array]:
     """Full forward (no cache). Returns {'logits'?, 'loss'?, 'hidden'}.
@@ -227,7 +228,7 @@ def forward(
 
     position_ids = jnp.cumsum(attention_mask, axis=1)  # 1-indexed (PaliGemma)
 
-    if attn_backend in ("flash", "ring"):
+    if attn_backend in ("flash", "ring", "pipeline"):
         valid_lens = attention_mask.sum(axis=1).astype(jnp.int32)
         if token_type_ids is not None:
             # contiguous prefix [0, P): first suffix position, or valid len
@@ -243,6 +244,16 @@ def forward(
                 params["lm"], cfg.text, embeds, position_ids,
                 prefix_lens.astype(jnp.int32), valid_lens,
                 mesh=mesh, use_remat=use_remat,
+            )
+        elif attn_backend == "pipeline":
+            if mesh is None:
+                raise ValueError(
+                    "attn_backend='pipeline' requires a mesh with a 'pipe' axis"
+                )
+            hidden = gemma2_mod.forward_pipeline(
+                params["lm"], cfg.text, embeds, position_ids,
+                prefix_lens.astype(jnp.int32), valid_lens,
+                mesh=mesh, n_microbatches=pp_microbatches, use_remat=use_remat,
             )
         else:
             hidden = gemma2_mod.forward_flash(

@@ -8,6 +8,7 @@ from .mesh import (
     make_mesh,
     replicated,
 )
+from .pipeline import pipeline_apply
 from .ring_attention import ring_flash_attention
 from .partitioning import (
     DEFAULT_RULES,
@@ -28,6 +29,7 @@ __all__ = [
     "make_mesh",
     "param_pspecs",
     "param_shardings",
+    "pipeline_apply",
     "replicated",
     "ring_flash_attention",
     "shard_params",

@@ -16,6 +16,9 @@ Axes:
   sp     optional sequence parallelism (size 1 unless requested): the axis
          parallel/ring_attention.py rotates K/V shards over; lay it on a
          physical ICI ring
+  pipe   optional pipeline parallelism (size 1 unless requested): depth-wise
+         decoder stages with GPipe microbatching (parallel/pipeline.py);
+         lay it on a physical ICI ring so stage handoffs are one hop
 """
 from __future__ import annotations
 
@@ -27,7 +30,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("data", "fsdp", "model", "sp")
+AXES = ("data", "fsdp", "model", "sp", "pipe")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,9 +39,10 @@ class MeshConfig:
     fsdp: int = -1  # -1: absorb remaining devices
     model: int = 1
     sp: int = 1  # sequence parallelism (ring attention)
+    pipe: int = 1  # pipeline parallelism (GPipe stages)
 
     def resolve(self, n_devices: int) -> tuple:
-        dims = [self.data, self.fsdp, self.model, self.sp]
+        dims = [self.data, self.fsdp, self.model, self.sp, self.pipe]
         if -1 in dims:
             known = int(np.prod([d for d in dims if d != -1]))
             dims[dims.index(-1)] = n_devices // known

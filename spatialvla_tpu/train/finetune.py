@@ -52,10 +52,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--action_forward_steps", type=int, default=3)
     p.add_argument("--shuffle_buffer_size", type=int, default=2048)
     p.add_argument("--attn_backend", type=str, default="flash",
-                   choices=["xla", "flash", "ring"])
+                   choices=["xla", "flash", "ring", "pipeline"])
     p.add_argument("--mesh_sp", type=int, default=1,
                    help="sequence-parallel axis (ring attention); >1 "
                         "auto-selects attn_backend=ring")
+    p.add_argument("--mesh_pp", type=int, default=1,
+                   help="pipeline-parallel axis (GPipe decoder stages); >1 "
+                        "auto-selects attn_backend=pipeline")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="GPipe microbatches per step (0 = one per stage)")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--loss_chunk_size", type=int, default=256)
     p.add_argument("--mesh_data", type=int, default=1)
@@ -124,11 +129,15 @@ def build_everything(args):
     processor.action_chunk_size = args.action_forward_steps + 1
 
     mesh = make_mesh(
-        MeshConfig(args.mesh_data, args.mesh_fsdp, args.mesh_model, args.mesh_sp)
+        MeshConfig(args.mesh_data, args.mesh_fsdp, args.mesh_model,
+                   args.mesh_sp, args.mesh_pp)
     )
     if args.mesh_sp > 1 and args.attn_backend != "ring":
         print(f"mesh_sp={args.mesh_sp}: selecting attn_backend=ring")
         args.attn_backend = "ring"
+    if args.mesh_pp > 1 and args.attn_backend != "pipeline":
+        print(f"mesh_pp={args.mesh_pp}: selecting attn_backend=pipeline")
+        args.attn_backend = "pipeline"
     params = spatialvla.init_params(jax.random.PRNGKey(args.seed), cfg)
     params = load_params(
         os.path.join(args.pretrained_dir), jax.tree_util.tree_map(np.asarray, params)
@@ -174,6 +183,7 @@ def build_everything(args):
         use_remat=not args.no_remat,
         compute_dtype=jnp.bfloat16,
         attn_backend=args.attn_backend,
+        pp_microbatches=args.pp_microbatches,
         loss_chunk_size=args.loss_chunk_size,
     )
 

@@ -66,7 +66,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no_vision_zoe", action="store_true")
     p.add_argument("--flash_attn", dest="attn_backend", action="store_const",
                    const="flash", default="flash")
-    p.add_argument("--attn_backend", type=str, choices=["xla", "flash", "ring"])
+    p.add_argument("--attn_backend", type=str, choices=["xla", "flash", "ring", "pipeline"])
     # optimization
     p.add_argument("--per_device_batch_size", type=int, default=2)
     p.add_argument("--grad_accum", type=int, default=1)
@@ -84,6 +84,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_sp", type=int, default=1,
                    help="sequence-parallel axis (ring attention); >1 "
                         "auto-selects attn_backend=ring")
+    p.add_argument("--mesh_pp", type=int, default=1,
+                   help="pipeline-parallel axis (GPipe decoder stages); >1 "
+                        "auto-selects attn_backend=pipeline")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="GPipe microbatches per step (0 = one per stage)")
     p.add_argument("--loader_workers", type=int, default=1,
                    help=">1 runs the input pipeline in N shard-disjoint "
                         "worker processes (data/mploader.py)")
@@ -144,12 +149,17 @@ def build_everything(args):
 
     # mesh + params
     mesh = make_mesh(
-        MeshConfig(args.mesh_data, args.mesh_fsdp, args.mesh_model, args.mesh_sp)
+        MeshConfig(args.mesh_data, args.mesh_fsdp, args.mesh_model,
+                   args.mesh_sp, args.mesh_pp)
     )
     if args.mesh_sp > 1 and (args.attn_backend or "flash") != "ring":
         print(f"mesh_sp={args.mesh_sp}: selecting attn_backend=ring "
               "(sequence-parallel ring flash attention)")
         args.attn_backend = "ring"
+    if args.mesh_pp > 1 and (args.attn_backend or "flash") != "pipeline":
+        print(f"mesh_pp={args.mesh_pp}: selecting attn_backend=pipeline "
+              "(GPipe decoder stages)")
+        args.attn_backend = "pipeline"
     params = spatialvla.init_params(jax.random.PRNGKey(args.seed), cfg)
     if args.init_checkpoint:
         params = load_params(args.init_checkpoint, jax.tree_util.tree_map(np.asarray, params))
@@ -250,6 +260,7 @@ def build_everything(args):
             compute_dtype=jnp.bfloat16,
             micro_steps=args.grad_accum,
             attn_backend=args.attn_backend or "flash",
+            pp_microbatches=args.pp_microbatches,
             loss_chunk_size=args.loss_chunk_size,
         ),
         luts=luts,

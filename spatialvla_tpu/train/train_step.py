@@ -29,16 +29,22 @@ class TrainStepConfig:
     compute_dtype: Any = jnp.bfloat16
     micro_steps: int = 1  # gradient accumulation
     # "xla" | "flash" (Pallas fused attention) | "ring" (sequence-parallel
-    # ring flash attention over the mesh's sp axis; pass mesh=)
+    # ring flash attention over the mesh's sp axis; pass mesh=) | "pipeline"
+    # (GPipe stages over the mesh's pipe axis; pass mesh=)
     attn_backend: str = "xla"
+    # "pipeline": GPipe microbatches per step (0 = one per pipeline stage)
+    pp_microbatches: int = 0
     # sequence-chunked CE: caps logits memory at B x chunk x vocab (needed
     # for the 265k vocab at long seq); 0 = full-sequence logits
     loss_chunk_size: int = 0
 
 
 def make_loss_fn(cfg: SpatialVLAConfig, step_cfg: TrainStepConfig, luts=None, mesh=None):
-    if step_cfg.attn_backend == "ring" and mesh is None:
-        raise ValueError("attn_backend='ring' requires make_*_train_step(mesh=...)")
+    if step_cfg.attn_backend in ("ring", "pipeline") and mesh is None:
+        raise ValueError(
+            f"attn_backend={step_cfg.attn_backend!r} requires "
+            "make_*_train_step(mesh=...)"
+        )
 
     def loss_fn(params: Params, batch: Dict[str, jnp.ndarray]):
         attn = batch.get("attention_mask", jnp.ones_like(batch["input_ids"]))
@@ -57,6 +63,7 @@ def make_loss_fn(cfg: SpatialVLAConfig, step_cfg: TrainStepConfig, luts=None, me
             compute_dtype=step_cfg.compute_dtype,
             attn_backend=step_cfg.attn_backend,
             mesh=mesh,
+            pp_microbatches=step_cfg.pp_microbatches,
             with_logits=not chunked,
         )
         if chunked:
