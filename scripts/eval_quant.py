@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--instruction", default="pick up the object")
     p.add_argument("--unnorm_key", default=None)
     p.add_argument("--bits", type=int, nargs="*", default=[8, 4])
+    p.add_argument("--depth_res", type=int, nargs="*", default=[],
+                   help="also gate reduced-resolution ZoeDepth (e.g. 256 "
+                        "192): everything else stays bf16 so the drift "
+                        "isolates the depth-resolution trade")
     args = p.parse_args(argv)
 
     from spatialvla_tpu.inference import SpatialVLAPolicy
@@ -69,6 +73,26 @@ def main(argv=None):
             print(
                 f"  -> int{bits} diverges from bf16 on these observations; "
                 "gate on closed-loop task success before serving with it"
+            )
+
+    for res in args.depth_res:
+        # bf16 LM + bf16 vision: isolates the reduced-res depth trade
+        policy = loader(args.checkpoint_dir).quantize(
+            bits=None, vision_bits=None, depth_image_size=res
+        )
+        q_ids, q_acts = run(policy)
+        agree = float((q_ids == base_ids).mean())
+        l1 = float(np.abs(q_acts - base_acts).mean())
+        worst = float(np.abs(q_acts - base_acts).max())
+        print(
+            f"depth@{res}: token agreement {agree:.1%}  "
+            f"action L1 {l1:.4f}  max |delta| {worst:.4f}"
+        )
+        if agree < 0.99:
+            print(
+                f"  -> depth@{res} diverges from full-resolution depth on "
+                "these observations; gate on closed-loop task success "
+                "before serving with it"
             )
 
 

@@ -89,28 +89,29 @@ class SpatialVLAPolicy:
     # ------------------------------------------------------------------
     def quantize(
         self,
-        bits: int = 8,
+        bits: Optional[int] = 8,
         *,
         vision_bits: Optional[int] = 8,
         depth_image_size: Optional[int] = None,
     ) -> "SpatialVLAPolicy":
         """Switch to the serving-optimized parameterization: int8 (or, with
         bits=4, packed-int4 — quality-gate it first) weight-only LM (halves /
-        quarters decode HBM traffic; on-chip dequant — ops/quant.py), int8
-        vision front (SigLIP encoder + zoe BEiT backbone + projector —
-        quantize_vision_params; vision_bits=None keeps it bf16), and a
-        precomputed ZoeDepth relative-position bias (drops the per-forward
-        5M-row gather). depth_image_size runs the zoe stack at a reduced
-        internal resolution (opt-in quality trade, zoe.predict_depth).
-        In-place; returns self."""
+        quarters decode HBM traffic; on-chip dequant — ops/quant.py;
+        bits=None keeps the LM bf16), int8 vision front (SigLIP encoder +
+        zoe BEiT backbone + projector — quantize_vision_params;
+        vision_bits=None keeps it bf16), and a precomputed ZoeDepth
+        relative-position bias (drops the per-forward 5M-row gather).
+        depth_image_size runs the zoe stack at a reduced internal resolution
+        (opt-in quality trade, zoe.predict_depth). In-place; returns self."""
         import functools
 
         from .ops.quant import quantize_lm_params, quantize_vision_params
 
         params = dict(self.params)
-        params["lm"] = jax.jit(
-            functools.partial(quantize_lm_params, bits=bits)
-        )(self.params["lm"])
+        if bits:
+            params["lm"] = jax.jit(
+                functools.partial(quantize_lm_params, bits=bits)
+            )(self.params["lm"])
         if vision_bits:
             params = jax.jit(
                 functools.partial(quantize_vision_params, bits=vision_bits)
