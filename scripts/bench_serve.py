@@ -39,6 +39,13 @@ INSTRUCTION_POOL = (
 )
 
 
+def bucket_ladder(max_batch: int):
+    """Batch buckets up to and INCLUDING max_batch: the engine rounds full
+    batches up to the next bucket, so the ladder must contain a bucket
+    >= max_batch or construction fails / dispatches hit unwarmed shapes."""
+    return tuple(sorted({b for b in (1, 2, 4, 8, 16) if b < max_batch} | {max_batch}))
+
+
 def _build_policy(args):
     import jax
     import jax.numpy as jnp
@@ -53,8 +60,8 @@ def _build_policy(args):
 
         d = tempfile.mkdtemp(prefix="bench_serve_tiny_")
         _build_reference_style_checkpoint(pathlib.Path(d))
-        return SpatialVLAPolicy.from_hf_checkpoint(d, param_dtype=None)
-    if args.hf:
+        policy = SpatialVLAPolicy.from_hf_checkpoint(d, param_dtype=None)
+    elif args.hf:
         policy = SpatialVLAPolicy.from_hf_checkpoint(args.hf)
     elif args.ckpt:
         policy = SpatialVLAPolicy.load(args.ckpt)
@@ -79,9 +86,11 @@ def _build_policy(args):
             }
         )
         policy = SpatialVLAPolicy(params, cfg, proc)
-    if args.bits:
+    # any serving-parameterization knob triggers quantize(); bits=0 keeps
+    # the LM bf16 (bits=None) so e.g. --depth_res alone takes effect
+    if args.bits or args.vision_bits or args.depth_res:
         policy.quantize(
-            bits=args.bits,
+            bits=args.bits or None,
             vision_bits=args.vision_bits or None,
             depth_image_size=args.depth_res or None,
         )
@@ -89,30 +98,30 @@ def _build_policy(args):
 
 
 def _run_phase(policy, args, images, n_clients, n_requests):
-    """n_clients closed-loop clients x n_requests each; returns (engine
-    stats, wall seconds)."""
+    """n_clients closed-loop clients x n_requests each; returns
+    (run-wide per-request latencies [ms], engine stats, wall seconds)."""
     from spatialvla_tpu.serve import ServingEngine
 
     errors = []
+    latencies = [[] for _ in range(n_clients)]  # per-client: no lock needed
     with ServingEngine(
         policy,
         max_batch_size=args.max_batch,
         max_wait_ms=args.max_wait_ms,
         prompt_pad_multiple=args.pad_multiple,
-        batch_buckets=tuple(
-            b for b in (1, 2, 4, 8, 16) if b <= max(args.max_batch, 1)
-        ),
+        batch_buckets=bucket_ladder(args.max_batch),
     ) as engine:
 
         def client(i):
-            rng = np.random.RandomState(100 + i)
             try:
                 for j in range(n_requests):
                     instr = INSTRUCTION_POOL[(i + j) % len(INSTRUCTION_POOL)]
+                    t0 = time.monotonic()
                     engine.predict(
                         images[(i + j) % len(images)], instr,
                         unnorm_key=args.unnorm_key,
                     )
+                    latencies[i].append((time.monotonic() - t0) * 1e3)
             except Exception as e:  # pragma: no cover - surfaced below
                 errors.append(e)
 
@@ -128,7 +137,9 @@ def _run_phase(policy, args, images, n_clients, n_requests):
         stats = engine.stats()
     if errors:
         raise errors[0]
-    return stats, wall
+    # run-wide percentiles (the engine's own stats window is bounded to the
+    # last ~1000 requests and would silently truncate large runs)
+    return sorted(x for ls in latencies for x in ls), stats, wall
 
 
 def main(argv=None):
@@ -176,26 +187,29 @@ def main(argv=None):
     warmup_buckets(
         policy, sample_image=images[0], instructions=INSTRUCTION_POOL,
         prompt_pad_multiple=args.pad_multiple,
-        batch_buckets=tuple(b for b in (1, 2, 4, 8, 16) if b <= args.max_batch),
+        batch_buckets=bucket_ladder(args.max_batch),
         unnorm_key=args.unnorm_key,
     )
 
-    stats, wall = _run_phase(policy, args, images, args.clients, args.requests)
+    lat, stats, wall = _run_phase(policy, args, images, args.clients, args.requests)
 
     total = args.clients * args.requests
     chunk = policy.processor.action_chunk_size
+    tag = "int%d LM" % args.bits if args.bits else "bf16 LM"
+    if args.vision_bits:
+        tag += ", int%d front" % args.vision_bits
+    if args.depth_res:
+        tag += ", depth@%d" % args.depth_res
     result = {
-        "metric": "serving load, %d closed-loop clients (%s LM%s)" % (
-            args.clients,
-            "int%d" % args.bits if args.bits else "bf16",
-            ", depth@%d" % args.depth_res if args.depth_res else "",
+        "metric": "serving load, %d closed-loop clients (%s)" % (
+            args.clients, tag,
         ),
         "requests": total,
         "wall_s": round(wall, 3),
         "throughput_rps": round(total / wall, 2),
         "actions_per_sec": round(total * chunk / wall, 2),
-        "latency_ms_p50": stats["latency_ms_p50"],
-        "latency_ms_p95": stats["latency_ms_p95"],
+        "latency_ms_p50": round(lat[len(lat) // 2], 2),
+        "latency_ms_p95": round(lat[min(len(lat) - 1, int(0.95 * len(lat)))], 2),
         "mean_batch_occupancy": round(stats["mean_batch_occupancy"], 2),
         "pad_fraction": round(stats["pad_fraction"], 3),
     }

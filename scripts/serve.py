@@ -120,15 +120,23 @@ def main(argv=None):
         if args.hf
         else SpatialVLAPolicy.load(args.ckpt)
     )
-    if args.bits:
+    # any serving-parameterization knob triggers quantize(); bits=0 keeps
+    # the LM bf16 (bits=None) so e.g. --depth_res alone takes effect
+    if args.bits or args.vision_bits or args.depth_res:
         policy.quantize(
-            args.bits,
+            args.bits or None,
             vision_bits=args.vision_bits or None,
             depth_image_size=args.depth_res or None,
         )
+    # ladder includes a bucket >= max_batch: the engine rounds full batches
+    # UP to the next bucket, so truncating below max_batch would leave the
+    # largest dispatch shape unwarmed (and fail engine construction)
+    buckets = tuple(
+        sorted({b for b in (1, 2, 4, 8, 16) if b < args.max_batch}
+               | {args.max_batch})
+    )
     if not args.no_warmup:
         s = policy.config.vision.image_size
-        buckets = tuple(b for b in (1, 2, 4, 8, 16) if b <= args.max_batch)
         print("warming serving buckets (one XLA compile per (T, B))...",
               flush=True)
         warmup_buckets(
@@ -143,7 +151,7 @@ def main(argv=None):
         )
     engine = ServingEngine(
         policy, max_batch_size=args.max_batch, max_wait_ms=args.max_wait_ms,
-        prompt_pad_multiple=args.pad_multiple,
+        prompt_pad_multiple=args.pad_multiple, batch_buckets=buckets,
     )
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(engine))
     print(f"serving on :{args.port} (max_batch={args.max_batch})", flush=True)

@@ -477,30 +477,53 @@ def forward_pipeline(
     (parallel/pipeline.py). Per-stage math is exactly forward_flash's layer
     pairs, so outputs match the unsharded flash path. The reference has no
     PP (SURVEY §2.2: not required for parity) — beyond-parity scaling for
-    models whose depth exceeds one chip/slice."""
+    models whose depth exceeds one chip/slice.
+
+    Stages hold whole window/global layer *pairs* (alternation preserved)
+    but need not be equal: the pair count is balanced across stages (e.g.
+    Gemma2-2B's 26 layers = 13 pairs split 7+6 at S=2, 4+3+3+3 at S=4).
+    Short stages scan the same padded pair count with inactive pairs
+    masked to identity, so the stacked (S, maxP, 2, ...) parameter layout
+    stays uniform for the pipe-axis sharding."""
+    import numpy as np
+
     from ..parallel.pipeline import pipeline_apply
 
     B, T, H = inputs_embeds.shape
     L = cfg.num_layers
     S = mesh.shape[axis_name]
-    assert L % S == 0 and (L // S) % 2 == 0, (
-        f"{L} layers cannot split into {S} stages of whole window/global "
-        f"layer pairs"
-    )
-    m = n_microbatches or S
+    assert L % 2 == 0, f"{L} layers do not form window/global pairs"
+    n_pairs = L // 2
+    assert S <= n_pairs, f"{S} stages exceed the {n_pairs} layer pairs"
+    if n_microbatches:
+        m = n_microbatches
+    else:  # largest divisor of B that is <= S (GPipe default m = S)
+        m = max(d for d in range(1, min(S, B) + 1) if B % d == 0)
     normalizer = jnp.asarray(cfg.hidden_size**0.5, dtype=inputs_embeds.dtype)
     h = inputs_embeds * normalizer
 
-    # (L, ...) -> (S, L/S/2, 2, ...): stage-major, window/global pairs inside
-    staged = jax.tree_util.tree_map(
-        lambda x: x.reshape((S, L // S // 2, 2) + x.shape[1:]),
-        params["layers"],
+    # balanced pair partition; every stage padded to maxP pairs (padded
+    # slots duplicate a real pair's params — harmless, masked to identity)
+    base, rem = divmod(n_pairs, S)
+    counts = np.asarray([base + (s < rem) for s in range(S)], np.int32)
+    maxP = int(counts.max())
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    idx = np.minimum(
+        starts[:, None] + np.arange(maxP)[None], n_pairs - 1
+    )  # (S, maxP)
+    paired = jax.tree_util.tree_map(
+        lambda x: x.reshape((n_pairs, 2) + x.shape[1:]), params["layers"]
     )
+    staged = {
+        "layers": jax.tree_util.tree_map(lambda x: x[idx], paired),
+        "n_pairs": jnp.asarray(counts),
+    }
 
     def stage_fn(sp, x, aux):
         cos, sin = rope_cos_sin(aux["position_ids"], cfg.head_dim, cfg.rope_theta)
 
-        def step(carry, lp_pair):
+        def step(carry, pair_i):
+            lp_pair, i = pair_i
             lp0 = jax.tree_util.tree_map(lambda w: w[0], lp_pair)
             lp1 = jax.tree_util.tree_map(lambda w: w[1], lp_pair)
             hh = _decoder_layer_flash(
@@ -511,11 +534,11 @@ def forward_pipeline(
                 cfg, hh, lp1, cos, sin, aux["prefix_lens"],
                 aux["valid_lens"], None,
             )
-            return hh, None
+            return jnp.where(i < sp["n_pairs"], hh, carry), None
 
         if use_remat:
             step = jax.checkpoint(step, prevent_cse=False)
-        y, _ = jax.lax.scan(step, x, sp)
+        y, _ = jax.lax.scan(step, x, (sp["layers"], jnp.arange(maxP)))
         return y
 
     aux = {

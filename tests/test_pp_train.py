@@ -63,6 +63,36 @@ def test_pipeline_apply_matches_sequential(n_micro):
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gs), atol=1e-4)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_forward_pipeline_uneven_stages_match_flash():
+    """Stage pair counts need not divide evenly (the flagship's 26 layers =
+    13 pairs split 7+6 at S=2): a 6-layer stack (3 pairs) over 2 stages
+    (2+1 pairs, short stage masked to identity) must match forward_flash."""
+    import dataclasses
+
+    from spatialvla_tpu.models import gemma2
+
+    tcfg = dataclasses.replace(CFG.text, num_layers=6)
+    mesh = make_mesh(MeshConfig(data=2, fsdp=1, model=1, sp=1, pipe=2))
+    params = gemma2.init_params(jax.random.PRNGKey(3), tcfg)
+    rng = np.random.RandomState(3)
+    B, T = 4, 16
+    embeds = jnp.asarray(rng.randn(B, T, tcfg.hidden_size).astype(np.float32) * 0.1)
+    pos = jnp.broadcast_to(jnp.arange(1, T + 1), (B, T))
+    prefix = jnp.full((B,), 6, jnp.int32)
+    valid = jnp.full((B,), T, jnp.int32)
+
+    want = gemma2.forward_flash(params, tcfg, embeds, pos, prefix, valid)
+    got = jax.jit(
+        lambda p, e: gemma2.forward_pipeline(
+            p, tcfg, e, pos, prefix, valid, mesh=mesh, n_microbatches=2
+        )
+    )(params, embeds)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
 def make_batch(rng, B=4, n_text=4, n_action=12):
     N = CFG.num_image_tokens
     ids = np.concatenate(
