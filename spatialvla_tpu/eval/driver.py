@@ -173,11 +173,22 @@ def evaluate(
     merged: Dict = {}
     for r in rows:
         key = (r["suite"], r["label"])
-        m = merged.setdefault(key, {**r, "episodes": 0, "successes": 0})
+        m = merged.setdefault(
+            key, {**r, "episodes": 0, "successes": 0, "_steps_sum": 0.0,
+                  "_partial": 0}
+        )
         m["episodes"] += r["episodes"]
         m["successes"] += r["successes"]
         m["success_rate"] = m["successes"] / max(m["episodes"], 1)
-    table_rows = list(merged.values())
+        m["_steps_sum"] += r["mean_steps"] * r["episodes"]
+        m["mean_steps"] = m["_steps_sum"] / max(m["episodes"], 1)
+        if "partial_rate" in r:  # re-aggregate, not first-row-wins
+            m["_partial"] += r["partial_rate"] * r["episodes"]
+            m["partial_rate"] = m["_partial"] / max(m["episodes"], 1)
+    table_rows = [
+        {k: v for k, v in m.items() if not k.startswith("_")}
+        for m in merged.values()
+    ]
     suites: Dict[str, float] = {}
     for suite in {r["suite"] for r in table_rows}:
         rs = [r for r in table_rows if r["suite"] == suite]
