@@ -28,6 +28,10 @@ QUANT_BITS = int(os.environ.get("SPATIALVLA_BENCH_BITS", "8"))
 # SPATIALVLA_BENCH_DEPTH_RES=256 runs the ZoeDepth stack at a reduced
 # internal resolution (opt-in quality trade, zoe.predict_depth); 0 = native
 DEPTH_RES = int(os.environ.get("SPATIALVLA_BENCH_DEPTH_RES", "0")) or None
+# SPATIALVLA_BENCH_KV_BITS=8 serves with the int8 KV cache (per-slot
+# scales, near-lossless; matters at batch >= 8 where the cache is ~1/3 of
+# decode HBM traffic — at B=1 it is noise)
+KV_BITS = int(os.environ.get("SPATIALVLA_BENCH_KV_BITS", "0")) or None
 # SPATIALVLA_BENCH_VISION_BITS=8 additionally quantizes the vision front
 # (SigLIP + zoe backbone + projector). Default off for the HEADLINE: the
 # bench host's MXU is virtualized/throttled, so the front is compute-bound
@@ -80,7 +84,7 @@ def main():
             params, cfg, input_ids,
             pixel_values=pixel_values, intrinsic=intrinsic,
             action_chunk_size=ACTION_CHUNK, compute_dtype=jnp.bfloat16,
-            depth_image_size=DEPTH_RES,
+            depth_image_size=DEPTH_RES, kv_bits=KV_BITS,
         )
 
     args = (params, batch["input_ids"], batch["pixel_values"], batch["intrinsic"])
@@ -131,6 +135,7 @@ def main():
     actions_per_sec = ACTION_CHUNK / dt
     tag = ", int%d front" % VISION_BITS if VISION_BITS else ""
     tag += ", depth@%d" % DEPTH_RES if DEPTH_RES else ""
+    tag += ", int%d kv" % KV_BITS if KV_BITS else ""
     print(json.dumps({
         "metric": "spatialvla-4b-224 greedy inference, full model incl. depth (chunk=4, prefix=%d, int%d LM%s)" % (prefix_len, QUANT_BITS, tag),
         "value": round(actions_per_sec, 2),

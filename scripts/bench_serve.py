@@ -88,11 +88,12 @@ def _build_policy(args):
         policy = SpatialVLAPolicy(params, cfg, proc)
     # any serving-parameterization knob triggers quantize(); bits=0 keeps
     # the LM bf16 (bits=None) so e.g. --depth_res alone takes effect
-    if args.bits or args.vision_bits or args.depth_res:
+    if args.bits or args.vision_bits or args.depth_res or args.kv_bits:
         policy.quantize(
             bits=args.bits or None,
             vision_bits=args.vision_bits or None,
             depth_image_size=args.depth_res or None,
+            kv_bits=args.kv_bits or None,
         )
     return policy
 
@@ -151,6 +152,9 @@ def main(argv=None):
     p.add_argument("--bits", type=int, default=0,
                    help="weight-only LM quantization (8 or 4; 0 = bf16)")
     p.add_argument("--vision_bits", type=int, default=0)
+    p.add_argument("--kv_bits", type=int, default=0,
+                   help="8 = int8 KV cache on the fused decode path "
+                        "(matters at batch >= 8)")
     p.add_argument("--depth_res", type=int, default=0)
     p.add_argument("--clients", type=int, default=8)
     p.add_argument("--requests", type=int, default=8, help="per client")
@@ -198,6 +202,8 @@ def main(argv=None):
     tag = "int%d LM" % args.bits if args.bits else "bf16 LM"
     if args.vision_bits:
         tag += ", int%d front" % args.vision_bits
+    if args.kv_bits:
+        tag += ", int%d kv" % args.kv_bits
     if args.depth_res:
         tag += ", depth@%d" % args.depth_res
     result = {

@@ -89,6 +89,9 @@ def main(argv=None):
     ap.add_argument("--hf", action="store_true", help="reference-format HF checkpoint")
     ap.add_argument("--bits", type=int, default=8, help="LM weight bits (0 = bf16)")
     ap.add_argument("--vision_bits", type=int, default=8)
+    ap.add_argument("--kv_bits", type=int, default=0,
+                    help="8 = int8 KV cache on the fused decode path "
+                         "(matters at batch >= 8)")
     ap.add_argument("--depth_res", type=int, default=0, help="reduced zoe resolution (0 = full)")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max_batch", type=int, default=16)
@@ -122,11 +125,12 @@ def main(argv=None):
     )
     # any serving-parameterization knob triggers quantize(); bits=0 keeps
     # the LM bf16 (bits=None) so e.g. --depth_res alone takes effect
-    if args.bits or args.vision_bits or args.depth_res:
+    if args.bits or args.vision_bits or args.depth_res or args.kv_bits:
         policy.quantize(
             args.bits or None,
             vision_bits=args.vision_bits or None,
             depth_image_size=args.depth_res or None,
+            kv_bits=args.kv_bits or None,
         )
     # ladder includes a bucket >= max_batch: the engine rounds full batches
     # UP to the next bucket, so truncating below max_batch would leave the

@@ -41,6 +41,7 @@ class SpatialVLAPolicy:
         self.processor = processor
         self.compute_dtype = compute_dtype
         self.depth_image_size: Optional[int] = None  # set by quantize()
+        self.kv_bits: Optional[int] = None  # set by quantize()
         self._predict_cache: Dict = {}
 
     # ------------------------------------------------------------------
@@ -93,6 +94,7 @@ class SpatialVLAPolicy:
         *,
         vision_bits: Optional[int] = 8,
         depth_image_size: Optional[int] = None,
+        kv_bits: Optional[int] = None,
     ) -> "SpatialVLAPolicy":
         """Switch to the serving-optimized parameterization: int8 (or, with
         bits=4, packed-int4 — quality-gate it first) weight-only LM (halves /
@@ -102,7 +104,11 @@ class SpatialVLAPolicy:
         vision_bits=None keeps it bf16), and a precomputed ZoeDepth
         relative-position bias (drops the per-forward 5M-row gather).
         depth_image_size runs the zoe stack at a reduced internal resolution
-        (opt-in quality trade, zoe.predict_depth). In-place; returns self."""
+        (opt-in quality trade, zoe.predict_depth). kv_bits=8 serves with an
+        int8 KV cache on the fused decode path (per-slot scales,
+        ops/quant.py:quantize_kv — near-lossless, cuts the cache's share of
+        decode HBM traffic in half; it matters at batch >= 8 where the
+        cache is ~1/3 of the stream). In-place; returns self."""
         import functools
 
         from .ops.quant import quantize_lm_params, quantize_vision_params
@@ -125,16 +131,18 @@ class SpatialVLAPolicy:
                 )
             )(params["zoe"])
         self.depth_image_size = depth_image_size
+        self.kv_bits = kv_bits
         self.params = params
         self._predict_cache.clear()
         return self
 
     # ------------------------------------------------------------------
     def _jitted_predict(self, prefix_len: int, chunk: int, padded: bool = False):
-        key = (prefix_len, chunk, padded, self.depth_image_size)
+        key = (prefix_len, chunk, padded, self.depth_image_size, self.kv_bits)
         if key not in self._predict_cache:
             cfg = self.config
             dres = self.depth_image_size
+            kvb = self.kv_bits
 
             if padded:  # mixed-length batch: pad-aware masks/positions
                 @jax.jit
@@ -144,7 +152,7 @@ class SpatialVLAPolicy:
                         pixel_values=pixel_values, intrinsic=intrinsic,
                         attention_mask=attn,
                         action_chunk_size=chunk, compute_dtype=self.compute_dtype,
-                        depth_image_size=dres,
+                        depth_image_size=dres, kv_bits=kvb,
                     )
             else:
                 @jax.jit
@@ -153,7 +161,7 @@ class SpatialVLAPolicy:
                         params, cfg, input_ids,
                         pixel_values=pixel_values, intrinsic=intrinsic,
                         action_chunk_size=chunk, compute_dtype=self.compute_dtype,
-                        depth_image_size=dres,
+                        depth_image_size=dres, kv_bits=kvb,
                     )
 
             self._predict_cache[key] = fn

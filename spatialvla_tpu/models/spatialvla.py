@@ -331,6 +331,7 @@ def generate_greedy(
     use_fused_decode: Optional[bool] = None,  # None = auto-detect
     use_flash_prefill: Optional[bool] = None,  # None = auto (TPU, unpadded)
     depth_image_size: Optional[int] = None,  # reduced-res zoe (serving)
+    kv_bits: Optional[int] = None,  # 8 = int8 KV cache on the fused path
 ) -> Array:
     """Returns (B, max_new_tokens) generated token ids.
 
@@ -381,7 +382,7 @@ def generate_greedy(
         return _decode_after_prefill(
             params, cfg, cache, hidden, P, S, max_new_tokens, token_range,
             use_fused_decode, compute_dtype, valid=None, key_valid=None,
-            k_pos_true=None,
+            k_pos_true=None, kv_bits=kv_bits,
         )
 
     cache = gemma2_mod.init_cache(cfg.text, B, S, dtype=cache_dtype)
@@ -415,7 +416,7 @@ def generate_greedy(
         use_fused_decode, compute_dtype,
         valid=valid,
         key_valid=None if valid is None else key_valid,
-        k_pos_true=k_pos_true,
+        k_pos_true=k_pos_true, kv_bits=kv_bits,
     )
 
 
@@ -434,6 +435,7 @@ def _decode_after_prefill(
     valid: Optional[Array],  # (B,) per-row prefix lengths (None = unpadded)
     key_valid: Optional[Array],  # (B, S) valid-key mask for padded batches
     k_pos_true: Optional[Array],  # (B, S) true positions of cache slots
+    kv_bits: Optional[int] = None,  # 8 = int8 KV cache (fused path only)
 ) -> Array:
     """The greedy decode loop shared by both prefill paths (XLA masked
     attention and Pallas flash prefill)."""
@@ -454,7 +456,11 @@ def _decode_after_prefill(
     if use_fused:
         return _generate_greedy_fused(
             params, cfg, cache, hidden, P, max_new_tokens, token_range,
-            compute_dtype=compute_dtype, valid=valid,
+            compute_dtype=compute_dtype, valid=valid, kv_bits=kv_bits,
+        )
+    if kv_bits:
+        raise ValueError(
+            "kv_bits requires the fused decode path (use_fused_decode)"
         )
 
     if token_range is not None:
@@ -518,6 +524,7 @@ def _generate_greedy_fused(
     *,
     compute_dtype=None,
     valid: Optional[Array] = None,  # (B,) per-row prefix lengths (padded)
+    kv_bits: Optional[int] = None,  # 8 = int8 KV cache (quantize_kv)
 ) -> Array:
     """Decode loop over the whole-LM fused kernel (ops/decode_step.py).
 
@@ -546,6 +553,15 @@ def _generate_greedy_fused(
     # serving cache layout (L, B, Nkv, S, D)
     ck = jnp.transpose(cache["k"], (0, 1, 3, 2, 4))
     cv = jnp.transpose(cache["v"], (0, 1, 3, 2, 4))
+    if kv_bits == 8:  # int8 cache + per-slot scales (halves cache DMA)
+        from ..ops.quant import quantize_kv
+
+        ck, kscale = quantize_kv(ck)
+        cv, vscale = quantize_kv(cv)
+    elif kv_bits:
+        raise ValueError(f"kv_bits={kv_bits}: only 8 (or None) is supported")
+    else:
+        kscale = vscale = None
     if valid is None:
         last_hidden = prefill_hidden[:, -1]
     else:  # each row's last VALID token (pads sit after it)
@@ -570,8 +586,17 @@ def _generate_greedy_fused(
             in_axes=(1, 1, 0), out_axes=1,
         )(c, new, slots)
 
+    def _scatter_scale(sc, new, slots):
+        # sc (L, B, Nkv, S), new (L, B, Nkv), slots (B,) int32
+        return jax.vmap(
+            lambda scr, nr, s: jax.lax.dynamic_update_slice(
+                scr, nr[:, :, None], (0, 0, s)
+            ),
+            in_axes=(1, 1, 0), out_axes=1,
+        )(sc, new, slots)
+
     def step(carry, t):
-        ck, cv, tok = carry
+        ck, cv, kscale, vscale, tok = carry
         embeds = merge_input_embeddings(
             params, cfg, tok[:, None], None, dtype=compute_dtype
         )  # (B, 1, H) — spatial-token override included
@@ -579,7 +604,13 @@ def _generate_greedy_fused(
         slot = (P + t).astype(jnp.int32) if valid is None else (valid + t).astype(jnp.int32)
         hidden, k_new, v_new = fused_decode_step(
             params["lm"], tcfg, x, ck, cv, slot, slot + 1,
+            cache_k_scale=kscale, cache_v_scale=vscale,
         )
+        if kv_bits == 8:  # quantize the new rows before scattering
+            from ..ops.quant import quantize_kv
+
+            k_new, ks_new = quantize_kv(k_new)
+            v_new, vs_new = quantize_kv(v_new)
         if valid is None:
             ck = jax.lax.dynamic_update_slice(
                 ck, k_new[:, :, :, None, :], (0, 0, 0, slot, 0)
@@ -587,14 +618,24 @@ def _generate_greedy_fused(
             cv = jax.lax.dynamic_update_slice(
                 cv, v_new[:, :, :, None, :], (0, 0, 0, slot, 0)
             )
+            if kv_bits == 8:
+                kscale = jax.lax.dynamic_update_slice(
+                    kscale, ks_new[:, :, :, None], (0, 0, 0, slot)
+                )
+                vscale = jax.lax.dynamic_update_slice(
+                    vscale, vs_new[:, :, :, None], (0, 0, 0, slot)
+                )
         else:
             ck = _scatter_rows(ck, k_new, slot)
             cv = _scatter_rows(cv, v_new, slot)
+            if kv_bits == 8:
+                kscale = _scatter_scale(kscale, ks_new, slot)
+                vscale = _scatter_scale(vscale, vs_new, slot)
         nxt = next_from(hidden.astype(compute_dtype or hidden.dtype))
-        return (ck, cv, nxt), tok
+        return (ck, cv, kscale, vscale, nxt), tok
 
-    (_, _, last), toks = jax.lax.scan(
-        step, (ck, cv, next_token), jnp.arange(max_new_tokens - 1)
+    (_, _, _, _, last), toks = jax.lax.scan(
+        step, (ck, cv, kscale, vscale, next_token), jnp.arange(max_new_tokens - 1)
     )
     out = (
         jnp.concatenate([toks.T, last[:, None]], axis=1)
@@ -619,6 +660,7 @@ def predict_action(
     use_fused_decode: Optional[bool] = None,  # None = auto (generate_greedy)
     use_flash_prefill: Optional[bool] = None,  # None = auto (TPU, unpadded)
     depth_image_size: Optional[int] = None,  # reduced-res zoe (serving)
+    kv_bits: Optional[int] = None,  # 8 = int8 KV cache on the fused path
 ) -> Array:
     """Greedy-decode exactly 3 * chunk spatial action token ids
     (3 tokens per action step: translation, rotation, gripper).
@@ -638,4 +680,5 @@ def predict_action(
         max_new_tokens=3 * action_chunk_size, compute_dtype=compute_dtype,
         token_range=token_range, use_fused_decode=use_fused_decode,
         use_flash_prefill=use_flash_prefill, depth_image_size=depth_image_size,
+        kv_bits=kv_bits,
     )

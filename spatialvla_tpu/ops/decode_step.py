@@ -141,7 +141,8 @@ def _decode_kernel(
     o_qt_ref, o_s_ref,
     gu_qt_ref, gu_s_ref,
     dn_qt_ref, dn_s_ref,
-    kc_ref, vc_ref,  # (1, M, Nkv, S, D) bf16
+    kc_ref, vc_ref,  # (1, M, Nkv, S, D) bf16 (or int8 when kv_quant)
+    ks_ref, vs_ref,  # (1, M, Nkv, S) f32 per-slot scales (dummy (.., 1) bf16 cache)
     # outputs
     h_out_ref,  # (M, H) f32 final-normed hidden
     knew_ref, vnew_ref,  # (1, M, Nkv, D) f32
@@ -158,7 +159,7 @@ def _decode_kernel(
     M, H, I, Nq, Nkv, D, S, L,
     bn0, bn1, bn2, bn3,
     B0, B1, B2, B3,
-    eps, q_scale, attn_cap,
+    eps, q_scale, attn_cap, kv_quant,
 ):
     l = pl.program_id(0)
     t = pl.program_id(1)
@@ -219,12 +220,17 @@ def _decode_kernel(
                 ]
                 q = jnp.concatenate(qs, axis=0) * q_scale  # (G, D) f32
                 q16 = q.astype(jnp.bfloat16)
-                K = kc_ref[0, m, h]  # (S, D) bf16
+                K = kc_ref[0, m, h]  # (S, D) bf16 / int8
                 V = vc_ref[0, m, h]
+                if kv_quant:  # int8 codes <= 127 are exact in bf16
+                    K = K.astype(jnp.float32).astype(jnp.bfloat16)
+                    V = V.astype(jnp.float32).astype(jnp.bfloat16)
                 logits = jax.lax.dot_general(
                     q16, K, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (G, S)
+                if kv_quant:  # per-slot scales fold into the logits row
+                    logits = logits * ks_ref[0, m, h][None, :]
                 # (G, 1) via VPU reduce — an N=1 MXU matmul trips Mosaic
                 self_logit = jnp.sum(
                     q16.astype(jnp.float32)
@@ -238,8 +244,14 @@ def _decode_kernel(
                 e = jnp.exp(logits - mx)
                 probs = e / jnp.sum(e, axis=-1, keepdims=True)
                 p16 = probs.astype(jnp.bfloat16)
+                if kv_quant:  # per-slot V scales fold into the prob row
+                    pv = (probs[:, :S] * vs_ref[0, m, h][None, :]).astype(
+                        jnp.bfloat16
+                    )
+                else:
+                    pv = p16[:, :S]
                 out = jax.lax.dot_general(
-                    p16[:, :S], V, (((1,), (0,)), ((), ())),
+                    pv, V, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (G, D)
                 out = out + p16[:, S:].astype(jnp.float32) * v_new
@@ -303,6 +315,8 @@ def fused_decode_step(
     position: jnp.ndarray,  # int32 scalar or (M,) — slot the new token occupies
     rope_position: jnp.ndarray,  # int32 scalar or (M,) — RoPE position id
     *,
+    cache_k_scale: jnp.ndarray = None,  # (L, M, Nkv, S) f32 — int8 cache only
+    cache_v_scale: jnp.ndarray = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (hidden (M, H) bf16 final-normed, k_new, v_new
@@ -312,7 +326,14 @@ def fused_decode_step(
     `position`/`rope_position` may be per-row (M,) vectors: rows of a
     serving batch may sit at different sequence positions (mixed prompt
     lengths, right-padded prefill) — each row masks its own valid-cache
-    interval [0, position[m]) and applies its own RoPE angle."""
+    interval [0, position[m]) and applies its own RoPE angle.
+
+    int8 KV cache (opt-in, ops/quant.py:quantize_kv): pass int8
+    `cache_k`/`cache_v` with per-slot `cache_*_scale` — halves the cache's
+    share of decode HBM traffic (~1/3 of the step at batch 16); scales fold
+    into the logits/probability rows so the MXU operands stay bf16. k_new/
+    v_new are returned unquantized (bf16) — the caller quantizes before
+    scattering so the kernel stays quantization-scheme-agnostic."""
     layers = lm_params["layers"]
     qkv, o = layers["attn"]["qkv"], layers["attn"]["o"]
     gu, dn = layers["mlp"]["gate_up"], layers["mlp"]["down"]
@@ -321,6 +342,15 @@ def fused_decode_step(
     Nq, Nkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     S = cache_k.shape[3]
     N0 = Nq * D + 2 * Nkv * D
+    kv_quant = cache_k.dtype == jnp.int8
+    if kv_quant:
+        assert cache_k_scale is not None and cache_v_scale is not None, (
+            "int8 KV cache requires per-slot cache_k_scale/cache_v_scale"
+        )
+    else:  # dummy refs; the kernel never reads them (static kv_quant flag)
+        cache_k_scale = jnp.ones((L, M, Nkv, 1), jnp.float32)
+        cache_v_scale = cache_k_scale
+    Ssc = S if kv_quant else 1
     assert S <= cfg.sliding_window, (
         "serving cache exceeds the sliding window; the fused decode step "
         "treats window and global layers identically"
@@ -363,6 +393,7 @@ def fused_decode_step(
         eps=cfg.rms_norm_eps,
         q_scale=cfg.query_pre_attn_scalar**-0.5,
         attn_cap=cfg.attn_logit_softcap,
+        kv_quant=kv_quant,
     )
     A, O0, G0, D0 = B0, B0 + 1, B0 + 1 + B1, B0 + 1 + B1 + B2
 
@@ -409,6 +440,8 @@ def fused_decode_step(
             wspec(B3, D0, bn3, Kb3), sspec(B3, D0, bn3, dn["scale"]),
             pl.BlockSpec((1, M, Nkv, S, D), lambda l, t: (l, 0, 0, 0, 0)),
             pl.BlockSpec((1, M, Nkv, S, D), lambda l, t: (l, 0, 0, 0, 0)),
+            pl.BlockSpec((1, M, Nkv, Ssc), lambda l, t: (l, 0, 0, 0)),
+            pl.BlockSpec((1, M, Nkv, Ssc), lambda l, t: (l, 0, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((M, H), lambda l, t: (0, 0)),
@@ -446,10 +479,12 @@ def fused_decode_step(
         gu["qt"], sop(gu["scale"]),
         dn["qt"], sop(dn["scale"]),
         cache_k, cache_v,
+        f32(cache_k_scale), f32(cache_v_scale),
     )
     hidden, k_new, v_new = out
+    new_dtype = jnp.bfloat16 if kv_quant else cache_k.dtype
     return (
         hidden.astype(jnp.bfloat16),
-        k_new.astype(cache_k.dtype),
-        v_new.astype(cache_v.dtype),
+        k_new.astype(new_dtype),
+        v_new.astype(new_dtype),
     )

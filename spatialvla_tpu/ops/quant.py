@@ -40,6 +40,22 @@ def quantize_int8(w: jnp.ndarray) -> QuantW:
     return {"qt": jnp.swapaxes(q, -1, -2), "scale": scale[..., 0, :]}
 
 
+def quantize_kv(x: jnp.ndarray):
+    """KV-cache int8: symmetric per-slot quantization over the head dim.
+
+    (..., D) float -> (codes int8 (..., D), scale f32 (...)). Per-slot
+    scales keep the error ~0.4% per element — far finer granularity than
+    weight quantization because each (layer, row, head, slot) vector gets
+    its own scale; the scale tensor is 1/(2D) of the bf16 cache bytes.
+    Used by the fused decode step's opt-in int8 cache (kv_bits=8): cache
+    reads are ~1/3 of decode HBM traffic at batch 16."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    codes = jnp.round(xf / scale[..., None]).astype(jnp.int8)
+    return codes, scale
+
+
 def quantize_int4(w: jnp.ndarray, group_size: int = 128) -> QuantW:
     """(..., K, N) float -> symmetric int4 (levels [-8, 7]), stored
     (..., N, K//2) uint8 with column j packed against column j + K/2

@@ -87,6 +87,63 @@ def test_fused_step_matches_xla_serving_path(qparams, B):
     )
 
 
+@pytest.mark.parametrize("B", [1, 3])
+def test_fused_step_int8_kv_cache(qparams, B):
+    """Opt-in int8 KV cache (quantize_kv + per-slot scales folded into the
+    logits/probability rows): the fused step on the quantized cache tracks
+    the XLA path on the bf16 cache within the int8 noise, and stays within
+    a tight envelope of the bf16-cache fused step."""
+    from spatialvla_tpu.ops.quant import quantize_kv
+
+    P, Smax = 6, 16
+    _, cache, rng = prefill(qparams, B, P, Smax)
+    x_new = jnp.asarray(
+        rng.randn(B, 1, CFG.hidden_size).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    step_mask = jnp.broadcast_to(jnp.arange(Smax) <= P, (B, 1, 1, Smax))
+    hx, _ = gemma2.forward(
+        qparams, CFG, x_new, jnp.full((B, 1), P + 1), step_mask,
+        cache=cache, cache_position=P,
+    )
+
+    normalizer = jnp.asarray(CFG.hidden_size**0.5, dtype=jnp.bfloat16)
+    ck = jnp.transpose(cache["k"], (0, 1, 3, 2, 4))
+    cv = jnp.transpose(cache["v"], (0, 1, 3, 2, 4))
+    h_bf16, k_bf16, v_bf16 = fused_decode_step(
+        qparams, CFG, x_new[:, 0] * normalizer, ck, cv,
+        jnp.int32(P), jnp.int32(P + 1), interpret=True,
+    )
+    ck8, ks = quantize_kv(ck)
+    cv8, vs = quantize_kv(cv)
+    h_q, k_q, v_q = fused_decode_step(
+        qparams, CFG, x_new[:, 0] * normalizer, ck8, cv8,
+        jnp.int32(P), jnp.int32(P + 1),
+        cache_k_scale=ks, cache_v_scale=vs, interpret=True,
+    )
+    assert k_q.dtype == jnp.bfloat16 and v_q.dtype == jnp.bfloat16
+    # int8-KV vs bf16-KV fused: only the cache representation differs
+    np.testing.assert_allclose(
+        np.asarray(h_q, np.float32), np.asarray(h_bf16, np.float32),
+        atol=0.05, rtol=0.02,
+    )
+    # new k/v rows are computed from the current token, not the cache —
+    # but the two kernel variants are different compiled programs, so the
+    # f32 matvec accumulation order differs by bf16 ULPs (same class as
+    # the M-dependence note on test_fused_step_per_row_positions)
+    np.testing.assert_allclose(
+        np.asarray(k_q, np.float32), np.asarray(k_bf16, np.float32), atol=4e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_q, np.float32), np.asarray(v_bf16, np.float32), atol=4e-3
+    )
+    # and against the XLA serving path
+    np.testing.assert_allclose(
+        np.asarray(h_q, np.float32), np.asarray(hx[:, 0], np.float32),
+        atol=0.08, rtol=0.03,
+    )
+
+
 def test_fused_step_per_row_positions(qparams):
     """A vector-position call on rows sitting at DIFFERENT cache depths
     (mixed-length serving batch) matches reference calls at each row's
@@ -202,3 +259,65 @@ def test_fused_decode_loop_token_parity(qparams):
         toks_f.append(int(tok[0]))
 
     assert toks_f == toks_x
+
+
+def test_fused_decode_loop_int8_kv_token_parity(qparams):
+    """The full chained decode with the int8 KV cache (quantized prefill
+    cache + per-step quantize-and-scatter of new rows) emits the same
+    greedy tokens as the XLA loop on the bf16 cache."""
+    from spatialvla_tpu.ops.quant import qmatmul, quantize_kv
+
+    B, P, Smax = 1, 5, 16
+    hid, cache, rng = prefill(qparams, B, P, Smax, seed=3)
+    head = qparams["lm_head"]
+
+    def next_tok(h2d):
+        return jnp.argmax(qmatmul(h2d.astype(jnp.bfloat16), head), axis=-1)
+
+    emb = qparams["embed"]
+    normalizer = jnp.asarray(CFG.hidden_size**0.5, dtype=jnp.bfloat16)
+
+    # XLA loop (bf16 cache) — the oracle
+    tok = next_tok(hid[:, -1])
+    toks_x = [int(tok[0])]
+    cx = {k: v for k, v in cache.items()}
+    for t in range(3):
+        e = jnp.take(emb, tok, axis=0)[:, None].astype(jnp.bfloat16)
+        mask = jnp.broadcast_to(jnp.arange(Smax) <= P + t, (B, 1, 1, Smax))
+        hx, cx = gemma2.forward(
+            qparams, CFG, e, jnp.full((B, 1), P + t + 1), mask,
+            cache=cx, cache_position=P + t,
+        )
+        tok = next_tok(hx[:, 0])
+        toks_x.append(int(tok[0]))
+
+    # fused loop on the int8 cache
+    ck, ks = quantize_kv(jnp.transpose(cache["k"], (0, 1, 3, 2, 4)))
+    cv, vs = quantize_kv(jnp.transpose(cache["v"], (0, 1, 3, 2, 4)))
+    tok = next_tok(hid[:, -1])
+    toks_q = [int(tok[0])]
+    for t in range(3):
+        e = jnp.take(emb, tok, axis=0).astype(jnp.bfloat16)
+        h_q, k_new, v_new = fused_decode_step(
+            qparams, CFG, e * normalizer, ck, cv,
+            jnp.int32(P + t), jnp.int32(P + t + 1),
+            cache_k_scale=ks, cache_v_scale=vs, interpret=True,
+        )
+        k8, ks_new = quantize_kv(k_new)
+        v8, vs_new = quantize_kv(v_new)
+        ck = jax.lax.dynamic_update_slice(
+            ck, k8[:, :, :, None, :], (0, 0, 0, P + t, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cv, v8[:, :, :, None, :], (0, 0, 0, P + t, 0)
+        )
+        ks = jax.lax.dynamic_update_slice(
+            ks, ks_new[:, :, :, None], (0, 0, 0, P + t)
+        )
+        vs = jax.lax.dynamic_update_slice(
+            vs, vs_new[:, :, :, None], (0, 0, 0, P + t)
+        )
+        tok = next_tok(h_q)
+        toks_q.append(int(tok[0]))
+
+    assert toks_q == toks_x

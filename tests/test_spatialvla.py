@@ -303,3 +303,10 @@ def test_padded_fused_decode_matches_xla_path(monkeypatch):
         qparams, cfg, jnp.asarray(ids), use_fused_decode=True, **common
     )
     np.testing.assert_array_equal(np.asarray(gen_fused), np.asarray(gen_xla))
+    # the opt-in int8 KV cache rides the same padded fused path (per-row
+    # quantize-and-scatter); token-identical on this config
+    gen_kv8 = spatialvla.generate_greedy(
+        qparams, cfg, jnp.asarray(ids), use_fused_decode=True, kv_bits=8,
+        **common
+    )
+    np.testing.assert_array_equal(np.asarray(gen_kv8), np.asarray(gen_xla))
