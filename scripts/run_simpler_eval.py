@@ -23,7 +23,13 @@ def main(argv=None):
     ap.add_argument("--checkpoint_dir", required=True)
     ap.add_argument("--hf", action="store_true",
                     help="checkpoint_dir is a reference-format HF directory")
-    ap.add_argument("--suites", nargs="+", default=["google_vm", "google_va", "widowx"])
+    ap.add_argument("--suites", nargs="+", default=["google_vm", "widowx"],
+                    help="google_va ships with an EMPTY registry: the "
+                         "reference's Variant Aggregation protocol needs "
+                         "the SimplerEnv fork's per-task variant env "
+                         "constructions (see eval/driver.py) — supply your "
+                         "own EvalTask list rather than re-running the "
+                         "visual-matching envs under a VA label")
     ap.add_argument("--episodes", type=int, default=None,
                     help="override episodes per task (default: task setting)")
     ap.add_argument("--quantize_bits", type=int, default=8,

@@ -56,10 +56,17 @@ def _worker_main(dataset_kwargs: Dict, worker_idx: int, num_workers: int, out_q,
             if stop.is_set():
                 return
     except Exception as e:  # noqa: BLE001 — surface worker death to the parent
-        try:
-            out_q.put({"__worker_error__": f"{type(e).__name__}: {e}"}, timeout=1.0)
-        except queue_mod.Full:
-            pass
+        # keep retrying the error report: under backpressure the queue is
+        # usually full, and a swallowed report would let training continue
+        # with this worker's shard slice silently missing (the parent also
+        # polls exit codes as a backstop — frames())
+        msg = {"__worker_error__": f"{type(e).__name__}: {e}"}
+        while not stop.is_set():
+            try:
+                out_q.put(msg, timeout=0.25)
+                break
+            except queue_mod.Full:
+                continue
         raise
 
 
@@ -98,18 +105,34 @@ class ProcessShardedFrameLoader:
             p.start()
 
     def frames(self) -> Iterator[Dict]:
+        n = 0
         while True:
             try:
                 frame = self._queue.get(timeout=60.0)
             except queue_mod.Empty:
-                dead = [p for p in self._procs if not p.is_alive()]
-                if len(dead) == len(self._procs):
-                    raise RuntimeError("all loader workers exited") from None
+                self._check_workers()
                 continue
             if "__worker_error__" in frame:
                 self.close()
                 raise RuntimeError(f"loader worker failed: {frame['__worker_error__']}")
+            n += 1
+            if n % 256 == 0:  # cheap liveness backstop: a worker killed
+                # hard (OOM/SIGKILL) posts no error message, but its shard
+                # slice must not silently vanish from the mixture
+                self._check_workers()
             yield frame
+
+    def _check_workers(self):
+        """The streams are infinite — ANY worker exit is abnormal."""
+        dead = [p for p in self._procs if not p.is_alive()]
+        if dead and not self._stop.is_set():
+            codes = [p.exitcode for p in dead]
+            self.close()
+            raise RuntimeError(
+                f"{len(dead)}/{len(self._procs)} loader workers exited "
+                f"(exit codes {codes}); their shard slices would be "
+                "silently missing from the mixture"
+            )
 
     def close(self):
         if getattr(self, "_closed", False):

@@ -134,23 +134,10 @@ class LiberoPolicyAdapter:
 
 def run_simpler_env(env, adapter: SimplerEnvPolicyAdapter, max_steps: int = 120):
     """Minimal closed-loop episode driver for a SimplerEnv gym env. Returns
-    (success, n_steps). Requires simpler_env installed."""
-    obs, _ = env.reset()
-    task_description = env.get_language_instruction()
-    adapter.reset(task_description)
-    import simpler_env  # noqa: F401 (hard dep for the image getter)
-    from simpler_env.utils.env.observation_utils import (
-        get_image_from_maniskill2_obs_dict,
-    )
+    (success, n_steps). Thin compatibility wrapper over the eval driver's
+    episode loop (eval/driver.py:run_episode — one copy of the step/
+    termination/success semantics)."""
+    from .driver import run_episode
 
-    for t in range(max_steps):
-        image = get_image_from_maniskill2_obs_dict(env, obs)
-        _, action = adapter.step(image, task_description)
-        obs, reward, done, truncated, info = env.step(
-            np.concatenate(
-                [action["world_vector"], action["rot_axangle"], action["gripper"]]
-            )
-        )
-        if done or truncated:
-            return bool(info.get("success", reward > 0)), t + 1
-    return False, max_steps
+    ep = run_episode(env, adapter, max_steps=max_steps)
+    return ep["success"], ep["steps"]

@@ -50,10 +50,15 @@ GOOGLE_ROBOT_VM_TASKS: List[EvalTask] = [
     EvalTask("Open/Close Drawer", "google_robot_close_drawer", "google_vm",
              "google_robot", "fractal20220817_data/0.1.0"),
 ]
-GOOGLE_ROBOT_VA_TASKS: List[EvalTask] = [
-    dataclasses.replace(t, suite="google_va")
-    for t in GOOGLE_ROBOT_VM_TASKS
-]
+# Variant Aggregation is NOT a relabel of the visual-matching envs: the
+# reference's VA numbers come from the SimplerEnv fork's per-task variant
+# scripts (background / lighting / camera / table-texture variants of each
+# env — distinct protocol, distinct numbers, reference README.md:215+).
+# Those variant env constructions live in the fork's eval scripts, so this
+# registry ships EMPTY for google_va; build your own EvalTask list with the
+# fork's variant env ids (one task row per variant, same label to merge
+# into one table column via evaluate()'s (suite, label) aggregation).
+GOOGLE_ROBOT_VA_TASKS: List[EvalTask] = []
 WIDOWX_TASKS: List[EvalTask] = [
     EvalTask("Put Spoon on Towel", "widowx_spoon_on_towel", "widowx",
              "widowx_bridge", "bridge_orig/1.0.0",

@@ -130,6 +130,17 @@ class SpatialVLAPolicy:
                     zp, self.config.zoe, image_size=depth_image_size
                 )
             )(params["zoe"])
+        # explicit host sync before the bf16 source tree is dropped: the
+        # quantize programs' f32 temporaries must retire before the first
+        # predict's transients enqueue, or the enqueued peak OOMs HBM on a
+        # 4B model (CLAUDE.md quantize-then-free rule; block_until_ready is
+        # unreliable on the axon backend — sync via tiny host transfers,
+        # one leaf per jitted program suffices: program completion frees
+        # its temporaries atomically)
+        for subtree in ("lm", "zoe", "vision"):  # one leaf per possible program
+            if subtree in params:
+                leaf = jax.tree_util.tree_leaves(params[subtree])[0]
+                np.asarray(leaf[(0,) * leaf.ndim])
         self.depth_image_size = depth_image_size
         self.kv_bits = kv_bits
         self.params = params

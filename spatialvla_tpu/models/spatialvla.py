@@ -329,7 +329,7 @@ def generate_greedy(
     compute_dtype=None,
     token_range: Optional[Tuple[int, int]] = None,
     use_fused_decode: Optional[bool] = None,  # None = auto-detect
-    use_flash_prefill: Optional[bool] = None,  # None = auto (TPU, unpadded)
+    use_flash_prefill: Optional[bool] = None,  # None = off (see branch note)
     depth_image_size: Optional[int] = None,  # reduced-res zoe (serving)
     kv_bits: Optional[int] = None,  # 8 = int8 KV cache on the fused path
 ) -> Array:
@@ -369,12 +369,12 @@ def generate_greedy(
     # fused attention at this shape; re-evaluate on real parts where the
     # kernel's fewer launches and fused masks should win.
     if use_flash_prefill is None:
-        use_flash_prefill = False
+        use_flash_prefill = False  # measured slower at P=266 on the bench
+        # host (q-block padding + in-kernel dequant); enable explicitly on
+        # parts/shapes where it wins
     if use_flash_prefill:
         assert attention_mask is None, "flash prefill assumes unpadded rows"
         position_ids = jnp.arange(1, P + 1)[None].repeat(B, 0)
-        valid = None
-        k_pos_true = None
         hidden, cache = gemma2_mod.prefill_flash(
             params["lm"], cfg.text, embeds, position_ids, S,
             cache_dtype=cache_dtype,
@@ -658,7 +658,7 @@ def predict_action(
     compute_dtype=jnp.bfloat16,
     restrict_to_action_tokens: bool = True,
     use_fused_decode: Optional[bool] = None,  # None = auto (generate_greedy)
-    use_flash_prefill: Optional[bool] = None,  # None = auto (TPU, unpadded)
+    use_flash_prefill: Optional[bool] = None,  # None = off (generate_greedy)
     depth_image_size: Optional[int] = None,  # reduced-res zoe (serving)
     kv_bits: Optional[int] = None,  # 8 = int8 KV cache on the fused path
 ) -> Array:

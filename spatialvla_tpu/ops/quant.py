@@ -114,12 +114,6 @@ def is_grouped(w) -> bool:
     return is_quantized(w) and w["scale"].ndim == w["qt"].ndim
 
 
-def expand_group_scale(scale: jnp.ndarray, K: int) -> jnp.ndarray:
-    """(..., N, G) -> (..., N, K) by repeating each group's scale."""
-    G = scale.shape[-1]
-    return jnp.repeat(scale, K // G, axis=-1)
-
-
 def grouped_dequant_t(qt_codes: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
     """Transposed-layout grouped dequant: codes (..., N, K) x scale
     (..., N, G) -> (..., N, K) via a reshape-multiply — (N, G, K/G) *
@@ -388,6 +382,8 @@ def quantize_lm_params(
     (group_size, default 128; group_size=None = per-channel) which cuts
     the int4 quantization error ~25% for free DMA-wise; int4 remains an
     accuracy trade to quality-gate before serving (scripts/eval_quant.py)."""
+    if bits not in (4, 8):
+        raise ValueError(f"bits={bits}: weight quantization supports 8 or 4")
     if bits == 4:
         quantize = functools.partial(quantize_int4, group_size=group_size)
     else:
@@ -439,6 +435,8 @@ def quantize_vision_params(
     which dequantizes in VMEM — no bf16 weight copy ever exists in HBM.
     Vision counterpart of quantize_lm_params; same opt-in serving-only
     contract (the reference serves torch bf16 end to end, README.md:93)."""
+    if bits not in (4, 8):
+        raise ValueError(f"bits={bits}: weight quantization supports 8 or 4")
     if bits == 4:
         quantize = functools.partial(quantize_int4, group_size=group_size)
     else:

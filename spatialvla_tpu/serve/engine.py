@@ -188,6 +188,13 @@ class ServingEngine:
         """Preprocess on the caller's thread, enqueue for batched dispatch."""
         if self._stop.is_set():
             raise RuntimeError("engine is shut down")
+        # fail THIS caller fast on a bad dataset key instead of poisoning
+        # the whole batch at decode time (statistics are host-side)
+        stats = self.policy.processor.statistics
+        if unnorm_key is not None and stats and unnorm_key not in stats:
+            raise KeyError(
+                f"unknown unnorm_key {unnorm_key!r}; available: {sorted(stats)}"
+            )
         inputs = self.policy.processor(image, instruction, unnorm_key=unnorm_key)
         req = _Request(
             ids=np.asarray(inputs["input_ids"]),
@@ -228,6 +235,16 @@ class ServingEngine:
         self._queue.put(None)  # wake the worker
         if wait:
             self._worker.join(timeout=60)
+            # fail any request that raced past the stop check in submit()
+            # after the worker exited — a silently unresolved Future would
+            # hang its caller forever
+            while True:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if req is not None and not req.future.done():
+                    req.future.set_exception(RuntimeError("engine is shut down"))
 
     def __enter__(self):
         return self
@@ -309,9 +326,15 @@ class ServingEngine:
                 (now - r.t_submit) * 1e3 for r in batch
             ]
         for i, r in enumerate(batch):
-            out = self.policy.processor.decode_actions(
-                generated[i : i + 1], unnorm_key=r.unnorm_key
-            )
-            r.future.set_result(
-                {"actions": out["actions"][0], "action_ids": out["action_ids"][0]}
-            )
+            if r.future.done():  # e.g. cancelled by the caller
+                continue
+            try:  # per-request decode: one row's bad statistics/decode
+                # must not fail the co-batched requests
+                out = self.policy.processor.decode_actions(
+                    generated[i : i + 1], unnorm_key=r.unnorm_key
+                )
+                r.future.set_result(
+                    {"actions": out["actions"][0], "action_ids": out["action_ids"][0]}
+                )
+            except Exception as e:  # noqa: BLE001
+                r.future.set_exception(e)
