@@ -25,6 +25,10 @@ ACTION_CHUNK = 4  # actions per generate call (3 tokens each)
 # SPATIALVLA_BENCH_BITS=4 switches the LM to packed-int4 weight streaming
 # (ops/quant.py) — quality-gated, NOT the default headline configuration
 QUANT_BITS = int(os.environ.get("SPATIALVLA_BENCH_BITS", "8"))
+# SPATIALVLA_BENCH_MLP_BITS=4 packs only the MLP matmuls to int4 (the
+# mixed sweet spot: ~0.58x the int8 weight stream with the error kept out
+# of the attention logits and the lm_head); quality-gated like int4
+MLP_BITS = int(os.environ.get("SPATIALVLA_BENCH_MLP_BITS", "0")) or None
 # SPATIALVLA_BENCH_DEPTH_RES=256 runs the ZoeDepth stack at a reduced
 # internal resolution (opt-in quality trade, zoe.predict_depth); 0 = native
 DEPTH_RES = int(os.environ.get("SPATIALVLA_BENCH_DEPTH_RES", "0")) or None
@@ -61,7 +65,7 @@ def main():
     def build(key):
         p = spatialvla.init_params(key, cfg, dtype=jnp.bfloat16)
         p = dict(p)
-        p["lm"] = quantize_lm_params(p["lm"], bits=QUANT_BITS)
+        p["lm"] = quantize_lm_params(p["lm"], bits=QUANT_BITS, mlp_bits=MLP_BITS)
         p["zoe"] = precompute_rel_bias(p["zoe"], cfg.zoe, image_size=DEPTH_RES)
         if VISION_BITS:
             p = quantize_vision_params(p, bits=VISION_BITS)
@@ -133,7 +137,8 @@ def main():
     dt = (time.perf_counter() - t0) / n_iters
 
     actions_per_sec = ACTION_CHUNK / dt
-    tag = ", int%d front" % VISION_BITS if VISION_BITS else ""
+    tag = ", int%d mlp" % MLP_BITS if MLP_BITS else ""
+    tag += ", int%d front" % VISION_BITS if VISION_BITS else ""
     tag += ", depth@%d" % DEPTH_RES if DEPTH_RES else ""
     tag += ", int%d kv" % KV_BITS if KV_BITS else ""
     print(json.dumps({

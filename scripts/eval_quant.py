@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--instruction", default="pick up the object")
     p.add_argument("--unnorm_key", default=None)
     p.add_argument("--bits", type=int, nargs="*", default=[8, 4])
+    p.add_argument("--mixed", action="store_true",
+                   help="also gate the mixed config (int8 attention/head + "
+                        "int4 MLP — policy.quantize(8, mlp_bits=4))")
     p.add_argument("--depth_res", type=int, nargs="*", default=[],
                    help="also gate reduced-resolution ZoeDepth (e.g. 256 "
                         "192): everything else stays bf16 so the drift "
@@ -73,6 +76,25 @@ def main(argv=None):
             print(
                 f"  -> int{bits} diverges from bf16 on these observations; "
                 "gate on closed-loop task success before serving with it"
+            )
+
+    if args.mixed:
+        policy = loader(args.checkpoint_dir).quantize(
+            bits=8, vision_bits=None, mlp_bits=4
+        )
+        q_ids, q_acts = run(policy)
+        agree = float((q_ids == base_ids).mean())
+        l1 = float(np.abs(q_acts - base_acts).mean())
+        worst = float(np.abs(q_acts - base_acts).max())
+        print(
+            f"int8+mlp4: token agreement {agree:.1%}  "
+            f"action L1 {l1:.4f}  max |delta| {worst:.4f}"
+        )
+        if agree < 0.99:
+            print(
+                "  -> the mixed config diverges from bf16 on these "
+                "observations; gate on closed-loop task success before "
+                "serving with it"
             )
 
     for res in args.depth_res:

@@ -95,6 +95,7 @@ class SpatialVLAPolicy:
         vision_bits: Optional[int] = 8,
         depth_image_size: Optional[int] = None,
         kv_bits: Optional[int] = None,
+        mlp_bits: Optional[int] = None,
     ) -> "SpatialVLAPolicy":
         """Switch to the serving-optimized parameterization: int8 (or, with
         bits=4, packed-int4 — quality-gate it first) weight-only LM (halves /
@@ -108,7 +109,10 @@ class SpatialVLAPolicy:
         int8 KV cache on the fused decode path (per-slot scales,
         ops/quant.py:quantize_kv — near-lossless, cuts the cache's share of
         decode HBM traffic in half; it matters at batch >= 8 where the
-        cache is ~1/3 of the stream). In-place; returns self."""
+        cache is ~1/3 of the stream). mlp_bits=4 with bits=8 is the mixed
+        sweet spot (int4 MLP, int8 attention/head — ~0.58x the int8 weight
+        stream, error kept out of the attention logits; quality-gate it).
+        In-place; returns self."""
         import functools
 
         from .ops.quant import quantize_lm_params, quantize_vision_params
@@ -116,7 +120,8 @@ class SpatialVLAPolicy:
         params = dict(self.params)
         if bits:
             params["lm"] = jax.jit(
-                functools.partial(quantize_lm_params, bits=bits)
+                functools.partial(quantize_lm_params, bits=bits,
+                                  mlp_bits=mlp_bits)
             )(self.params["lm"])
         if vision_bits:
             params = jax.jit(

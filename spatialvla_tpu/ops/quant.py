@@ -368,7 +368,7 @@ def qmatmul(x: jnp.ndarray, w, *, use_kernel=None) -> jnp.ndarray:
 
 def quantize_lm_params(
     lm_params: Dict[str, Any], *, fuse: bool = True, bits: int = 8,
-    group_size: int = 128,
+    group_size: int = 128, mlp_bits: int = None,
 ) -> Dict[str, Any]:
     """Quantize the Gemma2 weight matrices (stacked layer tensors and the
     lm_head); embeddings/norms stay high precision (gather/elementwise).
@@ -381,13 +381,26 @@ def quantize_lm_params(
     DMA floor again. Scales are group-wise along the contraction dim
     (group_size, default 128; group_size=None = per-channel) which cuts
     the int4 quantization error ~25% for free DMA-wise; int4 remains an
-    accuracy trade to quality-gate before serving (scripts/eval_quant.py)."""
+    accuracy trade to quality-gate before serving (scripts/eval_quant.py).
+
+    mlp_bits overrides the precision of the MLP matmuls only (the mixed
+    sweet spot: bits=8, mlp_bits=4 packs the ~2/3 of weight bytes living
+    in gate/up/down to int4 while attention + lm_head stay int8 — ~0.58x
+    the int8 stream with the quantization error kept out of the attention
+    logits and the output head; the fused decode kernel handles
+    per-projection formats natively). Quality-gate like int4."""
     if bits not in (4, 8):
         raise ValueError(f"bits={bits}: weight quantization supports 8 or 4")
-    if bits == 4:
-        quantize = functools.partial(quantize_int4, group_size=group_size)
-    else:
-        quantize = quantize_int8
+    if mlp_bits is not None and mlp_bits not in (4, 8):
+        raise ValueError(f"mlp_bits={mlp_bits}: supports 8 or 4 (or None)")
+
+    def _q(b):
+        if b == 4:
+            return functools.partial(quantize_int4, group_size=group_size)
+        return quantize_int8
+
+    quantize = _q(bits)
+    quantize_mlp = _q(mlp_bits if mlp_bits is not None else bits)
     out = dict(lm_params)
     attn = lm_params["layers"]["attn"]
     mlp = lm_params["layers"]["mlp"]
@@ -400,12 +413,12 @@ def quantize_lm_params(
             "o": quantize(attn["o"]),
         }
         layers["mlp"] = {
-            "gate_up": quantize(gate_up),
-            "down": quantize(mlp["down"]),
+            "gate_up": quantize_mlp(gate_up),
+            "down": quantize_mlp(mlp["down"]),
         }
     else:
         layers["attn"] = {k: quantize(v) for k, v in attn.items()}
-        layers["mlp"] = {k: quantize(v) for k, v in mlp.items()}
+        layers["mlp"] = {k: quantize_mlp(v) for k, v in mlp.items()}
     out["layers"] = layers
     if "lm_head" in lm_params:
         out["lm_head"] = quantize(lm_params["lm_head"])

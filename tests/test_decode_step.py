@@ -20,7 +20,11 @@ CFG = Gemma2Config(
 )
 
 
-@pytest.fixture(scope="module", params=[8, 4], ids=["int8", "int4"])
+@pytest.fixture(
+    scope="module",
+    params=[(8, None), (4, None), (8, 4)],
+    ids=["int8", "int4", "int8+mlp4"],
+)
 def qparams(request):
     params = gemma2.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
     for i, k in enumerate(
@@ -32,7 +36,8 @@ def qparams(request):
     params["final_norm"] = 0.1 * jax.random.normal(
         jax.random.PRNGKey(9), params["final_norm"].shape
     )
-    return quantize_lm_params(params, fuse=True, bits=request.param)
+    bits, mlp_bits = request.param
+    return quantize_lm_params(params, fuse=True, bits=bits, mlp_bits=mlp_bits)
 
 
 def prefill(qparams, B, P, Smax, seed=0):
