@@ -62,59 +62,32 @@ def main(argv=None):
     base_ids, base_acts = run(loader(args.checkpoint_dir))
     print(f"baseline (bf16): {base_ids.shape[0]} obs x chunk {base_acts.shape[1]}")
 
-    for bits in args.bits:
-        policy = loader(args.checkpoint_dir).quantize(bits=bits)
-        q_ids, q_acts = run(policy)
-        agree = float((q_ids == base_ids).mean())
-        l1 = float(np.abs(q_acts - base_acts).mean())
-        worst = float(np.abs(q_acts - base_acts).max())
-        print(
-            f"int{bits}: token agreement {agree:.1%}  "
-            f"action L1 {l1:.4f}  max |delta| {worst:.4f}"
-        )
-        if bits <= 4 and agree < 0.99:
-            print(
-                f"  -> int{bits} diverges from bf16 on these observations; "
-                "gate on closed-loop task success before serving with it"
-            )
-
+    # every row gates the config exactly as policy.quantize() would serve
+    # it (the --bits/--mixed rows include the default int8 vision front so
+    # they are mutually comparable); the depth rows deliberately isolate
+    # the depth-resolution trade (everything else bf16)
+    configs = [(f"int{b}", dict(bits=b)) for b in args.bits]
     if args.mixed:
-        policy = loader(args.checkpoint_dir).quantize(
-            bits=8, vision_bits=None, mlp_bits=4
-        )
+        configs.append(("int8+mlp4", dict(bits=8, mlp_bits=4)))
+    configs += [
+        (f"depth@{r}", dict(bits=None, vision_bits=None, depth_image_size=r))
+        for r in args.depth_res
+    ]
+    for label, kwargs in configs:
+        policy = loader(args.checkpoint_dir).quantize(**kwargs)
         q_ids, q_acts = run(policy)
         agree = float((q_ids == base_ids).mean())
         l1 = float(np.abs(q_acts - base_acts).mean())
         worst = float(np.abs(q_acts - base_acts).max())
         print(
-            f"int8+mlp4: token agreement {agree:.1%}  "
+            f"{label}: token agreement {agree:.1%}  "
             f"action L1 {l1:.4f}  max |delta| {worst:.4f}"
         )
-        if agree < 0.99:
+        if agree < 0.99 and label != "int8":
             print(
-                "  -> the mixed config diverges from bf16 on these "
+                f"  -> {label} diverges from the bf16 baseline on these "
                 "observations; gate on closed-loop task success before "
                 "serving with it"
-            )
-
-    for res in args.depth_res:
-        # bf16 LM + bf16 vision: isolates the reduced-res depth trade
-        policy = loader(args.checkpoint_dir).quantize(
-            bits=None, vision_bits=None, depth_image_size=res
-        )
-        q_ids, q_acts = run(policy)
-        agree = float((q_ids == base_ids).mean())
-        l1 = float(np.abs(q_acts - base_acts).mean())
-        worst = float(np.abs(q_acts - base_acts).max())
-        print(
-            f"depth@{res}: token agreement {agree:.1%}  "
-            f"action L1 {l1:.4f}  max |delta| {worst:.4f}"
-        )
-        if agree < 0.99:
-            print(
-                f"  -> depth@{res} diverges from full-resolution depth on "
-                "these observations; gate on closed-loop task success "
-                "before serving with it"
             )
 
 

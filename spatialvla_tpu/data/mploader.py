@@ -127,11 +127,22 @@ class ProcessShardedFrameLoader:
         dead = [p for p in self._procs if not p.is_alive()]
         if dead and not self._stop.is_set():
             codes = [p.exitcode for p in dead]
+            # the dying worker's detailed error report may sit behind
+            # buffered frames — surface it instead of just the exit code
+            detail = ""
+            try:
+                while True:
+                    item = self._queue.get_nowait()
+                    if isinstance(item, dict) and "__worker_error__" in item:
+                        detail = f": {item['__worker_error__']}"
+                        break
+            except queue_mod.Empty:
+                pass
             self.close()
             raise RuntimeError(
                 f"{len(dead)}/{len(self._procs)} loader workers exited "
-                f"(exit codes {codes}); their shard slices would be "
-                "silently missing from the mixture"
+                f"(exit codes {codes}){detail}; their shard slices would "
+                "be silently missing from the mixture"
             )
 
     def close(self):

@@ -118,6 +118,11 @@ class SpatialVLAPolicy:
         from .ops.quant import quantize_lm_params, quantize_vision_params
 
         params = dict(self.params)
+        if mlp_bits and not bits:
+            raise ValueError(
+                "mlp_bits requires bits (the attention/head precision): a "
+                "bf16 LM with an int4 MLP is not a supported tree"
+            )
         if bits:
             params["lm"] = jax.jit(
                 functools.partial(quantize_lm_params, bits=bits,

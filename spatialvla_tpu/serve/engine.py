@@ -56,6 +56,20 @@ def _round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+def _safe_resolve(future: Future, *, result=None, exception=None):
+    """Resolve a future, tolerating a caller cancelling it concurrently:
+    a Future.cancel() between a done() check and set_result raises
+    InvalidStateError, which must not escape and fail co-batched
+    requests."""
+    try:
+        if exception is not None:
+            future.set_exception(exception)
+        else:
+            future.set_result(result)
+    except Exception:  # InvalidStateError: cancelled/resolved concurrently
+        pass
+
+
 def _pick_bucket(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if b >= n:
@@ -203,6 +217,16 @@ class ServingEngine:
             unnorm_key=unnorm_key,
         )
         self._queue.put(req)
+        if self._stop.is_set() and not self._worker.is_alive():
+            # raced with shutdown across the (wide) preprocessing window:
+            # the worker exited without seeing this request, so nothing
+            # will ever resolve it — fail it loudly. If the worker DID
+            # resolve it first, set_exception raises InvalidStateError and
+            # the real result stands.
+            try:
+                req.future.set_exception(RuntimeError("engine is shut down"))
+            except Exception:  # InvalidStateError: already resolved
+                pass
         return req.future
 
     def predict(self, image, instruction: str, *, unnorm_key: Optional[str] = None):
@@ -235,6 +259,12 @@ class ServingEngine:
         self._queue.put(None)  # wake the worker
         if wait:
             self._worker.join(timeout=60)
+            if self._worker.is_alive():
+                # still mid-batch (a cold XLA compile can exceed the join
+                # timeout): the worker will drain and serve the queue
+                # itself — stealing its queued requests here would fail
+                # work a live worker was about to complete
+                return
             # fail any request that raced past the stop check in submit()
             # after the worker exited — a silently unresolved Future would
             # hang its caller forever
@@ -244,7 +274,12 @@ class ServingEngine:
                 except queue.Empty:
                     break
                 if req is not None and not req.future.done():
-                    req.future.set_exception(RuntimeError("engine is shut down"))
+                    try:
+                        req.future.set_exception(
+                            RuntimeError("engine is shut down")
+                        )
+                    except Exception:  # cancelled/resolved concurrently
+                        pass
 
     def __enter__(self):
         return self
@@ -294,8 +329,7 @@ class ServingEngine:
                 self._run_batch(batch)
             except Exception as e:  # fail the batch loudly, keep serving
                 for r in batch:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+                    _safe_resolve(r.future, exception=e)
 
     def _run_batch(self, batch: List[_Request]):
         ids, attn, px, intr = assemble_batch(
@@ -333,8 +367,12 @@ class ServingEngine:
                 out = self.policy.processor.decode_actions(
                     generated[i : i + 1], unnorm_key=r.unnorm_key
                 )
-                r.future.set_result(
-                    {"actions": out["actions"][0], "action_ids": out["action_ids"][0]}
+                _safe_resolve(
+                    r.future,
+                    result={
+                        "actions": out["actions"][0],
+                        "action_ids": out["action_ids"][0],
+                    },
                 )
             except Exception as e:  # noqa: BLE001
-                r.future.set_exception(e)
+                _safe_resolve(r.future, exception=e)
