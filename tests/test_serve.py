@@ -253,6 +253,29 @@ def test_http_front_end_end_to_end(policy):
             server.server_close()
 
 
+def test_engine_mixed_observation_shapes_split_batches(policy):
+    """A multi-view request (list of images -> (1, k, H, W, 3) pixels)
+    cannot share a batch with single-view requests: the engine's shape
+    check holds it over into its own dispatch, and both still resolve."""
+    from spatialvla_tpu.serve import ServingEngine
+
+    rng = np.random.RandomState(17)
+    img = _image(rng, policy)
+    with ServingEngine(policy, max_batch_size=4, max_wait_ms=300.0) as eng:
+        f1 = eng.submit(img, "single view", unnorm_key=UNNORM)
+        f2 = eng.submit([img, _image(rng, policy)], "two views",
+                        unnorm_key=UNNORM)
+        r1 = f1.result(timeout=300)
+        r2 = f2.result(timeout=300)
+        stats = eng.stats()
+    chunk = policy.processor.action_chunk_size
+    assert r1["actions"].shape == (chunk, 7)
+    assert r2["actions"].shape == (chunk, 7)
+    assert np.isfinite(r1["actions"]).all() and np.isfinite(r2["actions"]).all()
+    # incompatible observation shapes must not coalesce
+    assert stats["batches"] == 2 and stats["requests"] == 2
+
+
 def test_engine_threaded_submit_and_shutdown(policy):
     """Concurrent client threads all get results; shutdown drains; submit
     after shutdown fails loudly."""
