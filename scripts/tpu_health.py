@@ -33,6 +33,13 @@ import jax
 mark("jax imported")
 devs = jax.devices()
 mark(f"devices: {devs}")
+if devs[0].platform == "cpu":
+    # axon failed to register and jax fell back to CPU (classic cause: a
+    # clobbered PYTHONPATH dropping the sitecustomize) — the probe would
+    # otherwise "pass" without ever touching the tunnel
+    mark("FALLBACK TO CPU: axon backend not registered — check PYTHONPATH "
+         "includes /root/.axon_site and JAX_PLATFORMS")
+    sys.exit(3)
 import jax.numpy as jnp, numpy as np
 y = jax.jit(lambda a: a @ a)(jnp.ones((128, 128), jnp.bfloat16))
 v = float(np.asarray(y)[0, 0])
@@ -46,8 +53,14 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     env = dict(os.environ)
-    # never strip the default PYTHONPATH — the axon sitecustomize lives
-    # there (CLAUDE.md: replacing it looks exactly like a dead tunnel)
+    # defensively restore the default PYTHONPATH head — the axon
+    # sitecustomize lives there, and a calling shell that replaced it
+    # would otherwise turn this probe into a CPU no-op (CLAUDE.md)
+    axon_site = "/root/.axon_site"
+    if os.path.isdir(axon_site):
+        parts = env.get("PYTHONPATH", "").split(os.pathsep)
+        if axon_site not in parts:
+            env["PYTHONPATH"] = os.pathsep.join([axon_site] + [p for p in parts if p])
     t0 = time.time()
     proc = subprocess.Popen(
         [sys.executable, "-u", "-c", _CHILD], env=env,
@@ -59,11 +72,24 @@ def main(argv=None):
         if proc.returncode == 0:
             print(f"TUNNEL HEALTHY ({time.time()-t0:.1f}s end to end)")
             return 0
-        print(f"probe exited rc={proc.returncode}")
+        if proc.returncode == 3:
+            print("NOT HEALTHY: probe fell back to CPU (axon unregistered)")
+        else:
+            print(f"probe exited rc={proc.returncode}")
         return 2
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
         proc.kill()
-        out = proc.stdout.read() if proc.stdout else ""
+        # the pre-timeout child output lives in the exception, NOT in
+        # proc.stdout (communicate() already drained the pipe into its
+        # internal buffer); a second communicate() collects the remainder
+        out = e.output or ""
+        if isinstance(out, bytes):  # TimeoutExpired.output stays bytes on
+            out = out.decode(errors="replace")  # some versions despite text=True
+        try:
+            rest, _ = proc.communicate(timeout=5)
+            out += rest or ""
+        except Exception:
+            pass
         print(out, end="")
         if "interpreter up" not in out:
             print(f"STUCK IN AXON REGISTRATION (> {args.timeout:.0f}s): the "

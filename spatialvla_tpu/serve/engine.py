@@ -217,16 +217,16 @@ class ServingEngine:
             unnorm_key=unnorm_key,
         )
         self._queue.put(req)
-        if self._stop.is_set() and not self._worker.is_alive():
+        if self._stop.is_set():
             # raced with shutdown across the (wide) preprocessing window:
-            # the worker exited without seeing this request, so nothing
-            # will ever resolve it — fail it loudly. If the worker DID
-            # resolve it first, set_exception raises InvalidStateError and
-            # the real result stands.
-            try:
-                req.future.set_exception(RuntimeError("engine is shut down"))
-            except Exception:  # InvalidStateError: already resolved
-                pass
+            # the worker may exit without ever seeing this request (it can
+            # be mid-exit even while is_alive() still reads True), so fail
+            # it loudly. If the worker does resolve it, _safe_resolve's
+            # set_exception is a no-op and the real result stands; a
+            # submit that raced shutdown legitimately fails either way.
+            _safe_resolve(
+                req.future, exception=RuntimeError("engine is shut down")
+            )
         return req.future
 
     def predict(self, image, instruction: str, *, unnorm_key: Optional[str] = None):
@@ -261,9 +261,19 @@ class ServingEngine:
             self._worker.join(timeout=60)
             if self._worker.is_alive():
                 # still mid-batch (a cold XLA compile can exceed the join
-                # timeout): the worker will drain and serve the queue
-                # itself — stealing its queued requests here would fail
-                # work a live worker was about to complete
+                # timeout — or the device is wedged): the worker will
+                # drain and serve the queue itself if it ever finishes, so
+                # do not steal its queued requests; but tell the caller
+                # shutdown did NOT complete so it can apply its own
+                # timeout instead of assuming every future will resolve
+                import sys
+
+                print(
+                    "ServingEngine.shutdown: dispatch thread still running "
+                    "after 60 s (mid-compile or wedged device); queued "
+                    "futures resolve only if the in-flight batch finishes",
+                    file=sys.stderr, flush=True,
+                )
                 return
             # fail any request that raced past the stop check in submit()
             # after the worker exited — a silently unresolved Future would
@@ -273,13 +283,11 @@ class ServingEngine:
                     req = self._queue.get_nowait()
                 except queue.Empty:
                     break
-                if req is not None and not req.future.done():
-                    try:
-                        req.future.set_exception(
-                            RuntimeError("engine is shut down")
-                        )
-                    except Exception:  # cancelled/resolved concurrently
-                        pass
+                if req is not None:
+                    _safe_resolve(
+                        req.future,
+                        exception=RuntimeError("engine is shut down"),
+                    )
 
     def __enter__(self):
         return self
