@@ -94,6 +94,7 @@ def _build_policy(args):
             vision_bits=args.vision_bits or None,
             depth_image_size=args.depth_res or None,
             kv_bits=args.kv_bits or None,
+            mlp_bits=args.mlp_bits or None,
         )
     return policy
 
@@ -155,6 +156,9 @@ def main(argv=None):
     p.add_argument("--kv_bits", type=int, default=0,
                    help="8 = int8 KV cache on the fused decode path "
                         "(matters at batch >= 8)")
+    p.add_argument("--mlp_bits", type=int, default=0,
+                   help="4 = int4 MLP with int8 attention/head (the mixed "
+                        "sweet spot; quality-gate via eval_quant --mixed)")
     p.add_argument("--depth_res", type=int, default=0)
     p.add_argument("--clients", type=int, default=8)
     p.add_argument("--requests", type=int, default=8, help="per client")
@@ -200,6 +204,8 @@ def main(argv=None):
     total = args.clients * args.requests
     chunk = policy.processor.action_chunk_size
     tag = "int%d LM" % args.bits if args.bits else "bf16 LM"
+    if args.mlp_bits:
+        tag += ", int%d mlp" % args.mlp_bits
     if args.vision_bits:
         tag += ", int%d front" % args.vision_bits
     if args.kv_bits:

@@ -92,6 +92,9 @@ def main(argv=None):
     ap.add_argument("--kv_bits", type=int, default=0,
                     help="8 = int8 KV cache on the fused decode path "
                          "(matters at batch >= 8)")
+    ap.add_argument("--mlp_bits", type=int, default=0,
+                    help="4 = int4 MLP with int8 attention/head (the mixed "
+                         "sweet spot; quality-gate via eval_quant --mixed)")
     ap.add_argument("--depth_res", type=int, default=0, help="reduced zoe resolution (0 = full)")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max_batch", type=int, default=16)
@@ -131,6 +134,7 @@ def main(argv=None):
             vision_bits=args.vision_bits or None,
             depth_image_size=args.depth_res or None,
             kv_bits=args.kv_bits or None,
+            mlp_bits=args.mlp_bits or None,
         )
     # ladder includes a bucket >= max_batch: the engine rounds full batches
     # UP to the next bucket, so truncating below max_batch would leave the
