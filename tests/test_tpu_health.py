@@ -1,0 +1,81 @@
+"""Staged-diagnosis logic of scripts/tpu_health.py: the parent must
+attribute a hang to the right leg from the child's pre-timeout output
+(which lives in TimeoutExpired.output, not the drained pipe) and must
+not report a CPU fallback as a healthy tunnel."""
+import importlib.util
+import os
+
+SCRIPT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "scripts", "tpu_health.py",
+)
+
+
+def _load():
+    spec = importlib.util.spec_from_file_location("tpu_health", SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _run(mod, child_src, timeout="3", monkeypatch=None):
+    monkeypatch.setattr(mod, "_CHILD", child_src)
+    return mod.main(["--timeout", timeout])
+
+
+def test_healthy_path(capsys, monkeypatch):
+    mod = _load()
+    rc = _run(mod, """
+print("interpreter up", flush=True)
+print("jax imported", flush=True)
+print("devices: fake", flush=True)
+print("dispatch + host sync ok", flush=True)
+""", monkeypatch=monkeypatch)
+    out = capsys.readouterr().out
+    assert rc == 0 and "TUNNEL HEALTHY" in out
+
+
+def test_stuck_in_registration(capsys, monkeypatch):
+    mod = _load()
+    rc = _run(mod, "import time; time.sleep(60)", monkeypatch=monkeypatch)
+    out = capsys.readouterr().out
+    assert rc == 2 and "STUCK IN AXON REGISTRATION" in out
+
+
+def test_stuck_in_claim_uses_pre_timeout_output(capsys, monkeypatch):
+    """The pre-timeout prints arrive via TimeoutExpired.output — the probe
+    must see them and blame the claim leg, not registration."""
+    mod = _load()
+    rc = _run(mod, """
+import time
+print("interpreter up", flush=True)
+print("jax imported", flush=True)
+time.sleep(60)
+""", monkeypatch=monkeypatch)
+    out = capsys.readouterr().out
+    assert rc == 2
+    assert "STUCK IN POOL CLAIM" in out and "interpreter up" in out
+
+
+def test_stuck_in_dispatch(capsys, monkeypatch):
+    mod = _load()
+    rc = _run(mod, """
+import time
+print("interpreter up", flush=True)
+print("devices: fake", flush=True)
+time.sleep(60)
+""", monkeypatch=monkeypatch)
+    out = capsys.readouterr().out
+    assert rc == 2 and "STUCK IN DISPATCH" in out
+
+
+def test_cpu_fallback_is_not_healthy(capsys, monkeypatch):
+    mod = _load()
+    rc = _run(mod, """
+import sys
+print("interpreter up", flush=True)
+print("devices: cpu", flush=True)
+sys.exit(3)
+""", monkeypatch=monkeypatch)
+    out = capsys.readouterr().out
+    assert rc == 2 and "fell back to CPU" in out
