@@ -45,7 +45,30 @@ KV_BITS = int(os.environ.get("SPATIALVLA_BENCH_KV_BITS", "0")) or None
 VISION_BITS = int(os.environ.get("SPATIALVLA_BENCH_VISION_BITS", "0"))
 
 
+def _watchdog(done, delay=300):
+    """If the axon pool claim wedges (outages can last hours —
+    NOTES_ROUND3.md), the bench would hang silently until the caller's
+    timeout; say WHY on stderr so the recorded tail is a diagnosis."""
+    import sys
+    import threading
+
+    def bark():
+        if not done.wait(delay):
+            print(
+                "bench: no device work retired after "
+                f"{delay}s — the axon tunnel is likely stuck in pool claim "
+                "(run scripts/tpu_health.py for the staged diagnosis)",
+                file=sys.stderr, flush=True,
+            )
+
+    threading.Thread(target=bark, daemon=True).start()
+
+
 def main():
+    import threading
+
+    done = threading.Event()
+    _watchdog(done)
     from __graft_entry__ import _example_batch, _flagship_cfg
     from spatialvla_tpu.models import spatialvla
     from spatialvla_tpu.ops.quant import quantize_lm_params, quantize_vision_params
@@ -77,6 +100,7 @@ def main():
     # the predict program's transients enqueue
     for leaf in jax.tree_util.tree_leaves(params):
         np.asarray(leaf[(0,) * leaf.ndim])
+    done.set()  # device work retired: the tunnel is alive (watchdog off)
     gc.collect()
 
     batch = _example_batch(cfg, B=1, n_text=10, n_action=0)
