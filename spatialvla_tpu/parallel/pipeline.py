@@ -109,7 +109,15 @@ def pipeline_apply(
                 lax.dynamic_index_in_dim(xm_local, idx, 0, keepdims=False),
                 h,
             )
-            y = stage_fn(sp, x_in, aux_t)
+            # bubble ticks (t < my, or past the last microbatch) skip the
+            # stage compute entirely — cond executes one branch, so the
+            # (S-1)/(m+S-1) bubble costs DMA/sync only, not FLOPs
+            y = lax.cond(
+                active,
+                lambda x: stage_fn(sp, x, aux_t),
+                lambda x: x,
+                x_in,
+            )
             # last stage banks its (valid) result for microbatch idx
             prev = lax.dynamic_index_in_dim(outs, idx, 0, keepdims=False)
             outs = lax.dynamic_update_index_in_dim(
