@@ -29,6 +29,11 @@ QUANT_BITS = int(os.environ.get("SPATIALVLA_BENCH_BITS", "8"))
 # mixed sweet spot: ~0.58x the int8 weight stream with the error kept out
 # of the attention logits and the lm_head); quality-gated like int4
 MLP_BITS = int(os.environ.get("SPATIALVLA_BENCH_MLP_BITS", "0")) or None
+# SPATIALVLA_BENCH_GROUP: int4 scale granularity along K (default 0 =
+# per-channel, the fast format — 95.8 actions/sec; 128 = grouped scales,
+# ~23% less quant error but ~1.8x slower decode, 54.0 actions/sec —
+# MEASURE_ROUND3.jsonl)
+GROUP_SIZE = int(os.environ.get("SPATIALVLA_BENCH_GROUP", "0")) or None
 # SPATIALVLA_BENCH_DEPTH_RES=256 runs the ZoeDepth stack at a reduced
 # internal resolution (opt-in quality trade, zoe.predict_depth); 0 = native
 DEPTH_RES = int(os.environ.get("SPATIALVLA_BENCH_DEPTH_RES", "0")) or None
@@ -88,7 +93,9 @@ def main():
     def build(key):
         p = spatialvla.init_params(key, cfg, dtype=jnp.bfloat16)
         p = dict(p)
-        p["lm"] = quantize_lm_params(p["lm"], bits=QUANT_BITS, mlp_bits=MLP_BITS)
+        p["lm"] = quantize_lm_params(
+            p["lm"], bits=QUANT_BITS, mlp_bits=MLP_BITS, group_size=GROUP_SIZE
+        )
         p["zoe"] = precompute_rel_bias(p["zoe"], cfg.zoe, image_size=DEPTH_RES)
         if VISION_BITS:
             p = quantize_vision_params(p, bits=VISION_BITS)

@@ -96,6 +96,8 @@ def _build_policy(args):
             kv_bits=args.kv_bits or None,
             mlp_bits=args.mlp_bits or None,
         )
+    if args.mesh_model > 1 or args.mesh_data > 1:
+        policy.shard(n_model=args.mesh_model, n_data=args.mesh_data)
     return policy
 
 
@@ -160,6 +162,10 @@ def main(argv=None):
                    help="4 = int4 MLP with int8 attention/head (the mixed "
                         "sweet spot; quality-gate via eval_quant --mixed)")
     p.add_argument("--depth_res", type=int, default=0)
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="tensor-parallel serving over N chips (policy.shard)")
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="data-parallel batch sharding over N chip groups")
     p.add_argument("--clients", type=int, default=8)
     p.add_argument("--requests", type=int, default=8, help="per client")
     p.add_argument("--max_batch", type=int, default=16)

@@ -29,13 +29,14 @@ run() {  # run <tag> <env...> -- <cmd...>
     fi
 }
 
-python scripts/tpu_health.py --timeout 120 || { echo "tunnel not healthy — aborting"; exit 2; }
+python scripts/tpu_health.py --timeout 420 || { echo "tunnel not healthy — aborting"; exit 2; }
 
 # headline + quant variants (B=1 single-stream)
 run headline_int8      _X=1 -- python bench.py
 run int8_kv8           SPATIALVLA_BENCH_KV_BITS=8 -- python bench.py
 run int8_mlp4          SPATIALVLA_BENCH_MLP_BITS=4 -- python bench.py
 run int4               SPATIALVLA_BENCH_BITS=4 -- python bench.py
+run int4_g128          SPATIALVLA_BENCH_BITS=4 SPATIALVLA_BENCH_GROUP=128 -- python bench.py
 run int8_depth256      SPATIALVLA_BENCH_DEPTH_RES=256 -- python bench.py
 
 # serving load (flagship random-init, engine + batched fused decode)

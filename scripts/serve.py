@@ -96,6 +96,10 @@ def main(argv=None):
                     help="4 = int4 MLP with int8 attention/head (the mixed "
                          "sweet spot; quality-gate via eval_quant --mixed)")
     ap.add_argument("--depth_res", type=int, default=0, help="reduced zoe resolution (0 = full)")
+    ap.add_argument("--mesh_model", type=int, default=1,
+                    help="tensor-parallel serving over N chips (policy.shard)")
+    ap.add_argument("--mesh_data", type=int, default=1,
+                    help="data-parallel batch sharding over N chip groups")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--max_wait_ms", type=float, default=4.0)
@@ -136,6 +140,11 @@ def main(argv=None):
             kv_bits=args.kv_bits or None,
             mlp_bits=args.mlp_bits or None,
         )
+    if args.mesh_model > 1 or args.mesh_data > 1:
+        # pod-slice serving: TP splits each decode step's weight stream
+        # over the model axis (aggregate-bandwidth latency scaling),
+        # data shards whole batches; see SpatialVLAPolicy.shard
+        policy.shard(n_model=args.mesh_model, n_data=args.mesh_data)
     # ladder includes a bucket >= max_batch: the engine rounds full batches
     # UP to the next bucket, so truncating below max_batch would leave the
     # largest dispatch shape unwarmed (and fail engine construction)

@@ -42,6 +42,7 @@ class SpatialVLAPolicy:
         self.compute_dtype = compute_dtype
         self.depth_image_size: Optional[int] = None  # set by quantize()
         self.kv_bits: Optional[int] = None  # set by quantize()
+        self.mesh = None  # set by shard()
         self._predict_cache: Dict = {}
 
     # ------------------------------------------------------------------
@@ -96,6 +97,7 @@ class SpatialVLAPolicy:
         depth_image_size: Optional[int] = None,
         kv_bits: Optional[int] = None,
         mlp_bits: Optional[int] = None,
+        group_size: Optional[int] = None,
     ) -> "SpatialVLAPolicy":
         """Switch to the serving-optimized parameterization: int8 (or, with
         bits=4, packed-int4 — quality-gate it first) weight-only LM (halves /
@@ -112,11 +114,19 @@ class SpatialVLAPolicy:
         cache is ~1/3 of the stream). mlp_bits=4 with bits=8 is the mixed
         sweet spot (int4 MLP, int8 attention/head — ~0.58x the int8 weight
         stream, error kept out of the attention logits; quality-gate it).
-        In-place; returns self."""
+        group_size=128 switches int4 to grouped scales — ~23% less
+        quantization error for ~1.8x slower decode (measured; see
+        ops/quant.quantize_int4) — when int4's accuracy, not speed, is
+        the constraint. In-place; returns self."""
         import functools
 
         from .ops.quant import quantize_lm_params, quantize_vision_params
 
+        if self.mesh is not None:
+            raise ValueError(
+                "quantize() after shard() is unsupported — quantize first, "
+                "then shard (the quantized tree shards with the same rules)"
+            )
         params = dict(self.params)
         if mlp_bits and not bits:
             raise ValueError(
@@ -126,7 +136,7 @@ class SpatialVLAPolicy:
         if bits:
             params["lm"] = jax.jit(
                 functools.partial(quantize_lm_params, bits=bits,
-                                  mlp_bits=mlp_bits)
+                                  mlp_bits=mlp_bits, group_size=group_size)
             )(self.params["lm"])
         if vision_bits:
             params = jax.jit(
@@ -158,32 +168,100 @@ class SpatialVLAPolicy:
         return self
 
     # ------------------------------------------------------------------
+    def shard(
+        self,
+        *,
+        n_model: int = 1,
+        n_data: int = 1,
+        devices=None,
+    ) -> "SpatialVLAPolicy":
+        """Mesh-sharded serving over a TPU slice.
+
+        n_model chips of tensor parallelism: weight matrices split their
+        output heads / MLP hidden over the ``model`` mesh axis (the
+        partitioning rules of parallel/partitioning.py), so every decode
+        step streams 1/n of the weight bytes per chip — greedy decode is
+        HBM-bandwidth bound, so latency scales with the slice's AGGREGATE
+        bandwidth, with one psum per projection riding ICI. n_data adds
+        throughput-oriented batch sharding on top (predict_batch shards
+        its batch dim when divisible). The reference serves strictly
+        single-GPU (README.md:93); this is the pod-slice extension.
+
+        Prediction under a mesh runs the XLA decode path (GSPMD partitions
+        einsum + dequant graphs; the single-device Pallas microkernels
+        would be wrapped in all-gathers instead — ops/quant.xla_matmuls),
+        so kv_bits (fused-path-only) is rejected. Call quantize() BEFORE
+        shard(): int8/int4 trees shard with the same rules via their base
+        paths. In-place; returns self."""
+        from .parallel.mesh import MeshConfig, make_mesh
+        from .parallel.partitioning import shard_params
+
+        if self.kv_bits:
+            raise ValueError(
+                "kv_bits requires the fused decode path, which is "
+                "single-device — quantize(kv_bits=None) before shard()"
+            )
+        mesh = make_mesh(MeshConfig(data=n_data, fsdp=1, model=n_model), devices)
+        self.params = shard_params(mesh, self.params)
+        self.mesh = mesh
+        self._predict_cache.clear()
+        return self
+
+    def _place_inputs(self, ids, pixels, intrinsic, attn=None):
+        """Commit host inputs: batch over the data axis when divisible,
+        replicated otherwise (B=1 robot serving)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_data = self.mesh.shape["data"]
+        B = int(ids.shape[0])
+        spec = P("data") if (n_data > 1 and B % n_data == 0) else P()
+        sh = NamedSharding(self.mesh, spec)
+        out = tuple(jax.device_put(x, sh) for x in (ids, pixels, intrinsic))
+        if attn is not None:
+            out = out + (jax.device_put(attn, sh),)
+        return out
+
+    # ------------------------------------------------------------------
     def _jitted_predict(self, prefix_len: int, chunk: int, padded: bool = False):
-        key = (prefix_len, chunk, padded, self.depth_image_size, self.kv_bits)
+        key = (prefix_len, chunk, padded, self.depth_image_size, self.kv_bits,
+               self.mesh)
         if key not in self._predict_cache:
             cfg = self.config
             dres = self.depth_image_size
             kvb = self.kv_bits
+            mesh = self.mesh
+
+            def body(params, input_ids, pixel_values, intrinsic, attn=None):
+                kw = {}
+                if mesh is not None:
+                    # mesh-sharded: XLA decode path, GSPMD-partitionable
+                    kw["use_fused_decode"] = False
+                return spatialvla.predict_action(
+                    params, cfg, input_ids,
+                    pixel_values=pixel_values, intrinsic=intrinsic,
+                    attention_mask=attn,
+                    action_chunk_size=chunk, compute_dtype=self.compute_dtype,
+                    depth_image_size=dres, kv_bits=kvb, **kw,
+                )
 
             if padded:  # mixed-length batch: pad-aware masks/positions
                 @jax.jit
                 def fn(params, input_ids, pixel_values, intrinsic, attn):
-                    return spatialvla.predict_action(
-                        params, cfg, input_ids,
-                        pixel_values=pixel_values, intrinsic=intrinsic,
-                        attention_mask=attn,
-                        action_chunk_size=chunk, compute_dtype=self.compute_dtype,
-                        depth_image_size=dres, kv_bits=kvb,
-                    )
+                    if mesh is None:
+                        return body(params, input_ids, pixel_values, intrinsic, attn)
+                    from .ops.quant import xla_matmuls
+
+                    with xla_matmuls():
+                        return body(params, input_ids, pixel_values, intrinsic, attn)
             else:
                 @jax.jit
                 def fn(params, input_ids, pixel_values, intrinsic):
-                    return spatialvla.predict_action(
-                        params, cfg, input_ids,
-                        pixel_values=pixel_values, intrinsic=intrinsic,
-                        action_chunk_size=chunk, compute_dtype=self.compute_dtype,
-                        depth_image_size=dres, kv_bits=kvb,
-                    )
+                    if mesh is None:
+                        return body(params, input_ids, pixel_values, intrinsic)
+                    from .ops.quant import xla_matmuls
+
+                    with xla_matmuls():
+                        return body(params, input_ids, pixel_values, intrinsic)
 
             self._predict_cache[key] = fn
         return self._predict_cache[key]
@@ -199,12 +277,14 @@ class SpatialVLAPolicy:
         inputs = self.processor(image, instruction, unnorm_key=unnorm_key)
         ids = jnp.asarray(inputs["input_ids"])
         fn = self._jitted_predict(int(ids.shape[1]), self.processor.action_chunk_size)
-        generated = fn(
-            self.params,
+        args = (
             ids,
             jnp.asarray(inputs["pixel_values"]),
             jnp.asarray(inputs["intrinsic"]),
         )
+        if self.mesh is not None:
+            args = self._place_inputs(*args)
+        generated = fn(self.params, *args)
         out = self.processor.decode_actions(np.asarray(generated), unnorm_key=unnorm_key)
         return {"actions": out["actions"][0], "action_ids": out["action_ids"][0]}
 
@@ -217,10 +297,14 @@ class SpatialVLAPolicy:
             int(ids.shape[1]), self.processor.action_chunk_size, padded
         )
         args = (
-            self.params, ids,
+            ids,
             jnp.asarray(inputs["pixel_values"]), jnp.asarray(inputs["intrinsic"]),
         )
         if padded:
             args = args + (jnp.asarray(attn),)
-        generated = fn(*args)
+        if self.mesh is not None:
+            args = self._place_inputs(*args) if not padded else self._place_inputs(
+                args[0], args[1], args[2], attn=args[3]
+            )
+        generated = fn(self.params, *args)
         return self.processor.decode_actions(np.asarray(generated), unnorm_key=unnorm_key)

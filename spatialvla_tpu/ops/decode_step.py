@@ -75,11 +75,14 @@ def _matvec_block(x_bf16, w_ref, s_ref):
 
     int4 nibbles are offset-binary (code + 8; column j packed with column
     j + K/2): unpack is widen + mask/shift + bf16 convert only. Per-channel
-    the +8 bias factors out of the dot as 8 * sum(x); group-wise the scales
-    fold into the nibble blocks (VPU repeat + multiply — codes are <= 4 bits
-    so the bf16 product rounding is ~0.2%, far under the int4 noise) and
-    the bias becomes an (M, G) x (G, bn) matmul of group sums against
-    scales (ops/quant.py:_q_dot_scaled)."""
+    the +8 bias factors out of the dot as 8 * sum(x); group-wise the dot is
+    split into one partial dot PER GROUP on the raw codes with the scale
+    applied to the (M, bn) partial — O(G*M*bn) scale work instead of
+    dequantizing the whole (bn, K) block on the VPU (the block-dequant
+    formulation measured 8x slower end-to-end on TPU: the elementwise
+    multiply + lane-repeat over every weight element dominated the saved
+    DMA — MEASURE_ROUND3.jsonl int4 11.76 vs 93.9 actions/sec). The bias
+    becomes an (M, G) x (G, bn) matmul of group sums against scales."""
     w = w_ref[0]
     grouped = s_ref.shape[1] != 1  # (1, bn, G) vs (1, 1, bn)
     dims = (((1,), (1,)), ((), ()))
@@ -94,23 +97,25 @@ def _matvec_block(x_bf16, w_ref, s_ref):
             s = s_ref[0]  # (bn, G) — columns [0, Kh) map to groups [0, G/2)
             G = s.shape[-1]
             g = (2 * Kh) // G
-            # repeat in f32: Mosaic only supports the minor-dim-inserting
-            # reshape inside jnp.repeat for 32-bit types
             s32 = s.astype(jnp.float32)
-            slo = jnp.repeat(s32[:, : G // 2], g, axis=-1).astype(jnp.bfloat16)
-            shi = jnp.repeat(s32[:, G // 2 :], g, axis=-1).astype(jnp.bfloat16)
-            acc = jax.lax.dot_general(
-                x_bf16[:, :Kh], lo * slo, dims, preferred_element_type=jnp.float32
-            ) + jax.lax.dot_general(
-                x_bf16[:, Kh:], hi * shi, dims, preferred_element_type=jnp.float32
-            )
+            acc = None
+            for j in range(G):  # static unroll: one MXU dot per group
+                codes = (
+                    lo[:, j * g : (j + 1) * g]
+                    if j < G // 2
+                    else hi[:, (j - G // 2) * g : (j - G // 2 + 1) * g]
+                )
+                pj = jax.lax.dot_general(
+                    x_bf16[:, j * g : (j + 1) * g], codes, dims,
+                    preferred_element_type=jnp.float32,
+                ) * s32[:, j][None, :]
+                acc = pj if acc is None else acc + pj
             xsum = jnp.sum(
                 x_bf16.astype(jnp.float32).reshape(x_bf16.shape[0], G, g),
                 axis=-1,
             )  # (M, G)
             bias = 8.0 * jax.lax.dot_general(
-                xsum, s.astype(jnp.float32), dims,
-                preferred_element_type=jnp.float32,
+                xsum, s32, dims, preferred_element_type=jnp.float32,
             )
             return acc - bias
         acc = jax.lax.dot_general(

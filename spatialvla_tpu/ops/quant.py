@@ -56,17 +56,20 @@ def quantize_kv(x: jnp.ndarray):
     return codes, scale
 
 
-def quantize_int4(w: jnp.ndarray, group_size: int = 128) -> QuantW:
+def quantize_int4(w: jnp.ndarray, group_size: int = None) -> QuantW:
     """(..., K, N) float -> symmetric int4 (levels [-8, 7]), stored
     (..., N, K//2) uint8 with column j packed against column j + K/2
     (low nibble = j, high nibble = j + K/2).
 
-    group_size: contraction-dim scale granularity. The default 128 cuts
-    the quantization error vs per-channel (the per-row amax over K=2048
-    gaussian weights is ~3.5 sigma; over a 128-group ~2.7 sigma) at the
-    cost of a (N, K/group) scale tensor — negligible DMA (1/256 of the
-    packed weights at group 128). group_size=None = one scale per output
-    channel (the round-2 format, kept loadable)."""
+    group_size: contraction-dim scale granularity. None (default) = one
+    scale per output channel — the fast format (one MXU dot per block;
+    95.8 actions/sec end-to-end on the bench host). group_size=128 cuts
+    the quantization error ~23% (the per-row amax over K=2048 gaussian
+    weights is ~3.5 sigma; over a 128-group ~2.7 sigma) and its scale
+    bytes are negligible DMA (1/256 of the packed weights), but the
+    per-group partial dots cost ~1.8x decode speed measured (54.0 vs
+    95.8 actions/sec, MEASURE_ROUND3.jsonl int4_g128 vs int4) — opt in
+    when int4's accuracy, not its speed, is the constraint."""
     wf = w.astype(jnp.float32)
     K = wf.shape[-2]
     if group_size is not None:
@@ -163,39 +166,49 @@ def _q_dot_scaled(x_bf16, w, s):
     int4 nibbles are stored offset-binary (code + 8) so the unpack is just
     widen + mask/shift + bf16 convert (3 VPU ops per element). Per-channel:
     the +8 bias factors out of the dot as 8 * sum(x) — O(M) instead of two
-    O(bn*K) vector subtractions. Group-wise: scales fold into the code
-    block (one VPU repeat + multiply; biased codes are <= 4 bits so the
-    bf16 product rounding is ~0.2% — far under the int4 noise) and the
-    bias becomes an (M, G) x (G, bn) matmul of group sums against scales.
+    O(bn*K) vector subtractions. Group-wise: one partial dot PER GROUP on
+    the raw codes, scale applied to the (M, bn) partial — O(G*M*bn) scale
+    work; dequantizing the whole (bn, K) block on the VPU (repeat +
+    elementwise multiply over every weight element) measured 8x slower
+    end-to-end on TPU (MEASURE_ROUND3.jsonl) — and the bias becomes an
+    (M, G) x (G, bn) matmul of group sums against scales.
     int8/int4 codes are exact in bf16; fp32 MXU would be 4x slower."""
+    dims = (((1,), (1,)), ((), ()))
     grouped = s.shape[0] != 1  # (bn, G) vs (1, bn)
     if w.dtype == jnp.uint8:  # int4 nibbles, biased +8
         w32 = w.astype(jnp.int32)
-        wb = jnp.concatenate([w32 & 15, w32 >> 4], axis=-1).astype(jnp.bfloat16)
-        K = wb.shape[-1]
+        lo = (w32 & 15).astype(jnp.bfloat16)
+        hi = (w32 >> 4).astype(jnp.bfloat16)
+        Kh = w.shape[-1]
+        K = 2 * Kh
         if grouped:
             G = s.shape[-1]
-            # repeat in f32 (Mosaic: minor-dim-inserting reshape is
-            # 32-bit-only), cast after
-            smap = jnp.repeat(
-                s.astype(jnp.float32), K // G, axis=-1
-            ).astype(jnp.bfloat16)
-            acc = jax.lax.dot_general(
-                x_bf16, wb * smap, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            g = K // G
+            s32 = s.astype(jnp.float32)
+            acc = None
+            for j in range(G):  # static unroll: one MXU dot per group
+                codes = (
+                    lo[:, j * g : (j + 1) * g]
+                    if j < G // 2
+                    else hi[:, (j - G // 2) * g : (j - G // 2 + 1) * g]
+                )
+                pj = jax.lax.dot_general(
+                    x_bf16[:, j * g : (j + 1) * g], codes, dims,
+                    preferred_element_type=jnp.float32,
+                ) * s32[:, j][None, :]
+                acc = pj if acc is None else acc + pj
             xsum = jnp.sum(
-                x_bf16.astype(jnp.float32).reshape(x_bf16.shape[0], G, K // G),
+                x_bf16.astype(jnp.float32).reshape(x_bf16.shape[0], G, g),
                 axis=-1,
             )  # (M, G)
             bias = 8.0 * jax.lax.dot_general(
-                xsum, s.astype(jnp.float32), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                xsum, s32, dims, preferred_element_type=jnp.float32,
             )
             return acc - bias
         acc = jax.lax.dot_general(
-            x_bf16, wb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            x_bf16[:, :Kh], lo, dims, preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            x_bf16[:, Kh:], hi, dims, preferred_element_type=jnp.float32,
         )
         bias = 8.0 * jnp.sum(x_bf16.astype(jnp.float32), axis=-1, keepdims=True)
         return (acc - bias) * s[0].astype(jnp.float32)[None, :]
@@ -223,11 +236,10 @@ QKERNEL_MAX_M = 512
 def _pick_block_n(K: int, N: int, M: int, *, grouped: bool = False) -> int:
     # VMEM per grid step ≈ w block + dequant temporaries + x_bf16 + out;
     # stay well under the 16MB scoped limit. Per-channel: w_int8/packed
-    # (≤ K) + w_bf16 convert (2K) ≈ 3K bytes/row. Grouped scales add the
-    # f32 scale-map repeat (4K) + its bf16 cast (2K) + the scaled weight
-    # block (2K) ≈ 11K bytes/row (measured: bn=1664 @ K=2048 grouped
-    # overflows the 16M scoped-vmem stack by 2.2M).
-    per_row = 11 * K if grouped else 3 * K
+    # (≤ K) + w_bf16 convert (2K) ≈ 3K bytes/row. Grouped (per-group
+    # partial dots on raw codes): packed (K/2) + widened w32 (2K) +
+    # lo/hi bf16 nibbles (2K) ≈ 5K bytes/row.
+    per_row = 5 * K if grouped else 3 * K
     budget = 10 * 1024 * 1024 - M * K * 2
     bn = max(128, min(N, budget // max(per_row + 4 * M, 1)))
     return (bn // 128) * 128
@@ -318,13 +330,41 @@ def int8_rmsnorm_matmul(
     )(x, norm_w.reshape(1, -1), qt, sop)
 
 
+import contextlib
+import threading
+
+_TRACE_FLAGS = threading.local()
+
+
+@contextlib.contextmanager
+def xla_matmuls():
+    """Force the XLA (non-Pallas) quantized-matmul path for code traced
+    inside this block. Mesh-sharded serving uses it: GSPMD partitions the
+    einsum + elementwise-dequant graph across the mesh automatically,
+    but the single-device Pallas microkernels would be wrapped in full
+    all-gathers instead of partitioned. Trace-time and thread-local —
+    wrap the model call INSIDE the jitted function body."""
+    prev = getattr(_TRACE_FLAGS, "xla_only", False)
+    _TRACE_FLAGS.xla_only = True
+    try:
+        yield
+    finally:
+        _TRACE_FLAGS.xla_only = prev
+
+
+def _kernel_default() -> bool:
+    if getattr(_TRACE_FLAGS, "xla_only", False):
+        return False
+    return jax.devices()[0].platform != "cpu"
+
+
 def qnorm_matmul(x, norm_w, w, *, eps: float = 1e-6, use_kernel=None):
     """Fused rms_norm + matmul when w is quantized and the shape fits the
     decode kernel; otherwise norm in XLA then qmatmul."""
     from ..models.layers import rms_norm
 
     if use_kernel is None:
-        use_kernel = jax.devices()[0].platform != "cpu"
+        use_kernel = _kernel_default()
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
@@ -345,8 +385,8 @@ def qmatmul(x: jnp.ndarray, w, *, use_kernel=None) -> jnp.ndarray:
         return base + delta
     if not is_quantized(w):
         return x @ w.astype(x.dtype)
-    if use_kernel is None:  # Pallas path only off-CPU
-        use_kernel = jax.devices()[0].platform != "cpu"
+    if use_kernel is None:  # Pallas path only off-CPU (and not under a mesh)
+        use_kernel = _kernel_default()
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
@@ -368,7 +408,7 @@ def qmatmul(x: jnp.ndarray, w, *, use_kernel=None) -> jnp.ndarray:
 
 def quantize_lm_params(
     lm_params: Dict[str, Any], *, fuse: bool = True, bits: int = 8,
-    group_size: int = 128, mlp_bits: int = None,
+    group_size: int = None, mlp_bits: int = None,
 ) -> Dict[str, Any]:
     """Quantize the Gemma2 weight matrices (stacked layer tensors and the
     lm_head); embeddings/norms stay high precision (gather/elementwise).
@@ -378,10 +418,10 @@ def quantize_lm_params(
     launch count dominates the bandwidth win otherwise).
 
     bits=4 packs two weights per byte (quantize_int4) — halves the decode
-    DMA floor again. Scales are group-wise along the contraction dim
-    (group_size, default 128; group_size=None = per-channel) which cuts
-    the int4 quantization error ~25% for free DMA-wise; int4 remains an
-    accuracy trade to quality-gate before serving (scripts/eval_quant.py).
+    DMA floor again. Scales default per-channel (the fast format);
+    group_size=128 trades ~1.8x decode speed for ~23% less quantization
+    error (measured — see quantize_int4). int4 remains an accuracy trade
+    to quality-gate before serving (scripts/eval_quant.py).
 
     mlp_bits overrides the precision of the MLP matmuls only (the mixed
     sweet spot: bits=8, mlp_bits=4 packs the ~2/3 of weight bytes living
@@ -434,7 +474,7 @@ def _quantize_wb(p: Dict[str, Any], quantize) -> Dict[str, Any]:
 
 
 def quantize_vision_params(
-    params: Dict[str, Any], *, bits: int = 8, group_size: int = 128
+    params: Dict[str, Any], *, bits: int = 8, group_size: int = None
 ) -> Dict[str, Any]:
     """Weight-only quantization of the serving FRONT: the SigLIP encoder's
     stacked layer matmuls, the ZoeDepth BEiT-backbone matmuls (~85% of the

@@ -25,8 +25,10 @@ DEFAULT_RULES: Rules = [
     (r"lm/embed$", P("model", "fsdp")),          # (V, H): vocab over model
     (r"lm/lm_head$", P("fsdp", "model")),        # (H, V)
     (r"lm/layers/attn/[qkv]$", P("fsdp", "model")),  # (H, N*D): heads over model
+    (r"lm/layers/attn/qkv$", P("fsdp", "model")),    # fused serving tree (quant.py)
     (r"lm/layers/attn/o$", P("model", "fsdp")),      # (N*D, H)
     (r"lm/layers/mlp/(gate|up)$", P("fsdp", "model")),
+    (r"lm/layers/mlp/gate_up$", P("fsdp", "model")),  # fused serving tree
     (r"lm/layers/mlp/down$", P("model", "fsdp")),
     (r"lm/.*norm", P(None)),
     # SigLIP tower
@@ -82,14 +84,51 @@ def _divisible(spec: P, shape, mesh: Mesh) -> P:
     return P(*((None,) * pad + tuple(out)))
 
 
+def _quant_specs(path_str: str, node: Dict[str, Any], rules: Rules):
+    """Specs for a QuantW dict {'qt', 'scale'} (ops/quant.py).
+
+    Quantized weights are stored TRANSPOSED — original (..., K, N) with
+    rule spec (a, b) becomes qt (..., N, K[/2]) — so qt takes (b, a) and
+    the per-output-channel scale takes (b,) (grouped scales (..., N, G)
+    take (b, None)). Looked up by the BASE path so the bf16 rules cover
+    the serving tree unchanged; int4's packed K//2 dim and odd channel
+    counts fall back to replicated via the _divisible mesh check."""
+    qt, scale = node["qt"], node["scale"]
+    base = spec_for(path_str, 2, rules)  # trailing (K, N) spec of the source
+    a, b = tuple(base) if len(tuple(base)) == 2 else (None, None)
+    lead_q = (None,) * (qt.ndim - 2)
+    qt_spec = P(*(lead_q + (b, a)))
+    grouped = scale.ndim == qt.ndim
+    if grouped:
+        scale_spec = P(*((None,) * (scale.ndim - 2) + (b, None)))
+    else:
+        scale_spec = P(*((None,) * (scale.ndim - 1) + (b,)))
+    return {"qt": qt_spec, "scale": scale_spec}
+
+
 def param_pspecs(params: Dict[str, Any], rules: Rules = None, mesh: Mesh = None):
     """Pytree of PartitionSpecs mirroring `params`. With `mesh`, specs are
-    validated for divisibility (indivisible dims fall back to replicated)."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: _divisible(
-            spec_for(_path_str(path), leaf.ndim, rules), leaf.shape, mesh
-        ),
-        params,
+    validated for divisibility (indivisible dims fall back to replicated).
+    Quantized {'qt','scale'} sub-dicts (serving trees) inherit their base
+    path's rule with the transposed-storage axis swap."""
+
+    def walk(node, parts):
+        if isinstance(node, dict):
+            from ..ops.quant import is_quantized
+
+            if is_quantized(node):
+                return _quant_specs("/".join(parts), node, rules)
+            return {k: walk(v, parts + [str(k)]) for k, v in node.items()}
+        return jax.tree_util.tree_map_with_path(
+            lambda path, leaf: spec_for(
+                "/".join(parts + [_path_str(path)]).rstrip("/"), leaf.ndim, rules
+            ),
+            node,
+        )
+
+    specs = walk(params, [])
+    return jax.tree_util.tree_map(
+        lambda spec, leaf: _divisible(spec, leaf.shape, mesh), specs, params
     )
 
 

@@ -1,0 +1,157 @@
+"""Mesh-sharded serving (SpatialVLAPolicy.shard): partitioning specs for
+quantized serving trees and token parity of the TP/DP-sharded XLA predict
+path against the single-device path, on the virtual 8-device CPU mesh
+(conftest). The reference serves strictly single-GPU (README.md:93);
+pod-slice tensor-parallel serving is beyond-parity infrastructure — greedy
+decode is weight-stream bound, so TP scales latency with the slice's
+aggregate HBM bandwidth."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tests.test_hf_checkpoint import _build_reference_style_checkpoint
+
+UNNORM = "bridge_orig/1.0.0"
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tp_ckpt")
+    _build_reference_style_checkpoint(d)
+    return str(d)
+
+
+def _policy(ckpt_dir):
+    from spatialvla_tpu.inference import SpatialVLAPolicy
+
+    p = SpatialVLAPolicy.from_hf_checkpoint(ckpt_dir, param_dtype=None)
+    p.compute_dtype = jnp.float32  # tiny random logits are near-flat:
+    # keep the parity comparison out of bf16 rounding noise
+    return p
+
+
+def _image(rng, policy):
+    s = policy.config.vision.image_size
+    return (rng.rand(s, s, 3) * 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# partitioning specs for quantized trees
+# ---------------------------------------------------------------------------
+
+def test_quant_pspecs_transpose_base_rules():
+    """QuantW leaves inherit the BASE path's rule with the transposed
+    (N, K)-storage axis swap; scales shard over the output-channel dim."""
+    from spatialvla_tpu.config import spatialvla_tiny
+    from spatialvla_tpu.models import spatialvla
+    from spatialvla_tpu.ops.quant import quantize_lm_params
+    from spatialvla_tpu.parallel.partitioning import param_pspecs
+
+    cfg = spatialvla_tiny()
+    params = spatialvla.init_params(jax.random.PRNGKey(0), cfg)
+    params = dict(params)
+    params["lm"] = quantize_lm_params(params["lm"], bits=8)
+    specs = param_pspecs(params)
+    qkv = specs["lm"]["layers"]["attn"]["qkv"]
+    # source rule (H, ND) = (fsdp, model); qt stored (L, ND, H)
+    assert qkv["qt"] == P(None, "model", "fsdp")
+    assert qkv["scale"] == P(None, "model")
+    head = specs["lm"]["lm_head"]
+    assert head["qt"] == P("model", "fsdp")
+    assert head["scale"] == P("model")
+
+
+def test_quant_pspecs_grouped_int4_scale():
+    from spatialvla_tpu.config import spatialvla_tiny
+    from spatialvla_tpu.models import spatialvla
+    from spatialvla_tpu.ops.quant import quantize_lm_params
+    from spatialvla_tpu.parallel.partitioning import param_pspecs
+
+    cfg = spatialvla_tiny()
+    params = spatialvla.init_params(jax.random.PRNGKey(0), cfg)
+    params = dict(params)
+    params["lm"] = quantize_lm_params(params["lm"], bits=4, group_size=8)
+    specs = param_pspecs(params)
+    gu = specs["lm"]["layers"]["mlp"]["gate_up"]
+    # grouped scale (L, N, G): channel dim over model, groups replicated
+    assert gu["qt"] == P(None, "model", "fsdp")
+    assert gu["scale"] == P(None, "model", None)
+
+
+def test_pspecs_bf16_tree_unchanged():
+    """The quant-aware walk must not disturb plain-tree specs."""
+    from spatialvla_tpu.config import spatialvla_tiny
+    from spatialvla_tpu.models import spatialvla
+    from spatialvla_tpu.parallel.partitioning import param_pspecs
+
+    cfg = spatialvla_tiny()
+    params = spatialvla.init_params(jax.random.PRNGKey(0), cfg)
+    specs = param_pspecs(params)
+    assert specs["lm"]["layers"]["attn"]["q"] == P(None, "fsdp", "model")
+    assert specs["lm"]["lm_head"] == P("fsdp", "model")
+    assert specs["spatial_embed"] == P("fsdp", None)
+
+
+# ---------------------------------------------------------------------------
+# sharded-vs-single-device token parity
+# ---------------------------------------------------------------------------
+
+def test_tp_parity_bf16_tree(ckpt_dir):
+    base = _policy(ckpt_dir)
+    rng = np.random.RandomState(0)
+    img = _image(rng, base)
+    ref = base.predict(img, "pick up the cup", unnorm_key=UNNORM)
+
+    tp = _policy(ckpt_dir).shard(n_model=4)
+    assert tp.mesh is not None and tp.mesh.shape["model"] == 4
+    # weights actually landed sharded (qkv output dim over 4 devices)
+    qkv_sh = tp.params["lm"]["layers"]["attn"]["q"].sharding
+    assert qkv_sh.spec == P(None, "fsdp", "model")
+    out = tp.predict(img, "pick up the cup", unnorm_key=UNNORM)
+    np.testing.assert_array_equal(out["action_ids"], ref["action_ids"])
+    np.testing.assert_allclose(out["actions"], ref["actions"], atol=1e-5)
+
+
+def test_tp_parity_int8_tree(ckpt_dir):
+    base = _policy(ckpt_dir).quantize(bits=8, vision_bits=8)
+    rng = np.random.RandomState(1)
+    img = _image(rng, base)
+    ref = base.predict(img, "push the plate left", unnorm_key=UNNORM)
+
+    tp = _policy(ckpt_dir).quantize(bits=8, vision_bits=8).shard(n_model=2)
+    qt = tp.params["lm"]["layers"]["attn"]["qkv"]["qt"]
+    assert qt.sharding.spec == P(None, "model", "fsdp")
+    out = tp.predict(img, "push the plate left", unnorm_key=UNNORM)
+    np.testing.assert_array_equal(out["action_ids"], ref["action_ids"])
+
+
+def test_dp_tp_padded_batch_parity(ckpt_dir):
+    """Mixed-length batch (padded path) over a (data=2, model=2) mesh."""
+    base = _policy(ckpt_dir)
+    rng = np.random.RandomState(2)
+    imgs = [_image(rng, base) for _ in range(4)]
+    instrs = ["go", "pick up the green cup", "push left", "stack the bowls"]
+    ref = base.predict_batch(imgs, instrs, unnorm_key=UNNORM)
+
+    dp = _policy(ckpt_dir).shard(n_model=2, n_data=2)
+    out = dp.predict_batch(imgs, instrs, unnorm_key=UNNORM)
+    np.testing.assert_array_equal(out["action_ids"], ref["action_ids"])
+
+
+# ---------------------------------------------------------------------------
+# misuse guards
+# ---------------------------------------------------------------------------
+
+def test_kv_bits_rejected_under_mesh(ckpt_dir):
+    p = _policy(ckpt_dir).quantize(bits=8, kv_bits=8)
+    with pytest.raises(ValueError, match="kv_bits"):
+        p.shard(n_model=2)
+
+
+def test_quantize_after_shard_rejected(ckpt_dir):
+    p = _policy(ckpt_dir).shard(n_model=2)
+    with pytest.raises(ValueError, match="quantize"):
+        p.quantize(bits=8)
