@@ -52,6 +52,7 @@ def _build_policy(args):
 
     from spatialvla_tpu.inference import SpatialVLAPolicy
 
+    lm_prequantized = False
     if args.tiny:
         sys.path.insert(0, args.repo_root)
         from tests.test_hf_checkpoint import _build_reference_style_checkpoint
@@ -68,12 +69,25 @@ def _build_policy(args):
     else:  # random-init flagship, same weights-shape as bench.py
         from spatialvla_tpu.config import spatialvla_4b
         from spatialvla_tpu.models import spatialvla
+        from spatialvla_tpu.ops.quant import quantize_lm_params
         from spatialvla_tpu.processor import SpatialVLAProcessor
 
         cfg = spatialvla_4b()
-        params = jax.jit(
-            lambda k: spatialvla.init_params(k, cfg, dtype=jnp.bfloat16)
-        )(jax.random.PRNGKey(0))
+        qbits, mlpb = args.bits or None, args.mlp_bits or None
+
+        # init + LM quantize as ONE jitted program (bench.py's rationale):
+        # the bf16 LM and the quantization's f32 temporaries stay program-
+        # internal — materializing the 4B bf16 tree first and quantizing it
+        # as a second program peaks over HBM at mlp_bits=4 (r3 sweep
+        # serve_16c_mixed OOM)
+        def build(key):
+            p = dict(spatialvla.init_params(key, cfg, dtype=jnp.bfloat16))
+            if qbits:
+                p["lm"] = quantize_lm_params(p["lm"], bits=qbits, mlp_bits=mlpb)
+            return p
+
+        params = jax.jit(build)(jax.random.PRNGKey(0))
+        lm_prequantized = qbits is not None
         proc = SpatialVLAProcessor(
             statistics={
                 "bench/1.0.0": {
@@ -87,14 +101,17 @@ def _build_policy(args):
         )
         policy = SpatialVLAPolicy(params, cfg, proc)
     # any serving-parameterization knob triggers quantize(); bits=0 keeps
-    # the LM bf16 (bits=None) so e.g. --depth_res alone takes effect
+    # the LM bf16 (bits=None) so e.g. --depth_res alone takes effect. The
+    # random-init flagship fused its LM quantize into the init program
+    # above — quantize() then only handles the remaining knobs (vision
+    # front, zoe precompute/resolution, kv-bits bookkeeping).
     if args.bits or args.vision_bits or args.depth_res or args.kv_bits:
         policy.quantize(
-            bits=args.bits or None,
+            bits=None if lm_prequantized else (args.bits or None),
             vision_bits=args.vision_bits or None,
             depth_image_size=args.depth_res or None,
             kv_bits=args.kv_bits or None,
-            mlp_bits=args.mlp_bits or None,
+            mlp_bits=None if lm_prequantized else (args.mlp_bits or None),
         )
     if args.mesh_model > 1 or args.mesh_data > 1:
         policy.shard(n_model=args.mesh_model, n_data=args.mesh_data)
@@ -114,6 +131,7 @@ def _run_phase(policy, args, images, n_clients, n_requests):
         max_wait_ms=args.max_wait_ms,
         prompt_pad_multiple=args.pad_multiple,
         batch_buckets=bucket_ladder(args.max_batch),
+        pipeline_depth=args.pipeline_depth,
     ) as engine:
 
         def client(i):
@@ -170,6 +188,10 @@ def main(argv=None):
     p.add_argument("--requests", type=int, default=8, help="per client")
     p.add_argument("--max_batch", type=int, default=16)
     p.add_argument("--max_wait_ms", type=float, default=4.0)
+    p.add_argument("--pipeline_depth", type=int, default=2,
+                   help="in-flight batches (1 = synchronous dispatch; 2+ "
+                        "overlaps host-side batching/decode with device "
+                        "compute)")
     p.add_argument("--pad_multiple", type=int, default=64,
                    help="prompt pad multiple (64 keeps the short-instruction "
                         "pool in one padded-length bucket -> one compile per "

@@ -55,12 +55,21 @@ def make_batch(cfg, B, seq, real_tokens, rng):
     ttype[:, N + n_text : real] = 1
     labels = np.where((ttype == 1) & (attn == 1), ids, -100)
     s = cfg.vision.image_size
+    # camera intrinsics: required whenever use_vision_zoe (the flagship
+    # default) routes pixels through ZoeDepth -> backprojection (reference
+    # scripts/intrinsics.json bridge K, rescaled to the model resolution)
+    K = np.asarray(
+        [[623.588 * s / 640, 0, 319.5 * s / 640],
+         [0, 623.588 * s / 480, 239.5 * s / 480],
+         [0, 0, 1.0]], np.float32,
+    )
     return {
         "input_ids": jnp.asarray(ids),
         "attention_mask": jnp.asarray(attn),
         "token_type_ids": jnp.asarray(ttype),
         "labels": jnp.asarray(labels),
         "pixel_values": jnp.asarray(rng.rand(B, s, s, 3).astype(np.float32)),
+        "intrinsic": jnp.asarray(np.broadcast_to(K, (B, 3, 3)).copy()),
     }
 
 
@@ -76,6 +85,10 @@ def main(argv=None):
                     help="non-pad tokens per row (reference pretrain "
                          "sparsity: ~278-298 of seq 2048)")
     ap.add_argument("--attn", default="flash", choices=["xla", "flash"])
+    ap.add_argument("--zoe", action="store_true",
+                    help="force use_vision_zoe on the tiny preset (the "
+                         "flagship always has it; lets CPU tests cover the "
+                         "depth->backprojection train path)")
     ap.add_argument("--lora_rank", type=int, default=32)
     ap.add_argument("--loss_chunk", type=int, default=256)
     ap.add_argument("--reps", type=int, default=5)
@@ -102,7 +115,7 @@ def main(argv=None):
     )
 
     flagship = args.preset == "spatialvla_4b"
-    cfg = spatialvla_4b() if flagship else spatialvla_tiny()
+    cfg = spatialvla_4b() if flagship else spatialvla_tiny(use_vision_zoe=args.zoe)
     lora = not args.full
 
     dtype = jnp.bfloat16 if lora else jnp.float32

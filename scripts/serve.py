@@ -103,6 +103,10 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--max_wait_ms", type=float, default=4.0)
+    ap.add_argument("--pipeline_depth", type=int, default=2,
+                    help="in-flight batches (1 = synchronous dispatch; 2+ "
+                         "overlaps host-side batching/decode with device "
+                         "compute)")
     ap.add_argument("--pad_multiple", type=int, default=16)
     ap.add_argument(
         "--no_warmup", action="store_true",
@@ -169,6 +173,7 @@ def main(argv=None):
     engine = ServingEngine(
         policy, max_batch_size=args.max_batch, max_wait_ms=args.max_wait_ms,
         prompt_pad_multiple=args.pad_multiple, batch_buckets=buckets,
+        pipeline_depth=args.pipeline_depth,
     )
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(engine))
     print(f"serving on :{args.port} (max_batch={args.max_batch})", flush=True)

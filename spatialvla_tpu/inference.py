@@ -133,14 +133,25 @@ class SpatialVLAPolicy:
                 "mlp_bits requires bits (the attention/head precision): a "
                 "bf16 LM with an int4 MLP is not a supported tree"
             )
+        # every quantize program DONATES its input tree: the bf16 source
+        # buffers free (or alias, for passthrough leaves like the embedding)
+        # as the program consumes them instead of coexisting with the
+        # quantized tree + the int4 pack's f32 temporaries — the undonated
+        # flow peaks over 16 GB HBM on the 4B model at mlp_bits=4 (r3 sweep
+        # serve_16c_mixed OOM). In-place semantics make this safe: the
+        # donated arrays are exactly the ones this method replaces (a
+        # mid-quantize failure leaves the policy needing a reload either
+        # way, now explicitly).
         if bits:
             params["lm"] = jax.jit(
                 functools.partial(quantize_lm_params, bits=bits,
-                                  mlp_bits=mlp_bits, group_size=group_size)
+                                  mlp_bits=mlp_bits, group_size=group_size),
+                donate_argnums=(0,),
             )(self.params["lm"])
         if vision_bits:
             params = jax.jit(
-                functools.partial(quantize_vision_params, bits=vision_bits)
+                functools.partial(quantize_vision_params, bits=vision_bits),
+                donate_argnums=(0,),
             )(params)
         if "zoe" in params and "rel_pos_table" in params["zoe"]["backbone"]["layers"]:
             from .models.zoe import precompute_rel_bias
@@ -148,7 +159,8 @@ class SpatialVLAPolicy:
             params["zoe"] = jax.jit(
                 lambda zp: precompute_rel_bias(
                     zp, self.config.zoe, image_size=depth_image_size
-                )
+                ),
+                donate_argnums=(0,),
             )(params["zoe"])
         # explicit host sync before the bf16 source tree is dropped: the
         # quantize programs' f32 temporaries must retire before the first

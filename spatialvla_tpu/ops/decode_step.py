@@ -52,6 +52,27 @@ def _pick_bn(N: int, K: int, budget: int = _BLOCK_BYTES) -> int:
     return cands[-1]
 
 
+def _weight_block_budget(M, Nkv, S, D, kv_quant, H, I, N0, Nq) -> int:
+    """Per-block byte budget for the four streamed weight refs.
+
+    The kernel's VMEM residents are (a) the k/v cache blocks
+    (1, M, Nkv, S, D), double-buffered by the pipeline, (b) the f32
+    scratch (residual stream + phase accumulators), and (c) the four
+    weight refs x2 buffers. (a) scales with batch*cache-length: at
+    B=16 x S=332 a bf16 cache plus 2.7 MB weight blocks overflowed the
+    ~82 MB scoped-vmem stack by 0.5 MB (MEASURE_ROUND3 serve_16c_int8),
+    so the weight budget yields to the cache instead of a fixed constant.
+    Floor 512 KB: blocks below that waste the DMA pipeline; above ~60 MB
+    total the Mosaic scoped-vmem stack overflows."""
+    kv_bytes = 1 if kv_quant else 2
+    cache_total = 2 * 2 * M * Nkv * S * D * kv_bytes  # k+v, double-buffered
+    if kv_quant:
+        cache_total += 2 * 2 * M * Nkv * S * 4  # per-slot f32 scales
+    scratch_bytes = 4 * M * (4 * H + N0 + Nq * D + 3 * I)
+    left = 60 * 1024 * 1024 - cache_total - scratch_bytes - 4 * 1024 * 1024
+    return max(512 * 1024, min(_BLOCK_BYTES, left // 8))
+
+
 def _rms(x, w, eps):
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -365,10 +386,11 @@ def fused_decode_step(
     # int4: K/2) — drives both the VMEM block budget and the BlockSpecs
     Kb0, Kb1 = qkv["qt"].shape[-1], o["qt"].shape[-1]
     Kb2, Kb3 = gu["qt"].shape[-1], dn["qt"].shape[-1]
-    bn0 = _pick_bn(N0, Kb0)
-    bn1 = _pick_bn(H, Kb1)
-    bn2 = _pick_bn(2 * I, Kb2)
-    bn3 = _pick_bn(H, Kb3)
+    budget = _weight_block_budget(M, Nkv, S, D, kv_quant, H, I, N0, Nq)
+    bn0 = _pick_bn(N0, Kb0, budget)
+    bn1 = _pick_bn(H, Kb1, budget)
+    bn2 = _pick_bn(2 * I, Kb2, budget)
+    bn3 = _pick_bn(H, Kb3, budget)
     B0, B1, B2, B3 = N0 // bn0, H // bn1, 2 * I // bn2, H // bn3
     T = B0 + 1 + B1 + B2 + B3
 

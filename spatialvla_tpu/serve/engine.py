@@ -22,6 +22,13 @@ Design (TPU-first):
   decode through the per-row-position fused kernel on TPU
   (ops/decode_step.py) with token parity against the XLA path pinned by
   tests/test_spatialvla.py.
+- Pipelined dispatch (`pipeline_depth` > 1, the default): JAX dispatch is
+  asynchronous, so the dispatch thread launches batch N+1 while a
+  completion thread syncs batch N's device result and resolves futures —
+  the device queue stays non-empty across the host-side collect window,
+  per-request decode, and (on the axon tunnel) the 1-2 ms per-dispatch
+  round-trip. A bounded completion queue caps in-flight batches at
+  `pipeline_depth`; depth 1 restores fully synchronous dispatch.
 - Per-request `unnorm_key`: normalization statistics only matter at decode
   time (host side), so requests against different datasets batch together
   freely; each result is unnormalized with its own stats.
@@ -173,14 +180,18 @@ class ServingEngine:
         max_wait_ms: float = 4.0,
         prompt_pad_multiple: int = 16,
         batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
+        pipeline_depth: int = 2,
     ):
         if max_batch_size > max(batch_buckets):
             raise ValueError("max_batch_size exceeds the largest batch bucket")
+        if pipeline_depth < 1:
+            raise ValueError("pipeline_depth must be >= 1")
         self.policy = policy
         self.max_batch_size = max_batch_size
         self.max_wait_ms = max_wait_ms
         self.prompt_pad_multiple = prompt_pad_multiple
         self.batch_buckets = tuple(sorted(batch_buckets))
+        self.pipeline_depth = pipeline_depth
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._pending: List[_Request] = []  # shape-incompatible holdovers
         self._stop = threading.Event()
@@ -192,6 +203,19 @@ class ServingEngine:
             "padded_rows": 0,  # filler rows summed over batches
             "latency_ms": [],  # submit -> result, per request
         }
+        self._completion = None  # launched-but-unsynced batches (FIFO)
+        self._completer: Optional[threading.Thread] = None
+        if pipeline_depth > 1:
+            # the bound is the backpressure: with (depth - 1) batches queued
+            # plus the one the completer is syncing, the dispatch thread
+            # blocks — at most `pipeline_depth` batches are ever in flight
+            self._completion = queue.Queue(maxsize=pipeline_depth - 1)
+            self._completer = threading.Thread(
+                target=self._completion_loop,
+                name="spatialvla-serve-sync",
+                daemon=True,
+            )
+            self._completer.start()
         self._worker = threading.Thread(
             target=self._dispatch_loop, name="spatialvla-serve", daemon=True
         )
@@ -338,8 +362,24 @@ class ServingEngine:
             except Exception as e:  # fail the batch loudly, keep serving
                 for r in batch:
                     _safe_resolve(r.future, exception=e)
+        if self._completion is not None:
+            # drain the pipeline before the worker exits so shutdown()'s
+            # join on the worker covers every launched batch
+            self._completion.put(None)
+            self._completer.join()
+
+    def _completion_loop(self):
+        while True:
+            item = self._completion.get()
+            if item is None:
+                return
+            batch, n_padded, out = item
+            self._complete(batch, n_padded, out)
 
     def _run_batch(self, batch: List[_Request]):
+        """Assemble + launch one batch. The launch is asynchronous (JAX
+        dispatch); with pipeline_depth > 1 the sync happens on the
+        completion thread while this thread collects the next batch."""
         ids, attn, px, intr = assemble_batch(
             batch,
             pad_id=self.policy.processor.text_tokenizer.pad_id,
@@ -349,21 +389,34 @@ class ServingEngine:
         fn = self.policy._jitted_predict(
             ids.shape[1], self.policy.processor.action_chunk_size, padded=True
         )
-        generated = np.asarray(
-            fn(
-                self.policy.params,
-                jnp.asarray(ids),
-                jnp.asarray(px),
-                jnp.asarray(intr),
-                jnp.asarray(attn),
-            )
+        out = fn(
+            self.policy.params,
+            jnp.asarray(ids),
+            jnp.asarray(px),
+            jnp.asarray(intr),
+            jnp.asarray(attn),
         )
+        n_padded = ids.shape[0] - len(batch)
+        if self._completion is None:
+            self._complete(batch, n_padded, out)
+        else:  # blocks when `pipeline_depth` batches are already in flight
+            self._completion.put((batch, n_padded, out))
+
+    def _complete(self, batch: List[_Request], n_padded: int, out):
+        """Sync one launched batch, record stats, resolve its futures. A
+        device-side failure surfacing at sync fails only this batch."""
+        try:
+            generated = np.asarray(out)
+        except Exception as e:  # noqa: BLE001 - device error at sync time
+            for r in batch:
+                _safe_resolve(r.future, exception=e)
+            return
         now = time.monotonic()
         with self._lock:
             self._stats["batches"] += 1
             self._stats["requests"] += len(batch)
             self._stats["batched_rows"] += len(batch)
-            self._stats["padded_rows"] += ids.shape[0] - len(batch)
+            self._stats["padded_rows"] += n_padded
             self._stats["latency_ms"] = self._stats["latency_ms"][-999:] + [
                 (now - r.t_submit) * 1e3 for r in batch
             ]
@@ -372,14 +425,14 @@ class ServingEngine:
                 continue
             try:  # per-request decode: one row's bad statistics/decode
                 # must not fail the co-batched requests
-                out = self.policy.processor.decode_actions(
+                dec = self.policy.processor.decode_actions(
                     generated[i : i + 1], unnorm_key=r.unnorm_key
                 )
                 _safe_resolve(
                     r.future,
                     result={
-                        "actions": out["actions"][0],
-                        "action_ids": out["action_ids"][0],
+                        "actions": dec["actions"][0],
+                        "action_ids": dec["action_ids"][0],
                     },
                 )
             except Exception as e:  # noqa: BLE001

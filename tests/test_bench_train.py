@@ -19,8 +19,12 @@ def _load():
     return mod
 
 
-@pytest.mark.parametrize("mode", ["lora", "full"])
+@pytest.mark.parametrize("mode", ["lora", "full", "lora_zoe"])
 def test_bench_train_tiny(mode):
+    """lora_zoe exercises the use_vision_zoe batch path (intrinsics ->
+    ZoeDepth -> backprojection) that the flagship preset always takes —
+    the r3 sweep's train tag crashed on a missing batch intrinsic that a
+    zoe-less tiny run structurally cannot catch."""
     bench = _load()
     argv = [
         "--preset", "spatialvla_tiny", "--batch", "2", "--seq", "64",
@@ -29,6 +33,8 @@ def test_bench_train_tiny(mode):
     ]
     if mode == "full":
         argv.append("--full")
+    if mode == "lora_zoe":
+        argv.append("--zoe")
     result = bench.main(argv)
     assert result["ms_per_step"] > 0
     assert result["samples_per_sec"] > 0
