@@ -160,15 +160,22 @@ def main():
     scale_ref = np.abs(np.asarray(hx, np.float32)).max() + 1e-6
     assert d.max() / scale_ref < 0.02, f"fused-decode parity drift: {d.max()} vs {scale_ref}"
 
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = predict(*args)
-    np.asarray(out)
-    dt = (time.perf_counter() - t0) / n_iters
+    # min over 3 sets of 20 async dispatches with one host-transfer sync
+    # each (bench_train's convention): the shared bench host adds 3-5%
+    # run-to-run noise to a single loop (r2 recorded 76.42, an identical-
+    # config r3 re-run 73.48); the min is the reproducible figure
+    n_iters, n_sets = 20, 3
+    dt = float("inf")
+    for _ in range(n_sets):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = predict(*args)
+        np.asarray(out)
+        dt = min(dt, (time.perf_counter() - t0) / n_iters)
 
     actions_per_sec = ACTION_CHUNK / dt
     tag = ", int%d mlp" % MLP_BITS if MLP_BITS else ""
+    tag += ", g%d scales" % GROUP_SIZE if GROUP_SIZE else ""
     tag += ", int%d front" % VISION_BITS if VISION_BITS else ""
     tag += ", depth@%d" % DEPTH_RES if DEPTH_RES else ""
     tag += ", int%d kv" % KV_BITS if KV_BITS else ""

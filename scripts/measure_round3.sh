@@ -39,10 +39,13 @@ run int4               SPATIALVLA_BENCH_BITS=4 -- python bench.py
 run int4_g128          SPATIALVLA_BENCH_BITS=4 SPATIALVLA_BENCH_GROUP=128 -- python bench.py
 run int8_depth256      SPATIALVLA_BENCH_DEPTH_RES=256 -- python bench.py
 
-# serving load (flagship random-init, engine + batched fused decode)
-run serve_16c_int8     _X=1 -- python scripts/bench_serve.py --clients 16 --requests 4 --bits 8
-run serve_16c_int8_kv8 _X=1 -- python scripts/bench_serve.py --clients 16 --requests 4 --bits 8 --kv_bits 8
-run serve_16c_mixed    _X=1 -- python scripts/bench_serve.py --clients 16 --requests 4 --bits 8 --kv_bits 8 --mlp_bits 4
+# serving load (flagship random-init, engine + batched fused decode;
+# pipeline_depth=2 is the engine default — the _sync tags pin the
+# synchronous-dispatch baseline for the pipelining A/B)
+run serve_16c_int8      _X=1 -- python scripts/bench_serve.py --clients 16 --requests 4 --bits 8
+run serve_16c_int8_sync _X=1 -- python scripts/bench_serve.py --clients 16 --requests 4 --bits 8 --pipeline_depth 1
+run serve_16c_int8_kv8  _X=1 -- python scripts/bench_serve.py --clients 16 --requests 4 --bits 8 --kv_bits 8
+run serve_16c_mixed     _X=1 -- python scripts/bench_serve.py --clients 16 --requests 4 --bits 8 --kv_bits 8 --mlp_bits 4
 
 # training envelope (LoRA-shaped flagship, the recorded 656 ms/step config)
 run train_lora_b2t2048 _X=1 -- python scripts/bench_train.py --reps 3 --sets 2

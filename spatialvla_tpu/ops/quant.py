@@ -225,12 +225,22 @@ def _q8_kernel(x_ref, w_ref, s_ref, o_ref, *, out_dtype):
     o_ref[:] = _q_dot_scaled(x, w_ref[:], s_ref[:]).astype(out_dtype)
 
 
-# Pallas path covers decode matvecs AND prefill/vision activations: the XLA
-# fallback materializes a transient bf16 weight copy in HBM (int8 read +
-# bf16 write + bf16 read ≈ 5x the streamed bytes — measured ~11 ms for the
-# 270-token prefill vs ~3 ms in-kernel), so any M where the x block fits
-# VMEM should take the kernel.
-QKERNEL_MAX_M = 512
+# Rows above this take the XLA path (transient bf16 dequant + plain
+# matmul). The Pallas kernel is a small-M matvec design; mid-round the
+# int8 threshold was raised to 512 to cover the 266-row prefill, and a
+# STANDALONE timing of that prefill favored the kernel (~3 ms vs ~11 ms) —
+# but end-to-end it measured 4% SLOWER on the full predict (73.35 vs 76.42
+# actions/sec, same commit, same host: XLA fuses the transient dequant
+# into the surrounding prefill program, which the standalone probe could
+# not see). int4 flips the other way end-to-end (95.7 vs 93.8: its XLA
+# fallback pays nibble unpack AND a 4x-inflated bf16 transient), so the
+# threshold is per-format. Decode matvecs (M <= batch) always fit both.
+QKERNEL_MAX_M = 16  # int8 qt
+QKERNEL_MAX_M_INT4 = 512  # packed-int4 qt (uint8 nibbles)
+
+
+def _qkernel_max_m(qt) -> int:
+    return QKERNEL_MAX_M_INT4 if qt.dtype == jnp.uint8 else QKERNEL_MAX_M
 
 
 def _pick_block_n(K: int, N: int, M: int, *, grouped: bool = False) -> int:
@@ -368,7 +378,7 @@ def qnorm_matmul(x, norm_w, w, *, eps: float = 1e-6, use_kernel=None):
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    if is_quantized(w) and use_kernel and x2.shape[0] <= QKERNEL_MAX_M:
+    if is_quantized(w) and use_kernel and x2.shape[0] <= _qkernel_max_m(w["qt"]):
         y = int8_rmsnorm_matmul(
             x2, norm_w, w["qt"], w["scale"], eps=eps, out_dtype=x.dtype
         )
@@ -390,7 +400,7 @@ def qmatmul(x: jnp.ndarray, w, *, use_kernel=None) -> jnp.ndarray:
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    if use_kernel and x2.shape[0] <= QKERNEL_MAX_M:
+    if use_kernel and x2.shape[0] <= _qkernel_max_m(w["qt"]):
         y = int8_matmul(x2, w["qt"], w["scale"], out_dtype=x.dtype)
     else:  # XLA path (prefill / training shapes): transient bf16 dequant
         qt = unpack_int4(w["qt"]) if is_int4(w) else w["qt"]
