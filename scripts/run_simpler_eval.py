@@ -32,6 +32,11 @@ def main(argv=None):
                          "visual-matching envs under a VA label")
     ap.add_argument("--episodes", type=int, default=None,
                     help="override episodes per task (default: task setting)")
+    ap.add_argument("--parallel_envs", type=int, default=1,
+                    help="N env instances per task on N threads; their "
+                         "policy queries coalesce into batched predicts "
+                         "through a shared ServingEngine (eval throughput "
+                         "scales with the decode batch)")
     ap.add_argument("--quantize_bits", type=int, default=8,
                     help="0 disables weight quantization")
     ap.add_argument("--out", default="simpler_eval_results.json")
@@ -64,6 +69,7 @@ def main(argv=None):
         policy, tasks,
         env_factory=lambda task: simpler_env.make(task.env_id),
         episodes=args.episodes,
+        parallel_envs=args.parallel_envs,
     )
     table = format_table(results)
     print(table)

@@ -126,23 +126,88 @@ def evaluate_task(
     env_factory: Callable[[EvalTask], object],
     image_getter: Callable = default_image_getter,
     episodes: Optional[int] = None,
+    parallel_envs: int = 1,
 ) -> Dict:
-    """All episodes of one task -> aggregated row stats."""
-    env = env_factory(task)
-    adapter = SimplerEnvPolicyAdapter(
-        policy, unnorm_key=task.unnorm_key, policy_setup=task.policy_setup
-    )
+    """All episodes of one task -> aggregated row stats.
+
+    parallel_envs > 1 runs N env instances on N threads sharing ONE
+    ServingEngine over the policy: concurrent episode queries coalesce
+    into batched predicts (the engine's predict() IS the adapter-facing
+    policy API), so eval throughput scales with the decode batch instead
+    of serial B=1 predicts — a SimplerEnv sweep is thousands of predicts
+    (episodes x steps / chunk). Each thread owns its env + adapter state;
+    aggregation is order-independent (sums over episodes)."""
     n = episodes if episodes is not None else task.episodes
     succ, partial, steps = 0, 0, []
-    for _ in range(n):
-        ep = run_episode(env, adapter, max_steps=task.max_steps,
-                         image_getter=image_getter)
-        succ += int(ep["success"])
-        if task.partial_key is not None:
-            partial += int(bool(ep["info"].get(task.partial_key, ep["success"])))
-        steps.append(ep["steps"])
-    if hasattr(env, "close"):
-        env.close()
+
+    def run_n_episodes(env, adapter, count_iter):
+        nonlocal succ, partial
+        for _ in count_iter:
+            ep = run_episode(env, adapter, max_steps=task.max_steps,
+                             image_getter=image_getter)
+            with agg_lock:
+                succ += int(ep["success"])
+                if task.partial_key is not None:
+                    partial += int(
+                        bool(ep["info"].get(task.partial_key, ep["success"]))
+                    )
+                steps.append(ep["steps"])
+
+    import threading
+
+    agg_lock = threading.Lock()
+    if parallel_envs <= 1:
+        env = env_factory(task)
+        adapter = SimplerEnvPolicyAdapter(
+            policy, unnorm_key=task.unnorm_key, policy_setup=task.policy_setup
+        )
+        run_n_episodes(env, adapter, range(n))
+        envs = [env]
+    else:
+        from ..serve import ServingEngine
+
+        engine = ServingEngine(
+            policy,
+            max_batch_size=min(max(parallel_envs, 1), 16),
+            max_wait_ms=8.0,
+        )
+        envs = [env_factory(task) for _ in range(parallel_envs)]
+        counter = iter(range(n))  # shared: threads pull episodes until dry
+
+        def counted():  # thread-safe islice over the shared counter
+            while True:
+                with agg_lock:
+                    try:
+                        next(counter)
+                    except StopIteration:
+                        return
+                yield None
+
+        try:
+            threads = [
+                threading.Thread(
+                    target=run_n_episodes,
+                    args=(
+                        env,
+                        SimplerEnvPolicyAdapter(
+                            engine,
+                            unnorm_key=task.unnorm_key,
+                            policy_setup=task.policy_setup,
+                        ),
+                        counted(),
+                    ),
+                )
+                for env in envs
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        finally:
+            engine.shutdown()
+    for env in envs:
+        if hasattr(env, "close"):
+            env.close()
     row = {
         "label": task.label,
         "env_id": task.env_id,
@@ -164,15 +229,18 @@ def evaluate(
     env_factory: Callable[[EvalTask], object],
     image_getter: Callable = default_image_getter,
     episodes: Optional[int] = None,
+    parallel_envs: int = 1,
 ) -> Dict:
     """Run every task; returns {'rows': [...], 'suites': {suite: avg}}.
 
     Rows with the same (suite, label) are averaged into one table row
     (the reference reports Open/Close Drawer as one column covering both
-    env directions)."""
+    env directions). parallel_envs > 1 batches each task's episodes
+    through a shared ServingEngine (see evaluate_task)."""
     rows = [
         evaluate_task(t, policy, env_factory=env_factory,
-                      image_getter=image_getter, episodes=episodes)
+                      image_getter=image_getter, episodes=episodes,
+                      parallel_envs=parallel_envs)
         for t in tasks
     ]
     merged: Dict = {}

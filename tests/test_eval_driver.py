@@ -262,3 +262,43 @@ def test_libero_cli_reports_missing_sim(tmp_path):
     spec.loader.exec_module(mod)
     rc = mod.main(["--checkpoint_dir", str(tmp_path)])
     assert rc == 2
+
+
+def test_evaluate_parallel_envs_matches_serial(policy):
+    """parallel_envs=2: each task runs its episodes on 2 env instances
+    whose queries coalesce through a shared ServingEngine; the aggregated
+    SRs must equal the serial run's (the fake env's outcome depends only
+    on the motion threshold, not on episode assignment), the shared
+    episode counter must not over- or under-run, and every env instance
+    must be used."""
+    thresholds = {
+        "widowx_spoon_on_towel": 0.0,
+        "widowx_carrot_on_plate": np.inf,
+        "widowx_stack_cube": 0.0,
+        "widowx_put_eggplant_in_basket": np.inf,
+    }
+    tasks = [
+        EvalTask(t.label, t.env_id, t.suite, t.policy_setup, t.unnorm_key,
+                 episodes=5, max_steps=4, partial_key=t.partial_key)
+        for t in SUITES["widowx"]
+    ]
+    made = []
+
+    def factory(task):
+        env = FakeEnv(task.env_id, thresholds[task.env_id], seed=len(made))
+        made.append(env)
+        return env
+
+    results = evaluate(policy, tasks, env_factory=factory,
+                       image_getter=fake_image_getter, parallel_envs=2)
+    assert len(made) == 8  # 2 env instances per task
+    by_env = {r["env_id"]: r for r in results["rows"]}
+    assert by_env["widowx_spoon_on_towel"]["success_rate"] == 1.0
+    assert by_env["widowx_carrot_on_plate"]["success_rate"] == 0.0
+    assert all(r["episodes"] == 5 for r in results["rows"])
+    # the shared counter handed out exactly `episodes` episodes per task
+    resets = {}
+    for env in made:
+        resets[env.env_id] = resets.get(env.env_id, 0) + env.n_resets
+    assert all(v == 5 for v in resets.values())
+    assert results["suites"]["widowx"] == pytest.approx(0.5)
