@@ -374,7 +374,13 @@ class ServingEngine:
             if item is None:
                 return
             batch, n_padded, out = item
-            self._complete(batch, n_padded, out)
+            try:
+                self._complete(batch, n_padded, out)
+            except Exception as e:  # noqa: BLE001 - a dead completer would
+                # wedge the pipeline (dispatch blocks on the full queue), so
+                # fail the batch and keep draining
+                for r in batch:
+                    _safe_resolve(r.future, exception=e)
 
     def _run_batch(self, batch: List[_Request]):
         """Assemble + launch one batch. The launch is asynchronous (JAX

@@ -25,12 +25,15 @@ def _run(mod, child_src, timeout="3", monkeypatch=None):
 
 def test_healthy_path(capsys, monkeypatch):
     mod = _load()
+    # generous timeout: the child must FINISH here, and bare interpreter
+    # startup can exceed 3 s on a loaded CI host (the stuck-leg tests below
+    # keep short timeouts — their children sleep past any deadline)
     rc = _run(mod, """
 print("interpreter up", flush=True)
 print("jax imported", flush=True)
 print("devices: fake", flush=True)
 print("dispatch + host sync ok", flush=True)
-""", monkeypatch=monkeypatch)
+""", timeout="60", monkeypatch=monkeypatch)
     out = capsys.readouterr().out
     assert rc == 0 and "TUNNEL HEALTHY" in out
 
@@ -76,6 +79,6 @@ import sys
 print("interpreter up", flush=True)
 print("devices: cpu", flush=True)
 sys.exit(3)
-""", monkeypatch=monkeypatch)
+""", timeout="60", monkeypatch=monkeypatch)
     out = capsys.readouterr().out
     assert rc == 2 and "fell back to CPU" in out
