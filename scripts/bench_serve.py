@@ -188,7 +188,7 @@ def main(argv=None):
     p.add_argument("--requests", type=int, default=8, help="per client")
     p.add_argument("--max_batch", type=int, default=16)
     p.add_argument("--max_wait_ms", type=float, default=4.0)
-    p.add_argument("--pipeline_depth", type=int, default=2,
+    p.add_argument("--pipeline_depth", type=int, default=3,
                    help="in-flight batches (1 = synchronous dispatch; 2+ "
                         "overlaps host-side batching/decode with device "
                         "compute)")

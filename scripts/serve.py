@@ -103,7 +103,7 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--max_wait_ms", type=float, default=4.0)
-    ap.add_argument("--pipeline_depth", type=int, default=2,
+    ap.add_argument("--pipeline_depth", type=int, default=3,
                     help="in-flight batches (1 = synchronous dispatch; 2+ "
                          "overlaps host-side batching/decode with device "
                          "compute)")

@@ -139,30 +139,44 @@ def evaluate_task(
     aggregation is order-independent (sums over episodes)."""
     n = episodes if episodes is not None else task.episodes
     succ, partial, steps = 0, 0, []
+    errors: List[BaseException] = []
 
     def run_n_episodes(env, adapter, count_iter):
         nonlocal succ, partial
-        for _ in count_iter:
-            ep = run_episode(env, adapter, max_steps=task.max_steps,
-                             image_getter=image_getter)
-            with agg_lock:
-                succ += int(ep["success"])
-                if task.partial_key is not None:
-                    partial += int(
-                        bool(ep["info"].get(task.partial_key, ep["success"]))
-                    )
-                steps.append(ep["steps"])
+        try:
+            for _ in count_iter:
+                ep = run_episode(env, adapter, max_steps=task.max_steps,
+                                 image_getter=image_getter)
+                with agg_lock:
+                    succ += int(ep["success"])
+                    if task.partial_key is not None:
+                        partial += int(
+                            bool(ep["info"].get(task.partial_key, ep["success"]))
+                        )
+                    steps.append(ep["steps"])
+        except BaseException as e:  # re-raised on the caller thread below:
+            # a swallowed worker crash would publish missing episodes as
+            # failures in the SR table
+            errors.append(e)
 
     import threading
 
     agg_lock = threading.Lock()
+    envs: List = []
     if parallel_envs <= 1:
         env = env_factory(task)
+        envs.append(env)
         adapter = SimplerEnvPolicyAdapter(
             policy, unnorm_key=task.unnorm_key, policy_setup=task.policy_setup
         )
-        run_n_episodes(env, adapter, range(n))
-        envs = [env]
+        try:
+            run_n_episodes(env, adapter, range(n))
+            if errors:
+                raise errors[0]
+        finally:
+            for env in envs:
+                if hasattr(env, "close"):
+                    env.close()
     else:
         from ..serve import ServingEngine
 
@@ -171,7 +185,6 @@ def evaluate_task(
             max_batch_size=min(max(parallel_envs, 1), 16),
             max_wait_ms=8.0,
         )
-        envs = [env_factory(task) for _ in range(parallel_envs)]
         counter = iter(range(n))  # shared: threads pull episodes until dry
 
         def counted():  # thread-safe islice over the shared counter
@@ -184,6 +197,8 @@ def evaluate_task(
                 yield None
 
         try:
+            for _ in range(parallel_envs):
+                envs.append(env_factory(task))
             threads = [
                 threading.Thread(
                     target=run_n_episodes,
@@ -203,11 +218,13 @@ def evaluate_task(
                 t.start()
             for t in threads:
                 t.join()
+            if errors:
+                raise errors[0]
         finally:
             engine.shutdown()
-    for env in envs:
-        if hasattr(env, "close"):
-            env.close()
+            for env in envs:
+                if hasattr(env, "close"):
+                    env.close()
     row = {
         "label": task.label,
         "env_id": task.env_id,

@@ -244,36 +244,35 @@ class SpatialVLAPolicy:
             mesh = self.mesh
 
             def body(params, input_ids, pixel_values, intrinsic, attn=None):
+                import contextlib
+
+                from .ops.quant import xla_matmuls
+
                 kw = {}
                 if mesh is not None:
-                    # mesh-sharded: XLA decode path, GSPMD-partitionable
+                    # mesh-sharded: XLA decode path + XLA quant matmuls,
+                    # both GSPMD-partitionable (the single-device Pallas
+                    # microkernels would be wrapped in all-gathers)
                     kw["use_fused_decode"] = False
-                return spatialvla.predict_action(
-                    params, cfg, input_ids,
-                    pixel_values=pixel_values, intrinsic=intrinsic,
-                    attention_mask=attn,
-                    action_chunk_size=chunk, compute_dtype=self.compute_dtype,
-                    depth_image_size=dres, kv_bits=kvb, **kw,
-                )
+                ctx = contextlib.nullcontext() if mesh is None else xla_matmuls()
+                with ctx:
+                    return spatialvla.predict_action(
+                        params, cfg, input_ids,
+                        pixel_values=pixel_values, intrinsic=intrinsic,
+                        attention_mask=attn,
+                        action_chunk_size=chunk,
+                        compute_dtype=self.compute_dtype,
+                        depth_image_size=dres, kv_bits=kvb, **kw,
+                    )
 
             if padded:  # mixed-length batch: pad-aware masks/positions
                 @jax.jit
                 def fn(params, input_ids, pixel_values, intrinsic, attn):
-                    if mesh is None:
-                        return body(params, input_ids, pixel_values, intrinsic, attn)
-                    from .ops.quant import xla_matmuls
-
-                    with xla_matmuls():
-                        return body(params, input_ids, pixel_values, intrinsic, attn)
+                    return body(params, input_ids, pixel_values, intrinsic, attn)
             else:
                 @jax.jit
                 def fn(params, input_ids, pixel_values, intrinsic):
-                    if mesh is None:
-                        return body(params, input_ids, pixel_values, intrinsic)
-                    from .ops.quant import xla_matmuls
-
-                    with xla_matmuls():
-                        return body(params, input_ids, pixel_values, intrinsic)
+                    return body(params, input_ids, pixel_values, intrinsic)
 
             self._predict_cache[key] = fn
         return self._predict_cache[key]

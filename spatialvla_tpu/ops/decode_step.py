@@ -124,30 +124,13 @@ def _matvec_block(x_bf16, w_ref, s_ref):
         lo = (w32 & 15).astype(jnp.bfloat16)
         hi = (w32 >> 4).astype(jnp.bfloat16)
         if grouped:
+            from .quant import grouped_int4_dot
+
             s = s_ref[0]  # (bn, G) — columns [0, Kh) map to groups [0, G/2)
             G = s.shape[-1]
-            g = (2 * Kh) // G
-            s32 = s.astype(jnp.float32)
-            acc = None
-            for j in range(G):  # static unroll: one MXU dot per group
-                codes = (
-                    lo[:, j * g : (j + 1) * g]
-                    if j < G // 2
-                    else hi[:, (j - G // 2) * g : (j - G // 2 + 1) * g]
-                )
-                pj = jax.lax.dot_general(
-                    x_bf16[:, j * g : (j + 1) * g], codes, dims,
-                    preferred_element_type=jnp.float32,
-                ) * s32[:, j][None, :]
-                acc = pj if acc is None else acc + pj
-            xsum = jnp.sum(
-                x_bf16.astype(jnp.float32).reshape(x_bf16.shape[0], G, g),
-                axis=-1,
-            )  # (M, G)
-            bias = 8.0 * jax.lax.dot_general(
-                xsum, s32, dims, preferred_element_type=jnp.float32,
+            return grouped_int4_dot(
+                x_bf16, lo, hi, s.astype(jnp.float32), G, (2 * Kh) // G
             )
-            return acc - bias
         acc = jax.lax.dot_general(
             x_bf16[:, :Kh], lo, dims, preferred_element_type=jnp.float32
         ) + jax.lax.dot_general(

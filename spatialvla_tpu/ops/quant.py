@@ -156,6 +156,41 @@ def is_lora_factored(w) -> bool:
 # pallas kernel: x (M, K) bf16 @ wq (K, N) int8/int4 * scale (N,) -> (M, N)
 # ---------------------------------------------------------------------------
 
+def grouped_int4_dot(x_bf16, lo, hi, s32, G, g):
+    """Grouped-scale int4 dot shared by the standalone quant kernel and the
+    whole-LM fused decode kernel (ops/decode_step.py): one MXU partial dot
+    PER GROUP on the raw biased codes with the scale applied to the
+    (M, bn) f32 partial — O(G*M*bn) scale work instead of dequantizing the
+    whole (bn, K) block on the VPU (that formulation measured 8x slower
+    end-to-end; MEASURE_ROUND3.prev int4 11.76 vs 93.9 actions/sec). The
+    offset-binary +8 bias becomes an (M, G) x (G, bn) matmul of group sums
+    against scales.
+
+    lo/hi: bf16 nibble halves (column j packs with column j + K/2, so
+    groups [0, G/2) live in `lo` and [G/2, G) in `hi`); s32: (bn, G) f32
+    scales; g: elements per group along K."""
+    dims = (((1,), (1,)), ((), ()))
+    acc = None
+    for j in range(G):  # static unroll: one MXU dot per group
+        codes = (
+            lo[:, j * g : (j + 1) * g]
+            if j < G // 2
+            else hi[:, (j - G // 2) * g : (j - G // 2 + 1) * g]
+        )
+        pj = jax.lax.dot_general(
+            x_bf16[:, j * g : (j + 1) * g], codes, dims,
+            preferred_element_type=jnp.float32,
+        ) * s32[:, j][None, :]
+        acc = pj if acc is None else acc + pj
+    xsum = jnp.sum(
+        x_bf16.astype(jnp.float32).reshape(x_bf16.shape[0], G, g), axis=-1
+    )  # (M, G)
+    bias = 8.0 * jax.lax.dot_general(
+        xsum, s32, dims, preferred_element_type=jnp.float32
+    )
+    return acc - bias
+
+
 def _q_dot_scaled(x_bf16, w, s):
     """(M, K) bf16 @ quantized block -> (M, bn) f32, scale applied.
 
@@ -183,28 +218,9 @@ def _q_dot_scaled(x_bf16, w, s):
         K = 2 * Kh
         if grouped:
             G = s.shape[-1]
-            g = K // G
-            s32 = s.astype(jnp.float32)
-            acc = None
-            for j in range(G):  # static unroll: one MXU dot per group
-                codes = (
-                    lo[:, j * g : (j + 1) * g]
-                    if j < G // 2
-                    else hi[:, (j - G // 2) * g : (j - G // 2 + 1) * g]
-                )
-                pj = jax.lax.dot_general(
-                    x_bf16[:, j * g : (j + 1) * g], codes, dims,
-                    preferred_element_type=jnp.float32,
-                ) * s32[:, j][None, :]
-                acc = pj if acc is None else acc + pj
-            xsum = jnp.sum(
-                x_bf16.astype(jnp.float32).reshape(x_bf16.shape[0], G, g),
-                axis=-1,
-            )  # (M, G)
-            bias = 8.0 * jax.lax.dot_general(
-                xsum, s32, dims, preferred_element_type=jnp.float32,
+            return grouped_int4_dot(
+                x_bf16, lo, hi, s.astype(jnp.float32), G, K // G
             )
-            return acc - bias
         acc = jax.lax.dot_general(
             x_bf16[:, :Kh], lo, dims, preferred_element_type=jnp.float32,
         ) + jax.lax.dot_general(

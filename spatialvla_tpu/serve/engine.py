@@ -27,8 +27,9 @@ Design (TPU-first):
   completion thread syncs batch N's device result and resolves futures —
   the device queue stays non-empty across the host-side collect window,
   per-request decode, and (on the axon tunnel) the 1-2 ms per-dispatch
-  round-trip. A bounded completion queue caps in-flight batches at
-  `pipeline_depth`; depth 1 restores fully synchronous dispatch.
+  round-trip. An in-flight semaphore (permit taken before launch, returned
+  at sync) caps in-flight batches at exactly `pipeline_depth`; depth 1
+  restores fully synchronous dispatch.
 - Per-request `unnorm_key`: normalization statistics only matter at decode
   time (host side), so requests against different datasets batch together
   freely; each result is unnormalized with its own stats.
@@ -157,9 +158,16 @@ def warmup_buckets(
             fn = policy._jitted_predict(
                 ids.shape[1], policy.processor.action_chunk_size, padded=True
             )
+            args = (jnp.asarray(ids), jnp.asarray(px), jnp.asarray(intr))
+            if getattr(policy, "mesh", None) is not None:
+                # same input placement as the serving dispatch — a
+                # replicated-layout warmup would compile a program the
+                # sharded engine never runs
+                args = policy._place_inputs(*args, attn=jnp.asarray(attn))
+            else:
+                args = args + (jnp.asarray(attn),)
             np.asarray(  # host-transfer sync: reliable on the axon backend
-                fn(policy.params, jnp.asarray(ids), jnp.asarray(px),
-                   jnp.asarray(intr), jnp.asarray(attn))
+                fn(policy.params, *args)
             )
 
 
@@ -180,7 +188,7 @@ class ServingEngine:
         max_wait_ms: float = 4.0,
         prompt_pad_multiple: int = 16,
         batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
-        pipeline_depth: int = 2,
+        pipeline_depth: int = 3,
     ):
         if max_batch_size > max(batch_buckets):
             raise ValueError("max_batch_size exceeds the largest batch bucket")
@@ -205,11 +213,15 @@ class ServingEngine:
         }
         self._completion = None  # launched-but-unsynced batches (FIFO)
         self._completer: Optional[threading.Thread] = None
+        self._inflight: Optional[threading.Semaphore] = None
         if pipeline_depth > 1:
-            # the bound is the backpressure: with (depth - 1) batches queued
-            # plus the one the completer is syncing, the dispatch thread
-            # blocks — at most `pipeline_depth` batches are ever in flight
-            self._completion = queue.Queue(maxsize=pipeline_depth - 1)
+            # the semaphore is the backpressure: a permit is taken BEFORE a
+            # batch launches and returned when its sync completes, so at
+            # most `pipeline_depth` batches are ever in flight (a bounded
+            # queue alone would be off by one — the next batch would launch
+            # before blocking on the full queue)
+            self._completion = queue.Queue()
+            self._inflight = threading.Semaphore(pipeline_depth)
             self._completer = threading.Thread(
                 target=self._completion_loop,
                 name="spatialvla-serve-sync",
@@ -377,10 +389,12 @@ class ServingEngine:
             try:
                 self._complete(batch, n_padded, out)
             except Exception as e:  # noqa: BLE001 - a dead completer would
-                # wedge the pipeline (dispatch blocks on the full queue), so
+                # wedge the pipeline (dispatch blocks on the permit), so
                 # fail the batch and keep draining
                 for r in batch:
                     _safe_resolve(r.future, exception=e)
+            finally:
+                self._inflight.release()
 
     def _run_batch(self, batch: List[_Request]):
         """Assemble + launch one batch. The launch is asynchronous (JAX
@@ -395,18 +409,25 @@ class ServingEngine:
         fn = self.policy._jitted_predict(
             ids.shape[1], self.policy.processor.action_chunk_size, padded=True
         )
-        out = fn(
-            self.policy.params,
-            jnp.asarray(ids),
-            jnp.asarray(px),
-            jnp.asarray(intr),
-            jnp.asarray(attn),
-        )
+        args = (jnp.asarray(ids), jnp.asarray(px), jnp.asarray(intr))
+        if getattr(self.policy, "mesh", None) is not None:
+            # mesh-sharded serving (policy.shard): commit the batch over the
+            # data axis when divisible — without this the traced program
+            # sees replicated host arrays and --mesh_data is a silent no-op
+            args = self.policy._place_inputs(*args, attn=jnp.asarray(attn))
+        else:
+            args = args + (jnp.asarray(attn),)
         n_padded = ids.shape[0] - len(batch)
         if self._completion is None:
-            self._complete(batch, n_padded, out)
-        else:  # blocks when `pipeline_depth` batches are already in flight
-            self._completion.put((batch, n_padded, out))
+            self._complete(batch, n_padded, fn(self.policy.params, *args))
+            return
+        self._inflight.acquire()  # blocks while `pipeline_depth` in flight
+        try:
+            out = fn(self.policy.params, *args)
+        except BaseException:
+            self._inflight.release()
+            raise
+        self._completion.put((batch, n_padded, out))
 
     def _complete(self, batch: List[_Request], n_padded: int, out):
         """Sync one launched batch, record stats, resolve its futures. A
