@@ -26,6 +26,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+from spatialvla_tpu.serve import EngineOverloaded, RequestExpired
+
 
 def _decode_image(spec):
     if isinstance(spec, str):  # base64-encoded PNG/JPEG
@@ -64,7 +66,8 @@ def make_handler(engine):
                 image = _decode_image(req["image"])
                 t0 = time.monotonic()
                 out = engine.predict(
-                    image, req["instruction"], unnorm_key=req.get("unnorm_key")
+                    image, req["instruction"], unnorm_key=req.get("unnorm_key"),
+                    deadline_ms=req.get("deadline_ms"),
                 )
                 self._send(
                     200,
@@ -74,6 +77,10 @@ def make_handler(engine):
                         "latency_ms": (time.monotonic() - t0) * 1e3,
                     },
                 )
+            except EngineOverloaded as e:  # shed load: client should retry
+                self._send(503, {"error": f"{type(e).__name__}: {e}"})
+            except RequestExpired as e:  # stale frame: send a fresh one
+                self._send(504, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:  # surface the failure to the client
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
@@ -107,6 +114,12 @@ def main(argv=None):
                     help="in-flight batches (1 = synchronous dispatch; 2+ "
                          "overlaps host-side batching/decode with device "
                          "compute)")
+    ap.add_argument("--max_queue", type=int, default=0,
+                    help="admission bound: requests beyond this many queued "
+                         "get HTTP 503 instead of unbounded wait (0 = "
+                         "unbounded). Clients may also send deadline_ms in "
+                         "the request body -> 504 if still undispatched "
+                         "past it (drop stale frames)")
     ap.add_argument("--pad_multiple", type=int, default=16)
     ap.add_argument(
         "--no_warmup", action="store_true",
@@ -174,6 +187,7 @@ def main(argv=None):
         policy, max_batch_size=args.max_batch, max_wait_ms=args.max_wait_ms,
         prompt_pad_multiple=args.pad_multiple, batch_buckets=buckets,
         pipeline_depth=args.pipeline_depth,
+        max_queue=args.max_queue or None,
     )
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(engine))
     print(f"serving on :{args.port} (max_batch={args.max_batch})", flush=True)

@@ -1,3 +1,15 @@
-from .engine import ServingEngine, assemble_batch, warmup_buckets
+from .engine import (
+    EngineOverloaded,
+    RequestExpired,
+    ServingEngine,
+    assemble_batch,
+    warmup_buckets,
+)
 
-__all__ = ["ServingEngine", "assemble_batch", "warmup_buckets"]
+__all__ = [
+    "EngineOverloaded",
+    "RequestExpired",
+    "ServingEngine",
+    "assemble_batch",
+    "warmup_buckets",
+]

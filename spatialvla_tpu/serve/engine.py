@@ -50,14 +50,33 @@ import jax.numpy as jnp
 DEFAULT_BATCH_BUCKETS = (1, 2, 4, 8, 16)
 
 
+class EngineOverloaded(RuntimeError):
+    """Raised by submit() when the admission queue is at max_queue — the
+    caller should shed load (HTTP 503) rather than let wait latency grow
+    without bound."""
+
+
+class RequestExpired(TimeoutError):
+    """A request outlived its deadline_ms before dispatch. For a robot
+    control loop a stale action is worse than none: drop the frame and
+    submit a fresh observation."""
+
+
 @dataclass
 class _Request:
     ids: np.ndarray  # (1, T_i) all-valid prompt ids
     pixel_values: np.ndarray  # (1, ...) preprocessed image(s)
     intrinsic: np.ndarray  # (1, 3, 3)
     unnorm_key: Optional[str]
+    deadline_ms: Optional[float] = None  # drop if not dispatched in time
     future: Future = field(default_factory=Future)
     t_submit: float = field(default_factory=time.monotonic)
+
+    def expired(self, now: float) -> bool:
+        return (
+            self.deadline_ms is not None
+            and (now - self.t_submit) * 1e3 > self.deadline_ms
+        )
 
 
 def _round_up(n: int, multiple: int) -> int:
@@ -189,6 +208,7 @@ class ServingEngine:
         prompt_pad_multiple: int = 16,
         batch_buckets: Sequence[int] = DEFAULT_BATCH_BUCKETS,
         pipeline_depth: int = 3,
+        max_queue: Optional[int] = None,
     ):
         if max_batch_size > max(batch_buckets):
             raise ValueError("max_batch_size exceeds the largest batch bucket")
@@ -200,6 +220,7 @@ class ServingEngine:
         self.prompt_pad_multiple = prompt_pad_multiple
         self.batch_buckets = tuple(sorted(batch_buckets))
         self.pipeline_depth = pipeline_depth
+        self.max_queue = max_queue  # admission bound: submit() sheds above it
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._pending: List[_Request] = []  # shape-incompatible holdovers
         self._stop = threading.Event()
@@ -209,6 +230,8 @@ class ServingEngine:
             "batches": 0,
             "batched_rows": 0,  # real rows summed over batches
             "padded_rows": 0,  # filler rows summed over batches
+            "shed": 0,  # rejected at admission (max_queue)
+            "expired": 0,  # dropped at dispatch (deadline_ms)
             "latency_ms": [],  # submit -> result, per request
         }
         self._completion = None  # launched-but-unsynced batches (FIFO)
@@ -234,10 +257,30 @@ class ServingEngine:
         self._worker.start()
 
     # -- client side -----------------------------------------------------
-    def submit(self, image, instruction: str, *, unnorm_key: Optional[str] = None) -> Future:
-        """Preprocess on the caller's thread, enqueue for batched dispatch."""
+    def submit(
+        self,
+        image,
+        instruction: str,
+        *,
+        unnorm_key: Optional[str] = None,
+        deadline_ms: Optional[float] = None,
+    ) -> Future:
+        """Preprocess on the caller's thread, enqueue for batched dispatch.
+
+        deadline_ms: fail the request with RequestExpired if it is still
+        waiting (not yet dispatched) that long after submit — a control
+        loop should drop the stale frame and send a fresh observation.
+        Raises EngineOverloaded when the admission queue is at max_queue."""
         if self._stop.is_set():
             raise RuntimeError("engine is shut down")
+        if self.max_queue is not None and (
+            self._queue.qsize() + len(self._pending) >= self.max_queue
+        ):
+            with self._lock:
+                self._stats["shed"] += 1
+            raise EngineOverloaded(
+                f"admission queue at max_queue={self.max_queue}; shed load"
+            )
         # fail THIS caller fast on a bad dataset key instead of poisoning
         # the whole batch at decode time (statistics are host-side)
         stats = self.policy.processor.statistics
@@ -251,6 +294,7 @@ class ServingEngine:
             pixel_values=np.asarray(inputs["pixel_values"]),
             intrinsic=np.asarray(inputs["intrinsic"]),
             unnorm_key=unnorm_key,
+            deadline_ms=deadline_ms,
         )
         self._queue.put(req)
         if self._stop.is_set():
@@ -265,9 +309,18 @@ class ServingEngine:
             )
         return req.future
 
-    def predict(self, image, instruction: str, *, unnorm_key: Optional[str] = None):
+    def predict(
+        self,
+        image,
+        instruction: str,
+        *,
+        unnorm_key: Optional[str] = None,
+        deadline_ms: Optional[float] = None,
+    ):
         """Blocking convenience wrapper around submit()."""
-        return self.submit(image, instruction, unnorm_key=unnorm_key).result()
+        return self.submit(
+            image, instruction, unnorm_key=unnorm_key, deadline_ms=deadline_ms
+        ).result()
 
     def stats(self) -> Dict:
         with self._lock:
@@ -277,6 +330,8 @@ class ServingEngine:
             return {
                 "requests": served,
                 "batches": batches,
+                "shed": self._stats["shed"],
+                "expired": self._stats["expired"],
                 "mean_batch_occupancy": (
                     self._stats["batched_rows"] / batches if batches else 0.0
                 ),
@@ -332,16 +387,32 @@ class ServingEngine:
         self.shutdown()
 
     # -- dispatch side ----------------------------------------------------
+    def _fail_expired(self, r: _Request, now: float):
+        with self._lock:
+            self._stats["expired"] += 1
+        _safe_resolve(
+            r.future,
+            exception=RequestExpired(
+                f"request waited {(now - r.t_submit) * 1e3:.0f} ms > "
+                f"deadline_ms={r.deadline_ms:.0f} before dispatch"
+            ),
+        )
+
     def _collect(self) -> List[_Request]:
         """Block for one request, then drain compatible ones for up to
-        max_wait_ms (or until the batch is full)."""
+        max_wait_ms (or until the batch is full). Requests past their
+        deadline_ms are failed here (never dispatched)."""
         batch: List[_Request] = []
-        if self._pending:
-            batch.append(self._pending.pop(0))
-        else:
-            first = self._queue.get()
+        while not batch:
+            if self._pending:
+                first = self._pending.pop(0)
+            else:
+                first = self._queue.get()
             if first is None:
                 return batch
+            if first.expired(time.monotonic()):
+                self._fail_expired(first, time.monotonic())
+                continue
             batch.append(first)
         deadline = time.monotonic() + self.max_wait_ms / 1e3
         while len(batch) < self.max_batch_size:
@@ -356,6 +427,9 @@ class ServingEngine:
                 break
             if r is None:
                 break
+            if r.expired(time.monotonic()):
+                self._fail_expired(r, time.monotonic())
+                continue
             # only identically-shaped observations batch together
             # (e.g. multi-view vs single-view requests)
             if r.pixel_values.shape[1:] != batch[0].pixel_values.shape[1:]:

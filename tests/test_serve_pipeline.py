@@ -198,3 +198,64 @@ def test_pipelined_concurrent_clients(policy):
         assert np.isfinite(r["actions"]).all()
     assert stats["requests"] == 8
     assert stats["latency_ms_p50"] is not None
+
+
+def test_admission_shedding_max_queue(policy):
+    """With max_queue set, submits beyond the bound raise EngineOverloaded
+    (HTTP 503 at the front-end) instead of queueing unboundedly; admitted
+    requests still resolve and the shed counter records the rejections."""
+    from spatialvla_tpu.serve import EngineOverloaded, ServingEngine
+
+    rng = np.random.RandomState(41)
+    img = _image(rng, policy)
+    eng = ServingEngine(
+        policy, max_batch_size=1, max_wait_ms=0.0, pipeline_depth=1,
+        max_queue=1,
+    )
+    try:
+        # occupy the dispatch thread: the first request compiles/executes
+        # while we flood the admission queue
+        futs = [eng.submit(img, "task 0", unnorm_key=UNNORM)]
+        shed = 0
+        for i in range(1, 40):
+            try:
+                futs.append(eng.submit(img, f"task {i}", unnorm_key=UNNORM))
+            except EngineOverloaded:
+                shed += 1
+        assert shed > 0, "queue never filled — bound not enforced"
+        for f in futs:
+            r = f.result(timeout=300)
+            assert np.isfinite(r["actions"]).all()
+        assert eng.stats()["shed"] == shed
+    finally:
+        eng.shutdown()
+
+
+def test_request_deadline_expires_stale_frames(policy):
+    """A request whose deadline_ms elapses before dispatch fails with
+    RequestExpired; fresh requests keep serving. (Robot-loop semantics:
+    a stale action is worse than none.)"""
+    import time as _time
+
+    from spatialvla_tpu.serve import RequestExpired, ServingEngine
+
+    rng = np.random.RandomState(42)
+    img = _image(rng, policy)
+    eng = ServingEngine(policy, max_batch_size=1, max_wait_ms=0.0,
+                        pipeline_depth=1)
+    try:
+        # head-of-line request occupies the dispatcher; the stale one ages
+        # out behind it
+        f_head = eng.submit(img, "head of line", unnorm_key=UNNORM)
+        f_stale = eng.submit(img, "stale frame", unnorm_key=UNNORM,
+                             deadline_ms=0.01)
+        _time.sleep(0.05)  # guarantee the deadline passes before dispatch
+        with pytest.raises(RequestExpired):
+            f_stale.result(timeout=300)
+        assert np.isfinite(f_head.result(timeout=300)["actions"]).all()
+        fresh = eng.predict(img, "fresh frame", unnorm_key=UNNORM,
+                            deadline_ms=60_000.0)
+        assert np.isfinite(fresh["actions"]).all()
+        assert eng.stats()["expired"] == 1
+    finally:
+        eng.shutdown()
