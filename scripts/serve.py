@@ -142,21 +142,37 @@ def main(argv=None):
     from spatialvla_tpu.inference import SpatialVLAPolicy
     from spatialvla_tpu.serve import ServingEngine, warmup_buckets
 
-    policy = (
-        SpatialVLAPolicy.from_hf_checkpoint(args.ckpt)
-        if args.hf
-        else SpatialVLAPolicy.load(args.ckpt)
-    )
-    # any serving-parameterization knob triggers quantize(); bits=0 keeps
-    # the LM bf16 (bits=None) so e.g. --depth_res alone takes effect
-    if args.bits or args.vision_bits or args.depth_res or args.kv_bits:
-        policy.quantize(
-            args.bits or None,
-            vision_bits=args.vision_bits or None,
-            depth_image_size=args.depth_res or None,
-            kv_bits=args.kv_bits or None,
-            mlp_bits=args.mlp_bits or None,
+    import os
+
+    if os.path.exists(os.path.join(args.ckpt, "serving_config.json")):
+        # pre-quantized serving checkpoint (scripts/quantize_checkpoint.py):
+        # the tree loads already packed — no startup quantize programs, no
+        # transient-HBM peak; the baked knobs override the CLI quant flags
+        policy = SpatialVLAPolicy.load_serving(args.ckpt)
+        if args.bits != 8 or args.mlp_bits or args.kv_bits or args.depth_res:
+            print(
+                "note: serving checkpoint's baked quantization "
+                f"{policy.quant_desc} (kv_bits={policy.kv_bits}, "
+                f"depth_res={policy.depth_image_size}) overrides the "
+                "--bits/--mlp_bits/--kv_bits/--depth_res flags",
+                flush=True,
+            )
+    else:
+        policy = (
+            SpatialVLAPolicy.from_hf_checkpoint(args.ckpt)
+            if args.hf
+            else SpatialVLAPolicy.load(args.ckpt)
         )
+        # any serving-parameterization knob triggers quantize(); bits=0
+        # keeps the LM bf16 (bits=None) so e.g. --depth_res alone applies
+        if args.bits or args.vision_bits or args.depth_res or args.kv_bits:
+            policy.quantize(
+                args.bits or None,
+                vision_bits=args.vision_bits or None,
+                depth_image_size=args.depth_res or None,
+                kv_bits=args.kv_bits or None,
+                mlp_bits=args.mlp_bits or None,
+            )
     if args.mesh_model > 1 or args.mesh_data > 1:
         # pod-slice serving: TP splits each decode step's weight stream
         # over the model axis (aggregate-bandwidth latency scaling),

@@ -43,6 +43,7 @@ class SpatialVLAPolicy:
         self.depth_image_size: Optional[int] = None  # set by quantize()
         self.kv_bits: Optional[int] = None  # set by quantize()
         self.mesh = None  # set by shard()
+        self.quant_desc: Optional[Dict] = None  # provenance, set by quantize()
         self._predict_cache: Dict = {}
 
     # ------------------------------------------------------------------
@@ -175,9 +176,86 @@ class SpatialVLAPolicy:
                 np.asarray(leaf[(0,) * leaf.ndim])
         self.depth_image_size = depth_image_size
         self.kv_bits = kv_bits
+        self.quant_desc = {  # provenance for save_serving round-trips
+            "bits": bits, "vision_bits": vision_bits, "mlp_bits": mlp_bits,
+            "group_size": group_size,
+        }
         self.params = params
         self._predict_cache.clear()
         return self
+
+    # ------------------------------------------------------------------
+    def save_serving(self, directory: str):
+        """Persist the CURRENT parameterization as a serving checkpoint.
+
+        Called after quantize(), this writes the int8/int4 packed tree (+
+        scales + precomputed zoe rel-bias) verbatim, so a server restart
+        loads it directly via load_serving() — no bf16 materialization, no
+        quantize programs, no transient-OOM window at startup (the
+        quantize-then-free peak this sidesteps is the r3 serve_16c_mixed
+        OOM; see quantize()). Alongside params it stores config.json,
+        the processor artifacts, and serving_config.json recording the
+        knobs (kv_bits, depth_image_size, quantize provenance) that live
+        on the policy rather than in the tree. The reference has no
+        quantized-artifact story (it serves bf16 safetensors,
+        /root/reference/README.md:93); this is serving infrastructure."""
+        import json
+
+        from .train.checkpoints import save_params
+
+        if self.mesh is not None:
+            raise ValueError(
+                "save_serving() on a sharded policy is unsupported — save "
+                "before shard() (the loaded tree re-shards with the same "
+                "rules)"
+            )
+        save_params(directory, self.params, config_json=self.config.to_json())
+        self.processor.save(directory)
+        with open(os.path.join(directory, "serving_config.json"), "w") as f:
+            json.dump(
+                {
+                    "format_version": 1,
+                    "kv_bits": self.kv_bits,
+                    "depth_image_size": self.depth_image_size,
+                    "quant_desc": self.quant_desc,
+                },
+                f, indent=2,
+            )
+
+    @classmethod
+    def load_serving(
+        cls,
+        directory: str,
+        *,
+        text_tokenizer: Optional[TextTokenizer] = None,
+    ) -> "SpatialVLAPolicy":
+        """Load a save_serving() checkpoint: the tree is restored with its
+        stored dtypes/structure (quantized leaves stay quantized — no
+        template, no cast) and committed to device once; kv_bits /
+        depth_image_size are restored from serving_config.json. Do NOT
+        call quantize() on the result — the tree already is; shard() works
+        as usual."""
+        import json
+
+        from .train.checkpoints import load_params
+
+        scfg_path = os.path.join(directory, "serving_config.json")
+        if not os.path.exists(scfg_path):
+            raise FileNotFoundError(
+                f"{scfg_path} not found — not a save_serving() checkpoint "
+                "(use SpatialVLAPolicy.load for training/export checkpoints)"
+            )
+        with open(scfg_path) as f:
+            scfg = json.load(f)
+        with open(os.path.join(directory, "config.json")) as f:
+            config = SpatialVLAConfig.from_json(f.read())
+        processor = SpatialVLAProcessor.load(directory, text_tokenizer)
+        params = jax.tree_util.tree_map(jnp.asarray, load_params(directory))
+        policy = cls(params, config, processor)
+        policy.kv_bits = scfg.get("kv_bits")
+        policy.depth_image_size = scfg.get("depth_image_size")
+        policy.quant_desc = scfg.get("quant_desc")
+        return policy
 
     # ------------------------------------------------------------------
     def shard(
