@@ -11,7 +11,8 @@ Usage:
   PYTHONPATH=/root/repo python scripts/run_libero_eval.py \
       --checkpoint_dir /path/to/ckpt [--hf] \
       [--suites libero_spatial libero_object] [--episodes_per_task 50] \
-      [--unnorm_key libero_spatial_no_noops/1.0.0] [--out results.json]
+      [--unnorm_key libero_spatial_no_noops/1.0.0] [--out results.json] \
+      [--parallel_envs 8]
 """
 import argparse
 import json
@@ -33,6 +34,10 @@ def main(argv=None):
     ap.add_argument("--unnorm_key", default=None)
     ap.add_argument("--quantize_bits", type=int, default=8,
                     help="0 disables weight quantization")
+    ap.add_argument("--parallel_envs", type=int, default=1,
+                    help="N env instances per task whose policy queries "
+                         "batch through one ServingEngine (a LIBERO sweep "
+                         "is thousands of serial B=1 predicts otherwise)")
     ap.add_argument("--out", default="libero_eval_results.json")
     args = ap.parse_args(argv)
 
@@ -64,18 +69,23 @@ def main(argv=None):
         bddl_dir = get_libero_path("bddl_files")
         for task_id in range(bench.n_tasks):
             task = bench.get_task(task_id)
-            env = OffScreenRenderEnv(
-                bddl_file_name=os.path.join(
-                    bddl_dir, task.problem_folder, task.bddl_file
-                ),
-                camera_heights=256, camera_widths=256,
-            )
-            yield task.language, env
+
+            def make_env(task=task):  # zero-arg factory: the driver makes
+                # one env per parallel worker (a fresh env serially too)
+                return OffScreenRenderEnv(
+                    bddl_file_name=os.path.join(
+                        bddl_dir, task.problem_folder, task.bddl_file
+                    ),
+                    camera_heights=256, camera_widths=256,
+                )
+
+            yield task.language, make_env
 
     suites = [s for s in LIBERO_SUITES if s.benchmark in args.suites]
     results = evaluate_libero(
         policy, suites, task_factory=task_factory,
         episodes_per_task=args.episodes_per_task, unnorm_key=args.unnorm_key,
+        parallel_envs=args.parallel_envs,
     )
     table = format_libero_table(results)
     print(table)

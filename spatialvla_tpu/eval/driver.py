@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -346,6 +346,67 @@ def run_libero_episode(
     return {"success": False, "steps": max_steps}
 
 
+def _run_libero_task_parallel(
+    engine,
+    make_env: Callable[[], object],
+    task_description: str,
+    *,
+    n_ep: int,
+    parallel_envs: int,
+    episode_kw: Dict,
+    unnorm_key: Optional[str],
+) -> Tuple[int, int]:
+    """One LIBERO task's episodes over N env threads sharing ONE
+    ServingEngine (same coalescing rationale as evaluate_task's
+    parallel_envs: concurrent B=1 policy queries batch on the device).
+    Each thread owns its env + adapter chunk state; the shared counter
+    keeps the episode count exact; a worker crash re-raises on the caller
+    instead of publishing missing episodes as failures."""
+    import threading
+
+    from .adapters import LiberoPolicyAdapter
+
+    lock = threading.Lock()
+    counter = iter(range(n_ep))
+    succ, n = 0, 0
+    errors: List[BaseException] = []
+    envs: List = []
+
+    def worker(env):
+        nonlocal succ, n
+        adapter = LiberoPolicyAdapter(engine, unnorm_key=unnorm_key)
+        try:
+            while True:
+                with lock:
+                    try:
+                        next(counter)
+                    except StopIteration:
+                        return
+                ep = run_libero_episode(env, adapter, task_description,
+                                        **episode_kw)
+                with lock:
+                    succ += int(ep["success"])
+                    n += 1
+        except BaseException as e:  # re-raised on the caller thread
+            errors.append(e)
+
+    try:
+        for _ in range(max(min(parallel_envs, n_ep), 1)):
+            envs.append(make_env())
+        threads = [threading.Thread(target=worker, args=(env,)) for env in envs]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
+    finally:
+        for env in envs:
+            if hasattr(env, "close"):
+                env.close()
+    return succ, n
+
+
 def evaluate_libero(
     policy,
     suites: Sequence[LiberoSuite],
@@ -354,39 +415,75 @@ def evaluate_libero(
     image_getter: Optional[Callable] = None,
     episodes_per_task: Optional[int] = None,
     unnorm_key: Optional[str] = None,
+    parallel_envs: int = 1,
 ) -> Dict:
     """Run the LIBERO suites; returns {'rows': [...], 'average': {...}}.
 
     task_factory(suite) yields (task_description, env) pairs — the test
     suite injects fakes; scripts/run_libero_eval.py builds them from the
-    installed `libero` package. SR standard errors are binomial over
-    episodes, the shape the reference table reports."""
+    installed `libero` package. The env element may also be a ZERO-ARG
+    callable returning a fresh env; with parallel_envs > 1 it MUST be
+    (N instances are created per task and their episodes batch through
+    one shared ServingEngine — see evaluate_task). SR standard errors
+    are binomial over episodes, the shape the reference table reports."""
     from .adapters import LiberoPolicyAdapter
 
     adapter = LiberoPolicyAdapter(policy, unnorm_key=unnorm_key)
+    engine = None
+    if parallel_envs > 1:
+        from ..serve import ServingEngine
+
+        engine = ServingEngine(
+            policy,
+            max_batch_size=min(max(parallel_envs, 1), 16),
+            max_wait_ms=8.0,
+        )
     rows = []
-    for suite in suites:
-        succ, n = 0, 0
-        for task_description, env in task_factory(suite):
-            n_ep = episodes_per_task or suite.episodes_per_task
-            for _ in range(n_ep):
+    try:
+        for suite in suites:
+            succ, n = 0, 0
+            for task_description, env_spec in task_factory(suite):
+                n_ep = episodes_per_task or suite.episodes_per_task
                 kw = {"max_steps": suite.max_steps}
                 if image_getter is not None:
                     kw["image_getter"] = image_getter
-                ep = run_libero_episode(env, adapter, task_description, **kw)
-                succ += int(ep["success"])
-                n += 1
-            if hasattr(env, "close"):
-                env.close()
-        p = succ / max(n, 1)
-        rows.append({
-            "label": suite.label,
-            "benchmark": suite.benchmark,
-            "episodes": n,
-            "successes": succ,
-            "success_rate": p,
-            "stderr": float(np.sqrt(p * (1 - p) / max(n, 1))),
-        })
+                if parallel_envs > 1:
+                    if not callable(env_spec):
+                        raise ValueError(
+                            "parallel_envs > 1 requires task_factory to "
+                            "yield (description, make_env) with make_env a "
+                            "zero-arg env factory (N fresh envs per task)"
+                        )
+                    s_t, n_t = _run_libero_task_parallel(
+                        engine, env_spec, task_description, n_ep=n_ep,
+                        parallel_envs=parallel_envs, episode_kw=kw,
+                        unnorm_key=unnorm_key,
+                    )
+                    succ += s_t
+                    n += n_t
+                    continue
+                env = env_spec() if callable(env_spec) else env_spec
+                try:
+                    for _ in range(n_ep):
+                        ep = run_libero_episode(env, adapter,
+                                                task_description, **kw)
+                        succ += int(ep["success"])
+                        n += 1
+                finally:
+                    if hasattr(env, "close"):
+                        env.close()
+            p = succ / max(n, 1)
+            rows.append({
+                "label": suite.label,
+                "benchmark": suite.benchmark,
+                "episodes": n,
+                "successes": succ,
+                "success_rate": p,
+                "stderr": float(np.sqrt(p * (1 - p) / max(n, 1))),
+            })
+    finally:
+        if engine is not None:
+            engine.shutdown()
     p_avg = float(np.mean([r["success_rate"] for r in rows])) if rows else 0.0
     se_avg = (
         float(np.sqrt(np.sum([r["stderr"] ** 2 for r in rows])) / len(rows))

@@ -249,6 +249,54 @@ def test_libero_episode_and_suite_aggregation(policy):
     assert "100.0 ± 0.0%" in table and "50.0 ±" in table
 
 
+def test_libero_parallel_envs_matches_serial(policy):
+    from spatialvla_tpu.eval.driver import LiberoSuite, evaluate_libero
+
+    suites = [
+        LiberoSuite("LIBERO-Spatial", "libero_spatial", max_steps=4),
+        LiberoSuite("LIBERO-Object", "libero_object", max_steps=4),
+    ]
+    thresholds = {"libero_spatial": 0.0, "libero_object": np.inf}
+    made = []
+
+    def task_factory(suite):
+        for i in range(2):
+            def make_env(suite=suite):
+                env = FakeLiberoEnv(thresholds[suite.benchmark])
+                made.append(env)
+                return env
+
+            yield f"task {i} of {suite.benchmark}", make_env
+
+    kw = dict(task_factory=task_factory, episodes_per_task=3,
+              unnorm_key="bridge_orig/1.0.0")
+    serial = evaluate_libero(policy, suites, **kw)
+    n_serial_envs = len(made)
+    parallel = evaluate_libero(policy, suites, parallel_envs=3, **kw)
+    # SR equality + exact episode counts: the shared counter must not
+    # over- or under-run when N threads pull from it
+    for rs, rp in zip(serial["rows"], parallel["rows"]):
+        assert rp["episodes"] == rs["episodes"] == 6
+        assert rp["success_rate"] == rs["success_rate"]
+    assert parallel["average"] == serial["average"]
+    # 3 envs per task in parallel mode, 1 per task serially
+    assert len(made) - n_serial_envs == 3 * 4 and n_serial_envs == 4
+
+
+def test_libero_parallel_requires_env_factories(policy):
+    from spatialvla_tpu.eval.driver import LiberoSuite, evaluate_libero
+
+    suites = [LiberoSuite("LIBERO-Spatial", "libero_spatial", max_steps=4)]
+
+    def task_factory(suite):
+        yield "task", FakeLiberoEnv(0.0)  # env instance, not a factory
+
+    with pytest.raises(ValueError, match="zero-arg env factory"):
+        evaluate_libero(policy, suites, task_factory=task_factory,
+                        episodes_per_task=1, parallel_envs=2,
+                        unnorm_key="bridge_orig/1.0.0")
+
+
 def test_libero_cli_reports_missing_sim(tmp_path):
     import importlib.util
     import os
