@@ -123,6 +123,8 @@ def _run_phase(policy, args, images, n_clients, n_requests):
     (run-wide per-request latencies [ms], engine stats, wall seconds)."""
     from spatialvla_tpu.serve import ServingEngine
 
+    from spatialvla_tpu.serve import EngineOverloaded, RequestExpired
+
     errors = []
     latencies = [[] for _ in range(n_clients)]  # per-client: no lock needed
     with ServingEngine(
@@ -132,6 +134,7 @@ def _run_phase(policy, args, images, n_clients, n_requests):
         prompt_pad_multiple=args.pad_multiple,
         batch_buckets=bucket_ladder(args.max_batch),
         pipeline_depth=args.pipeline_depth,
+        max_queue=getattr(args, "max_queue", 0) or None,
     ) as engine:
 
         def client(i):
@@ -139,10 +142,17 @@ def _run_phase(policy, args, images, n_clients, n_requests):
                 for j in range(n_requests):
                     instr = INSTRUCTION_POOL[(i + j) % len(INSTRUCTION_POOL)]
                     t0 = time.monotonic()
-                    engine.predict(
-                        images[(i + j) % len(images)], instr,
-                        unnorm_key=args.unnorm_key,
-                    )
+                    try:
+                        engine.predict(
+                            images[(i + j) % len(images)], instr,
+                            unnorm_key=args.unnorm_key,
+                            deadline_ms=getattr(args, "deadline_ms", 0) or None,
+                        )
+                    except (EngineOverloaded, RequestExpired):
+                        # overload-control outcome, not a failure: a robot
+                        # loop drops the frame and sends a fresh one; the
+                        # shed/expired counts surface in the result JSON
+                        continue
                     latencies[i].append((time.monotonic() - t0) * 1e3)
             except Exception as e:  # pragma: no cover - surfaced below
                 errors.append(e)
@@ -197,6 +207,12 @@ def main(argv=None):
                         "pool in one padded-length bucket -> one compile per "
                         "batch bucket)")
     p.add_argument("--unnorm_key", default=None)
+    p.add_argument("--max_queue", type=int, default=0,
+                   help="engine admission bound (0 = unbounded); submits "
+                        "beyond it shed and count in the result JSON")
+    p.add_argument("--deadline_ms", type=float, default=0,
+                   help="per-request dispatch deadline (0 = none); expired "
+                        "requests drop and count in the result JSON")
     p.add_argument("--repo_root", default=None, help=argparse.SUPPRESS)
     args = p.parse_args(argv)
     if args.repo_root is None:
@@ -230,6 +246,7 @@ def main(argv=None):
     lat, stats, wall = _run_phase(policy, args, images, args.clients, args.requests)
 
     total = args.clients * args.requests
+    completed = len(lat)  # shed/expired requests don't count as served
     chunk = policy.processor.action_chunk_size
     tag = "int%d LM" % args.bits if args.bits else "bf16 LM"
     if args.mlp_bits:
@@ -246,13 +263,18 @@ def main(argv=None):
         ),
         "requests": total,
         "wall_s": round(wall, 3),
-        "throughput_rps": round(total / wall, 2),
-        "actions_per_sec": round(total * chunk / wall, 2),
-        "latency_ms_p50": round(lat[len(lat) // 2], 2),
-        "latency_ms_p95": round(lat[min(len(lat) - 1, int(0.95 * len(lat)))], 2),
+        "throughput_rps": round(completed / wall, 2),
+        "actions_per_sec": round(completed * chunk / wall, 2),
+        "latency_ms_p50": round(lat[len(lat) // 2], 2) if lat else None,
+        "latency_ms_p95": round(lat[min(len(lat) - 1, int(0.95 * len(lat)))], 2)
+        if lat else None,
         "mean_batch_occupancy": round(stats["mean_batch_occupancy"], 2),
         "pad_fraction": round(stats["pad_fraction"], 3),
     }
+    if args.max_queue or args.deadline_ms:  # overload-control run
+        result["completed"] = completed
+        result["shed"] = stats["shed"]
+        result["expired"] = stats["expired"]
     print(json.dumps(result))
     return result
 

@@ -36,3 +36,20 @@ def test_bench_serve_tiny_end_to_end(capsys):
     import json
 
     assert json.loads(out) == result
+
+
+def test_bench_serve_overload_mode_counts_drops(capsys):
+    bench = _load()
+    # a sub-microsecond dispatch deadline expires every request
+    # deterministically: the run must complete (no hang, no crash), report
+    # the overload columns, and account for every submitted request
+    result = bench.main([
+        "--tiny", "--clients", "2", "--requests", "2",
+        "--max_batch", "4", "--max_wait_ms", "5",
+        "--deadline_ms", "0.0001",
+    ])
+    assert result["requests"] == 4
+    assert result["completed"] + result["shed"] + result["expired"] == 4
+    assert result["expired"] > 0
+    if result["completed"] == 0:
+        assert result["latency_ms_p50"] is None
