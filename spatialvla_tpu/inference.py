@@ -128,6 +128,12 @@ class SpatialVLAPolicy:
                 "quantize() after shard() is unsupported — quantize first, "
                 "then shard (the quantized tree shards with the same rules)"
             )
+        if self.quant_desc is not None and (bits or vision_bits):
+            raise ValueError(
+                f"policy is already quantized ({self.quant_desc}) — "
+                "re-quantizing a packed tree would corrupt it; reload the "
+                "source checkpoint to change weight formats"
+            )
         params = dict(self.params)
         if mlp_bits and not bits:
             raise ValueError(

@@ -69,6 +69,18 @@ def test_serving_config_restores_policy_knobs(quantized_policy, tmp_path):
     assert loaded.depth_image_size is None
 
 
+def test_requantizing_a_packed_tree_raises(quantized_policy, tmp_path):
+    from spatialvla_tpu.inference import SpatialVLAPolicy
+
+    with pytest.raises(ValueError, match="already quantized"):
+        quantized_policy.quantize(8)
+    out = tmp_path / "serving_rq"
+    quantized_policy.save_serving(str(out))
+    loaded = SpatialVLAPolicy.load_serving(str(out))
+    with pytest.raises(ValueError, match="already quantized"):
+        loaded.quantize(4)
+
+
 def test_load_serving_rejects_non_serving_checkpoint(tmp_path):
     from spatialvla_tpu.inference import SpatialVLAPolicy
 
