@@ -100,6 +100,14 @@ def _build_policy(args):
             }
         )
         policy = SpatialVLAPolicy(params, cfg, proc)
+        if lm_prequantized:
+            # the LM was packed inside the init program: record the TRUE
+            # bits so save_serving/stats provenance is not bits=None for an
+            # actually-quantized tree (and quantize()'s re-pack guard holds)
+            policy.quant_desc = {
+                "bits": qbits, "vision_bits": None,
+                "mlp_bits": mlpb, "group_size": None,
+            }
     # any serving-parameterization knob triggers quantize(); bits=0 keeps
     # the LM bf16 (bits=None) so e.g. --depth_res alone takes effect. The
     # random-init flagship fused its LM quantize into the init program

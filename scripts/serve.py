@@ -149,14 +149,26 @@ def main(argv=None):
         # the tree loads already packed — no startup quantize programs, no
         # transient-HBM peak; the baked knobs override the CLI quant flags
         policy = SpatialVLAPolicy.load_serving(args.ckpt)
-        if args.bits != 8 or args.mlp_bits or args.kv_bits or args.depth_res:
+        if (args.bits != 8 or args.vision_bits != 8 or args.mlp_bits
+                or args.kv_bits or args.depth_res):
             print(
                 "note: serving checkpoint's baked quantization "
                 f"{policy.quant_desc} (kv_bits={policy.kv_bits}, "
                 f"depth_res={policy.depth_image_size}) overrides the "
-                "--bits/--mlp_bits/--kv_bits/--depth_res flags",
+                "--bits/--vision_bits/--mlp_bits/--kv_bits/--depth_res flags",
                 flush=True,
             )
+        if (args.mesh_model > 1 or args.mesh_data > 1) and policy.kv_bits:
+            # kv_bits is a decode-path knob (not baked into the tree) and
+            # the fused decode path is single-device — clear it so a
+            # kv_bits-baked checkpoint can still be tensor-parallel served
+            print(
+                f"note: clearing baked kv_bits={policy.kv_bits} — the int8 "
+                "KV cache rides the single-device fused decode path, which "
+                "mesh-sharded serving does not use",
+                flush=True,
+            )
+            policy.kv_bits = None
     else:
         policy = (
             SpatialVLAPolicy.from_hf_checkpoint(args.ckpt)

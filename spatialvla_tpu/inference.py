@@ -128,9 +128,20 @@ class SpatialVLAPolicy:
                 "quantize() after shard() is unsupported — quantize first, "
                 "then shard (the quantized tree shards with the same rules)"
             )
-        if self.quant_desc is not None and (bits or vision_bits):
+        # per-subtree re-pack guard: the LM and the vision front quantize
+        # independently, so only the subtree that is actually packed blocks
+        # a second pass over it (a knob-only call — kv_bits/depth_res with
+        # bits=None/vision_bits=None — never trips it)
+        prior = self.quant_desc or {}
+        if bits and prior.get("bits"):
             raise ValueError(
-                f"policy is already quantized ({self.quant_desc}) — "
+                f"LM is already quantized ({self.quant_desc}) — "
+                "re-quantizing a packed tree would corrupt it; reload the "
+                "source checkpoint to change weight formats"
+            )
+        if vision_bits and prior.get("vision_bits"):
+            raise ValueError(
+                f"vision front is already quantized ({self.quant_desc}) — "
                 "re-quantizing a packed tree would corrupt it; reload the "
                 "source checkpoint to change weight formats"
             )
@@ -182,10 +193,19 @@ class SpatialVLAPolicy:
                 np.asarray(leaf[(0,) * leaf.ndim])
         self.depth_image_size = depth_image_size
         self.kv_bits = kv_bits
-        self.quant_desc = {  # provenance for save_serving round-trips
-            "bits": bits, "vision_bits": vision_bits, "mlp_bits": mlp_bits,
-            "group_size": group_size,
-        }
+        if bits or vision_bits:
+            # provenance for save_serving round-trips — recorded only when
+            # weights were actually packed this call (a knob-only call must
+            # not mark a still-bf16 tree "already quantized" or record
+            # misleading provenance); merges with a prior pass so e.g.
+            # quantize(bits=8) then quantize(bits=None, vision_bits=8)
+            # yields the full description
+            self.quant_desc = {
+                "bits": bits or prior.get("bits"),
+                "vision_bits": vision_bits or prior.get("vision_bits"),
+                "mlp_bits": mlp_bits if bits else prior.get("mlp_bits"),
+                "group_size": group_size if bits else prior.get("group_size"),
+            }
         self.params = params
         self._predict_cache.clear()
         return self

@@ -61,9 +61,13 @@ def test_serving_config_restores_policy_knobs(quantized_policy, tmp_path):
     # it must survive the round-trip or a reloaded server silently serves
     # a different configuration than was quality-gated
     quantized_policy.kv_bits = 8
-    out = tmp_path / "serving_kv"
-    quantized_policy.save_serving(str(out))
-    quantized_policy.kv_bits = None  # restore the module-scoped fixture
+    try:
+        out = tmp_path / "serving_kv"
+        quantized_policy.save_serving(str(out))
+    finally:
+        # restore the module-scoped fixture even if save_serving fails —
+        # a leaked kv_bits=8 would change later tests sharing the fixture
+        quantized_policy.kv_bits = None
     loaded = SpatialVLAPolicy.load_serving(str(out))
     assert loaded.kv_bits == 8
     assert loaded.depth_image_size is None
