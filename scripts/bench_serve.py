@@ -62,6 +62,18 @@ def _build_policy(args):
         d = tempfile.mkdtemp(prefix="bench_serve_tiny_")
         _build_reference_style_checkpoint(pathlib.Path(d))
         policy = SpatialVLAPolicy.from_hf_checkpoint(d, param_dtype=None)
+        if args.split:
+            # the tiny config's toy sliding window (8) cannot hold a serving
+            # cache; widen it like the fused-decode tests do (window and
+            # global layers are identical below the window)
+            import dataclasses
+
+            policy.config = dataclasses.replace(
+                policy.config,
+                text=dataclasses.replace(
+                    policy.config.text, sliding_window=4096
+                ),
+            )
     elif args.hf:
         policy = SpatialVLAPolicy.from_hf_checkpoint(args.hf)
     elif args.ckpt:
@@ -126,16 +138,22 @@ def _build_policy(args):
     return policy
 
 
-def _run_phase(policy, args, images, n_clients, n_requests):
-    """n_clients closed-loop clients x n_requests each; returns
-    (run-wide per-request latencies [ms], engine stats, wall seconds)."""
+def _make_engine(policy, args):
+    if getattr(args, "split", False):
+        from spatialvla_tpu.serve import SplitServingEngine
+
+        return SplitServingEngine(
+            policy,
+            n_slots=args.max_batch,
+            max_prompt_len=args.max_prompt_len,
+            prompt_pad_multiple=args.pad_multiple,
+            decode_block=args.decode_block,
+            max_ahead=args.max_ahead,
+            max_queue=getattr(args, "max_queue", 0) or None,
+        )
     from spatialvla_tpu.serve import ServingEngine
 
-    from spatialvla_tpu.serve import EngineOverloaded, RequestExpired
-
-    errors = []
-    latencies = [[] for _ in range(n_clients)]  # per-client: no lock needed
-    with ServingEngine(
+    return ServingEngine(
         policy,
         max_batch_size=args.max_batch,
         max_wait_ms=args.max_wait_ms,
@@ -143,7 +161,45 @@ def _run_phase(policy, args, images, n_clients, n_requests):
         batch_buckets=bucket_ladder(args.max_batch),
         pipeline_depth=args.pipeline_depth,
         max_queue=getattr(args, "max_queue", 0) or None,
-    ) as engine:
+    )
+
+
+def _parity_check(policy, engine, images):
+    """Exact sequence parity of the serving engine against the monolithic
+    predict path on the SAME device — the token-parity contract for the
+    split engine's separate prefill/decode programs (the CPU test suite
+    pins first-token + scheduling invariance; this closes the loop on real
+    hardware where both paths run the same Mosaic kernels)."""
+    import numpy as np
+
+    for i, instr in enumerate(INSTRUCTION_POOL):
+        img = images[i % len(images)]
+        got = engine.predict(img, instr)
+        want = policy.predict(img, instr)
+        if not np.array_equal(got["action_ids"], want["action_ids"]):
+            raise AssertionError(
+                f"serving-engine vs monolithic token mismatch on {instr!r}: "
+                f"{got['action_ids']} vs {want['action_ids']}"
+            )
+    return "ok (%d prompts token-identical)" % len(INSTRUCTION_POOL)
+
+
+def _run_phase(policy, args, images, n_clients, n_requests):
+    """n_clients closed-loop clients x n_requests each; returns
+    (run-wide per-request latencies [ms], engine stats, wall seconds)."""
+    from spatialvla_tpu.serve import EngineOverloaded, RequestExpired
+
+    errors = []
+    parity = None
+    latencies = [[] for _ in range(n_clients)]  # per-client: no lock needed
+    with _make_engine(policy, args) as engine:
+        if getattr(args, "split", False):
+            # split programs live on the engine: compile them before the
+            # measured window (the monolithic engine's programs were warmed
+            # on the policy by main())
+            engine.warmup(images[0], INSTRUCTION_POOL)
+        if getattr(args, "parity_check", False):
+            parity = _parity_check(policy, engine, images)
 
         def client(i):
             try:
@@ -179,7 +235,7 @@ def _run_phase(policy, args, images, n_clients, n_requests):
         raise errors[0]
     # run-wide percentiles (the engine's own stats window is bounded to the
     # last ~1000 requests and would silently truncate large runs)
-    return sorted(x for ls in latencies for x in ls), stats, wall
+    return sorted(x for ls in latencies for x in ls), stats, wall, parity
 
 
 def main(argv=None):
@@ -210,6 +266,22 @@ def main(argv=None):
                    help="in-flight batches (1 = synchronous dispatch; 2+ "
                         "overlaps host-side batching/decode with device "
                         "compute)")
+    p.add_argument("--split", action="store_true",
+                   help="split-phase continuous batching (persistent decode "
+                        "slots; serve/split_engine.py) instead of the "
+                        "monolithic batcher — requires --bits 8|4")
+    p.add_argument("--max_prompt_len", type=int, default=320,
+                   help="split engine: prompt-token capacity of a decode "
+                        "slot (multiple of --pad_multiple)")
+    p.add_argument("--decode_block", type=int, default=4,
+                   help="split engine: fused decode steps per dispatch "
+                        "(admission granularity)")
+    p.add_argument("--max_ahead", type=int, default=8,
+                   help="split engine: bound on in-flight decode dispatches")
+    p.add_argument("--parity_check", action="store_true",
+                   help="before the measured phase, assert the engine's "
+                        "tokens are identical to the monolithic predict "
+                        "path on this device, per pool prompt")
     p.add_argument("--pad_multiple", type=int, default=64,
                    help="prompt pad multiple (64 keeps the short-instruction "
                         "pool in one padded-length bucket -> one compile per "
@@ -223,6 +295,11 @@ def main(argv=None):
                         "requests drop and count in the result JSON")
     p.add_argument("--repo_root", default=None, help=argparse.SUPPRESS)
     args = p.parse_args(argv)
+    if args.split and not args.bits:
+        p.error("--split requires a fused-quantized LM: pass --bits 8 or 4")
+    if args.split and (args.mesh_model > 1 or args.mesh_data > 1):
+        p.error("--split is single-device; drop --mesh_* or use the "
+                "monolithic engine")
     if args.repo_root is None:
         import os
 
@@ -238,20 +315,24 @@ def main(argv=None):
         (rng.rand(s, s, 3) * 255).astype(np.uint8) for _ in range(4)
     ]
 
-    # compile every (padded-T, B) bucket the measured phase can hit — a
-    # stray 20-40 s XLA compile inside the measured window would otherwise
-    # dominate the wall clock. Compiled programs live on the policy's
-    # _predict_cache, so the measured engine reuses them.
+    # compile every program the measured phase can hit — a stray 20-40 s
+    # XLA compile inside the measured window would otherwise dominate the
+    # wall clock. Monolithic programs live on the policy's _predict_cache
+    # and warm here; split-engine programs are per-engine, so _run_phase
+    # warms them on the engine itself before starting the clock.
     from spatialvla_tpu.serve import warmup_buckets
 
-    warmup_buckets(
-        policy, sample_image=images[0], instructions=INSTRUCTION_POOL,
-        prompt_pad_multiple=args.pad_multiple,
-        batch_buckets=bucket_ladder(args.max_batch),
-        unnorm_key=args.unnorm_key,
-    )
+    if not args.split:
+        warmup_buckets(
+            policy, sample_image=images[0], instructions=INSTRUCTION_POOL,
+            prompt_pad_multiple=args.pad_multiple,
+            batch_buckets=bucket_ladder(args.max_batch),
+            unnorm_key=args.unnorm_key,
+        )
 
-    lat, stats, wall = _run_phase(policy, args, images, args.clients, args.requests)
+    lat, stats, wall, parity = _run_phase(
+        policy, args, images, args.clients, args.requests
+    )
 
     total = args.clients * args.requests
     completed = len(lat)  # shed/expired requests don't count as served
@@ -265,6 +346,8 @@ def main(argv=None):
         tag += ", int%d kv" % args.kv_bits
     if args.depth_res:
         tag += ", depth@%d" % args.depth_res
+    if args.split:
+        tag += ", split-phase"
     result = {
         "metric": "serving load, %d closed-loop clients (%s)" % (
             args.clients, tag,
@@ -276,9 +359,16 @@ def main(argv=None):
         "latency_ms_p50": round(lat[len(lat) // 2], 2) if lat else None,
         "latency_ms_p95": round(lat[min(len(lat) - 1, int(0.95 * len(lat)))], 2)
         if lat else None,
-        "mean_batch_occupancy": round(stats["mean_batch_occupancy"], 2),
-        "pad_fraction": round(stats["pad_fraction"], 3),
     }
+    if args.split:
+        result["mean_slot_occupancy"] = round(stats["mean_slot_occupancy"], 2)
+        result["decode_dispatches"] = stats["decode_dispatches"]
+        result["mean_prefill_rows"] = round(stats["mean_prefill_rows"], 2)
+    else:
+        result["mean_batch_occupancy"] = round(stats["mean_batch_occupancy"], 2)
+        result["pad_fraction"] = round(stats["pad_fraction"], 3)
+    if parity is not None:
+        result["parity"] = parity
     if args.max_queue or args.deadline_ms:  # overload-control run
         result["completed"] = completed
         result["shed"] = stats["shed"]

@@ -114,6 +114,19 @@ def main(argv=None):
                     help="in-flight batches (1 = synchronous dispatch; 2+ "
                          "overlaps host-side batching/decode with device "
                          "compute)")
+    ap.add_argument("--engine", choices=("monolithic", "split"),
+                    default="monolithic",
+                    help="'split' = split-phase continuous batching "
+                         "(persistent decode slots — highest throughput "
+                         "under concurrent load; requires a quantized LM "
+                         "and single-device serving); 'monolithic' = one "
+                         "predict program per batch (works bf16 and "
+                         "mesh-sharded)")
+    ap.add_argument("--max_prompt_len", type=int, default=320,
+                    help="split engine: prompt-token capacity of a decode "
+                         "slot (multiple of --pad_multiple)")
+    ap.add_argument("--decode_block", type=int, default=4,
+                    help="split engine: fused decode steps per dispatch")
     ap.add_argument("--max_queue", type=int, default=0,
                     help="admission bound: requests beyond this many queued "
                          "get HTTP 503 instead of unbounded wait (0 = "
@@ -193,30 +206,54 @@ def main(argv=None):
     # ladder includes a bucket >= max_batch: the engine rounds full batches
     # UP to the next bucket, so truncating below max_batch would leave the
     # largest dispatch shape unwarmed (and fail engine construction)
-    buckets = tuple(
-        sorted({b for b in (1, 2, 4, 8, 16) if b < args.max_batch}
-               | {args.max_batch})
+    warm_instructions = (
+        # one short + one long instruction covers the padded-T buckets
+        # realistic robot instructions land in
+        "go",
+        "open the top drawer and place the sponge inside of it then close "
+        "the drawer again",
     )
-    if not args.no_warmup:
-        s = policy.config.vision.image_size
-        print("warming serving buckets (one XLA compile per (T, B))...",
-              flush=True)
-        warmup_buckets(
-            policy,
-            sample_image=np.zeros((s, s, 3), np.uint8),
-            # one short + one long instruction covers the padded-T buckets
-            # realistic robot instructions land in
-            instructions=("go", "open the top drawer and place the sponge "
-                          "inside of it then close the drawer again"),
+    s = policy.config.vision.image_size
+    if args.engine == "split":
+        from spatialvla_tpu.serve import SplitServingEngine
+
+        if args.max_prompt_len % args.pad_multiple:
+            # the HTTP default pad_multiple is 16; keep the capacity a
+            # multiple of it without making operators do the arithmetic
+            args.max_prompt_len += args.pad_multiple - (
+                args.max_prompt_len % args.pad_multiple
+            )
+        engine = SplitServingEngine(
+            policy, n_slots=args.max_batch,
+            max_prompt_len=args.max_prompt_len,
             prompt_pad_multiple=args.pad_multiple,
-            batch_buckets=buckets,
+            decode_block=args.decode_block,
+            max_queue=args.max_queue or None,
         )
-    engine = ServingEngine(
-        policy, max_batch_size=args.max_batch, max_wait_ms=args.max_wait_ms,
-        prompt_pad_multiple=args.pad_multiple, batch_buckets=buckets,
-        pipeline_depth=args.pipeline_depth,
-        max_queue=args.max_queue or None,
-    )
+        if not args.no_warmup:
+            print("warming split-phase serving programs...", flush=True)
+            engine.warmup(np.zeros((s, s, 3), np.uint8), warm_instructions)
+    else:
+        buckets = tuple(
+            sorted({b for b in (1, 2, 4, 8, 16) if b < args.max_batch}
+                   | {args.max_batch})
+        )
+        if not args.no_warmup:
+            print("warming serving buckets (one XLA compile per (T, B))...",
+                  flush=True)
+            warmup_buckets(
+                policy,
+                sample_image=np.zeros((s, s, 3), np.uint8),
+                instructions=warm_instructions,
+                prompt_pad_multiple=args.pad_multiple,
+                batch_buckets=buckets,
+            )
+        engine = ServingEngine(
+            policy, max_batch_size=args.max_batch, max_wait_ms=args.max_wait_ms,
+            prompt_pad_multiple=args.pad_multiple, batch_buckets=buckets,
+            pipeline_depth=args.pipeline_depth,
+            max_queue=args.max_queue or None,
+        )
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(engine))
     print(f"serving on :{args.port} (max_batch={args.max_batch})", flush=True)
     try:

@@ -513,6 +513,27 @@ def _decode_after_prefill(
     return out
 
 
+def _scatter_rows(c, new, slots):
+    """Per-row KV-cache write: c (L, B, Nkv, S, D), new (L, B, Nkv, D),
+    slots (B,) int32 — row m's vector lands at cache slot slots[m]."""
+    return jax.vmap(
+        lambda cr, nr, s: jax.lax.dynamic_update_slice(
+            cr, nr[:, :, None, :], (0, 0, s, 0)
+        ),
+        in_axes=(1, 1, 0), out_axes=1,
+    )(c, new, slots)
+
+
+def _scatter_scale(sc, new, slots):
+    """Per-row scale write: sc (L, B, Nkv, S), new (L, B, Nkv)."""
+    return jax.vmap(
+        lambda scr, nr, s: jax.lax.dynamic_update_slice(
+            scr, nr[:, :, None], (0, 0, s)
+        ),
+        in_axes=(1, 1, 0), out_axes=1,
+    )(sc, new, slots)
+
+
 def _generate_greedy_fused(
     params: Params,
     cfg: SpatialVLAConfig,
@@ -576,25 +597,6 @@ def _generate_greedy_fused(
         dtype=compute_dtype or prefill_hidden.dtype,
     )
 
-    def _scatter_rows(c, new, slots):
-        # per-row cache write: c (L, B, Nkv, S, D), new (L, B, Nkv, D),
-        # slots (B,) int32
-        return jax.vmap(
-            lambda cr, nr, s: jax.lax.dynamic_update_slice(
-                cr, nr[:, :, None, :], (0, 0, s, 0)
-            ),
-            in_axes=(1, 1, 0), out_axes=1,
-        )(c, new, slots)
-
-    def _scatter_scale(sc, new, slots):
-        # sc (L, B, Nkv, S), new (L, B, Nkv), slots (B,) int32
-        return jax.vmap(
-            lambda scr, nr, s: jax.lax.dynamic_update_slice(
-                scr, nr[:, :, None], (0, 0, s)
-            ),
-            in_axes=(1, 1, 0), out_axes=1,
-        )(sc, new, slots)
-
     def step(carry, t):
         ck, cv, kscale, vscale, tok = carry
         embeds = merge_input_embeddings(
@@ -643,6 +645,252 @@ def _generate_greedy_fused(
         else last[:, None]
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# split-phase serving: prefill program + persistent-slot decode program
+# ---------------------------------------------------------------------------
+# Continuous batching decouples the two phases the monolithic predict path
+# fuses: a PREFILL program (vision front + prefix attention + first token)
+# runs per arrival group, and a DECODE program advances a persistent batch of
+# B_max slots one (or a few) fused decode steps at a time. Newly-prefilled
+# rows are admitted into free slots between decode dispatches and retire
+# after exactly 3*chunk tokens, so the expensive per-step weight stream is
+# amortized over ~B_max rows instead of the arrival group's size. The
+# reference's own serving structure is the same split over a static cache
+# (/root/reference/model/modeling_gemma2.py:712-720 HybridCache prefill +
+# per-token decode); this is its TPU continuous-batching extension.
+#
+# Token parity with the monolithic padded path: semantically identical —
+# the persistent cache length S_max >= P + n_tokens only adds masked slots
+# (exp(-1e30-mx) == 0.0 in f32, so softmax sums and the probability@V
+# matmul accumulate identical values), and the per-step numerics are the
+# monolithic fused step's, verbatim. Bitwise, XLA may fuse the inter-kernel
+# glue (embed gather, logits dequant) differently in a standalone decode
+# program than inside the monolithic scan body — immaterial at real-model
+# logit margins; on random flat-logit test models it can flip near-tie
+# argmax. tests/test_split_serving.py pins first-token exactness, exact
+# scheduling-invariance, and majority full-sequence equality on CPU;
+# scripts/bench_serve.py --parity_check asserts exact sequence parity on
+# the real chip.
+
+
+def prefill_for_serving(
+    params: Params,
+    cfg: SpatialVLAConfig,
+    input_ids: Array,  # (Bp, P) right-padded prompt ids
+    *,
+    pixel_values: Array,
+    intrinsic: Optional[Array],
+    attention_mask: Array,  # (Bp, P) 1=valid
+    cache_len: int,  # S_max of the persistent decode state
+    compute_dtype=jnp.bfloat16,
+    token_range: Optional[Tuple[int, int]] = None,
+    depth_image_size: Optional[int] = None,
+    kv_bits: Optional[int] = None,
+    cache_dtype=jnp.bfloat16,
+) -> Dict[str, Array]:
+    """Vision front + prefix attention for an arrival group, emitting
+    serving-layout cache rows sized to the persistent decode state.
+
+    Returns {"k", "v" (L, Bp, Nkv, S_max, D) [, "k_scale", "v_scale"],
+    "tok" (Bp,) first generated token, "valid" (Bp,) prefix lengths} —
+    exactly the per-row payload admit_rows_serving scatters into free
+    decode slots. Numerically identical to the monolithic padded prefill
+    (generate_greedy's attention_mask branch) with S = cache_len."""
+    from ..ops.quant import qmatmul
+
+    B, P = input_ids.shape
+    S = cache_len
+    image_features = get_image_features(
+        params, cfg, pixel_values, intrinsic,
+        compute_dtype=compute_dtype, depth_image_size=depth_image_size,
+    )
+    embeds = merge_input_embeddings(
+        params, cfg, input_ids, image_features, dtype=compute_dtype
+    )
+    cache = gemma2_mod.init_cache(cfg.text, B, S, dtype=cache_dtype)
+    am = attention_mask.astype(jnp.int32)
+    valid = am.sum(axis=-1)  # (Bp,) per-row prefix length
+    position_ids = jnp.cumsum(am, axis=-1) * am  # 1-indexed at valid slots
+    key_valid = jnp.concatenate(
+        [am.astype(bool), jnp.zeros((B, S - P), bool)], axis=-1
+    )  # (Bp, S)
+    mask = jnp.broadcast_to(key_valid[:, None, None, :], (B, 1, P, S))
+    k_pos_true = jnp.concatenate(
+        [position_ids, valid[:, None] + jnp.arange(1, S - P + 1)[None]],
+        axis=-1,
+    )  # (Bp, S) true token positions of every cache slot
+    hidden, cache = gemma2_mod.forward(
+        params["lm"], cfg.text, embeds, position_ids, mask, cache=cache,
+        cache_position=0, window_positions=(position_ids, k_pos_true),
+    )
+    if token_range is not None:
+        begin, size = token_range
+        head, offset = _slice_head(params["lm"], begin, size), begin
+    else:
+        head = params["lm"]["lm_head"] if "lm_head" in params["lm"] else params["lm"]["embed"].T
+        offset = 0
+    last_hidden = jnp.take_along_axis(
+        hidden, (valid - 1)[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    tok = jnp.argmax(
+        qmatmul(last_hidden.astype(compute_dtype or hidden.dtype), head),
+        axis=-1,
+    ) + offset
+    ck = jnp.transpose(cache["k"], (0, 1, 3, 2, 4))  # serving layout
+    cv = jnp.transpose(cache["v"], (0, 1, 3, 2, 4))
+    out = {"tok": tok.astype(jnp.int32), "valid": valid.astype(jnp.int32)}
+    if kv_bits == 8:
+        from ..ops.quant import quantize_kv
+
+        out["k"], out["k_scale"] = quantize_kv(ck)
+        out["v"], out["v_scale"] = quantize_kv(cv)
+    elif kv_bits:
+        raise ValueError(f"kv_bits={kv_bits}: only 8 (or None) is supported")
+    else:
+        out["k"], out["v"] = ck, cv
+    return out
+
+
+def init_serving_state(
+    cfg: SpatialVLAConfig,
+    n_slots: int,
+    cache_len: int,
+    n_tokens: int,
+    *,
+    kv_bits: Optional[int] = None,
+    cache_dtype=jnp.bfloat16,
+) -> Dict[str, Array]:
+    """The persistent decode-batch state: n_slots rows, each holding its own
+    KV cache, last token, cache position, emitted-step count, and token
+    output buffer. Freshly initialized slots are inactive (steps=n_tokens:
+    past the output buffer, so decode steps never write their tokens)."""
+    tcfg = cfg.text
+    L, Nkv, D = tcfg.num_layers, tcfg.num_kv_heads, tcfg.head_dim
+    shape = (L, n_slots, Nkv, cache_len, D)
+    state = {
+        "tok": jnp.zeros((n_slots,), jnp.int32),
+        "pos": jnp.zeros((n_slots,), jnp.int32),
+        "steps": jnp.full((n_slots,), n_tokens, jnp.int32),
+        "out": jnp.zeros((n_slots, n_tokens), jnp.int32),
+    }
+    if kv_bits == 8:
+        state["k"] = jnp.zeros(shape, jnp.int8)
+        state["v"] = jnp.zeros(shape, jnp.int8)
+        state["k_scale"] = jnp.zeros(shape[:-1], jnp.float32)
+        state["v_scale"] = jnp.zeros(shape[:-1], jnp.float32)
+    else:
+        state["k"] = jnp.zeros(shape, cache_dtype)
+        state["v"] = jnp.zeros(shape, cache_dtype)
+    return state
+
+
+def admit_rows_serving(
+    state: Dict[str, Array],
+    rows: Dict[str, Array],  # prefill_for_serving output (Bp rows)
+    slots: Array,  # (Bp,) int32 DISTINCT free slot indices
+) -> Dict[str, Array]:
+    """Scatter an arrival group's prefilled rows into free decode slots.
+
+    Entirely device-side: the prefill output feeds the persistent state
+    without a host round-trip. Each admitted row starts at steps=1 with its
+    first token already in the output buffer (the monolithic path's
+    next_token-from-prefill-hidden, _generate_greedy_fused)."""
+    new = dict(state)
+    new["k"] = state["k"].at[:, slots].set(rows["k"])
+    new["v"] = state["v"].at[:, slots].set(rows["v"])
+    if "k_scale" in state:
+        new["k_scale"] = state["k_scale"].at[:, slots].set(rows["k_scale"])
+        new["v_scale"] = state["v_scale"].at[:, slots].set(rows["v_scale"])
+    new["tok"] = state["tok"].at[slots].set(rows["tok"])
+    new["pos"] = state["pos"].at[slots].set(rows["valid"])
+    new["steps"] = state["steps"].at[slots].set(1)
+    new["out"] = state["out"].at[slots, 0].set(rows["tok"])
+    return new
+
+
+def decode_steps_serving(
+    params: Params,
+    cfg: SpatialVLAConfig,
+    state: Dict[str, Array],
+    *,
+    n_steps: int,
+    n_tokens: int,  # 3 * action_chunk_size: tokens per request
+    token_range: Optional[Tuple[int, int]] = None,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> Dict[str, Array]:
+    """Advance ALL slots of the persistent decode batch by n_steps fused
+    decode steps (ops/decode_step.py with per-row cache positions).
+
+    Finished/free slots (steps >= n_tokens) keep decoding garbage into
+    their own row — their output-buffer writes are masked, their cache
+    position clamps inside the cache, and admission overwrites the whole
+    row — so the program needs no active-mask input and compiles once.
+    The per-step numerics are exactly _generate_greedy_fused's step body;
+    token parity vs the monolithic path is pinned by
+    tests/test_split_serving.py."""
+    from ..ops.decode_step import fused_decode_step
+    from ..ops.quant import qmatmul
+
+    tcfg = cfg.text
+    B = state["tok"].shape[0]
+    S = state["k"].shape[3]
+    kv_bits = 8 if "k_scale" in state else None
+    if token_range is not None:
+        begin, size = token_range
+        head, offset = _slice_head(params["lm"], begin, size), begin
+    else:
+        head = params["lm"]["lm_head"] if "lm_head" in params["lm"] else params["lm"]["embed"].T
+        offset = 0
+    normalizer = jnp.asarray(tcfg.hidden_size**0.5, dtype=compute_dtype)
+    rows = jnp.arange(B)
+
+    def one_step(st):
+        embeds = merge_input_embeddings(
+            params, cfg, st["tok"][:, None], None, dtype=compute_dtype
+        )  # spatial-token override included
+        x = embeds[:, 0] * normalizer
+        hidden, k_new, v_new = fused_decode_step(
+            params["lm"], tcfg, x, st["k"], st["v"], st["pos"], st["pos"] + 1,
+            cache_k_scale=st.get("k_scale"), cache_v_scale=st.get("v_scale"),
+            interpret=interpret,
+        )
+        nxt = (
+            jnp.argmax(qmatmul(hidden.astype(compute_dtype), head), axis=-1)
+            + offset
+        ).astype(jnp.int32)
+        st = dict(st)
+        if kv_bits == 8:
+            from ..ops.quant import quantize_kv
+
+            k_new, ks_new = quantize_kv(k_new)
+            v_new, vs_new = quantize_kv(v_new)
+            st["k_scale"] = _scatter_scale(st["k_scale"], ks_new, st["pos"])
+            st["v_scale"] = _scatter_scale(st["v_scale"], vs_new, st["pos"])
+        st["k"] = _scatter_rows(st["k"], k_new, st["pos"])
+        st["v"] = _scatter_rows(st["v"], v_new, st["pos"])
+        # emitted-token write, masked for finished/free slots (steps past
+        # the buffer must not overwrite a retired row's final token)
+        idx = jnp.clip(st["steps"], 0, n_tokens - 1)
+        old = st["out"][rows, idx]
+        st["out"] = st["out"].at[rows, idx].set(
+            jnp.where(st["steps"] < n_tokens, nxt, old)
+        )
+        st["tok"] = nxt
+        # free/overshooting rows clamp inside the cache (they only ever
+        # scribble on their own row, fully overwritten at admission)
+        st["pos"] = jnp.minimum(st["pos"] + 1, S - 1)
+        # saturate at n_tokens (the device counter only gates the output-
+        # buffer write; saturation keeps a long-idle free slot from ever
+        # wrapping int32)
+        st["steps"] = jnp.minimum(st["steps"] + 1, n_tokens)
+        return st
+
+    for _ in range(n_steps):  # n_steps is small (1-4); unrolled
+        state = one_step(state)
+    return state
 
 
 def predict_action(

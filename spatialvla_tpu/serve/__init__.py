@@ -5,11 +5,13 @@ from .engine import (
     assemble_batch,
     warmup_buckets,
 )
+from .split_engine import SplitServingEngine
 
 __all__ = [
     "EngineOverloaded",
     "RequestExpired",
     "ServingEngine",
+    "SplitServingEngine",
     "assemble_batch",
     "warmup_buckets",
 ]

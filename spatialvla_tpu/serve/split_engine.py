@@ -1,0 +1,603 @@
+"""Split-phase continuous-batching engine: persistent decode slots.
+
+The monolithic engine (engine.py) dispatches one predict program per batch:
+every batch monolithically re-pays the vision front + prefill and then
+decodes at the ARRIVAL group's occupancy — measured 126 actions/sec at 16
+clients vs 207.8 device-side at B=16 (MEASURE_ROUND3), because a batch
+cannot start decoding until its whole front finishes and new arrivals
+cannot join a running decode.
+
+This engine decouples the phases (the reference's own prefill/decode split
+over a static cache, /root/reference/model/modeling_gemma2.py:712-720,
+extended to continuous batching):
+
+- A PREFILL program (models/spatialvla.py:prefill_for_serving) runs per
+  arrival group — vision front + prefix attention + first token — emitting
+  cache rows already shaped for the persistent decode state.
+- A persistent decode batch of ``n_slots`` rows advances ``decode_block``
+  fused decode steps per dispatch (decode_steps_serving over the per-row-
+  cache-position kernel, ops/decode_step.py). Newly-prefilled rows are
+  admitted into free slots BETWEEN decode dispatches (admit_rows_serving,
+  device-side scatter — the prefill output never round-trips the host) and
+  retire after exactly 3*chunk tokens.
+
+The decode weight stream (~2 GB/step int8) is therefore amortized over
+~n_slots rows regardless of arrival-group size, and an arrival waits at
+most one decode dispatch (~decode_block steps) to join — not a whole
+front+prefill+decode cycle.
+
+Host/device pipelining: the dispatch thread only launches programs (JAX
+dispatch is asynchronous); a completion thread syncs retired rows' token
+buffers and resolves futures. Run-ahead is bounded by syncing a tiny
+per-dispatch handle once more than ``max_ahead`` dispatches are in flight.
+
+Token parity with the monolithic path is semantically exact (see the
+parity note in models/spatialvla.py); tests/test_split_serving.py pins
+first-token exactness + exact scheduling-invariance on CPU, and
+scripts/bench_serve.py --parity_check asserts exact sequence parity on
+the real chip.
+"""
+from __future__ import annotations
+
+import collections
+import functools
+import queue
+import threading
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .engine import (
+    EngineOverloaded,
+    RequestExpired,
+    _Request,
+    _round_up,
+    _safe_resolve,
+)
+
+DEFAULT_PREFILL_BUCKETS = (1, 2, 4, 8)
+
+
+class _Programs:
+    """Compiled-program cache over one policy: prefill per (T, Bp) bucket,
+    one decode program, admit per (bucket, n_real)."""
+
+    def __init__(self, policy, *, n_slots, cache_len, n_tokens, decode_block):
+        from ..models import spatialvla as model
+
+        self.policy = policy
+        self.model = model
+        self.n_slots = n_slots
+        self.cache_len = cache_len
+        self.n_tokens = n_tokens
+        self.decode_block = decode_block
+        self.interpret = jax.devices()[0].platform == "cpu"
+        cfg = policy.config
+        self.token_range = (cfg.action_token_begin_idx, cfg.spatial_token_num)
+        self._prefill_cache: Dict = {}
+        self._admit_cache: Dict = {}
+        self._decode = None
+
+    def init_state(self):
+        st = self.model.init_serving_state(
+            self.policy.config, self.n_slots, self.cache_len, self.n_tokens,
+            kv_bits=self.policy.kv_bits,
+        )
+        kv_keys = ("k", "v", "k_scale", "v_scale")
+        kv = {k: st[k] for k in kv_keys if k in st}
+        small = {k: v for k, v in st.items() if k not in kv_keys}
+        return kv, small
+
+    def prefill(self, T: int, Bp: int):
+        key = (T, Bp)
+        if key not in self._prefill_cache:
+            policy, model = self.policy, self.model
+
+            @jax.jit
+            def fn(params, ids, px, intr, attn):
+                return model.prefill_for_serving(
+                    params, policy.config, ids,
+                    pixel_values=px, intrinsic=intr, attention_mask=attn,
+                    cache_len=self.cache_len,
+                    compute_dtype=policy.compute_dtype,
+                    token_range=self.token_range,
+                    depth_image_size=policy.depth_image_size,
+                    kv_bits=policy.kv_bits,
+                )
+
+            self._prefill_cache[key] = fn
+        return self._prefill_cache[key]
+
+    def admit(self, bucket: int, n_real: int):
+        key = (bucket, n_real)
+        if key not in self._admit_cache:
+            model = self.model
+            kv_keys = ("k", "v", "k_scale", "v_scale")
+
+            # donate the persistent KV state and the prefill rows: the
+            # scatter aliases in place instead of copying the (141 MB at
+            # flagship scale) cache per admission. `small` (tok/pos/steps/
+            # out) is NOT donated — retirement records keep out-buffer refs
+            # from earlier dispatches alive for the completion thread.
+            @functools.partial(jax.jit, donate_argnums=(0, 2))
+            def fn(kv, small, rows, slots):
+                # slice the real rows out of the (possibly filler-padded)
+                # prefill bucket, then scatter into the free slots
+                real = {
+                    k: (v[:, :n_real] if k in kv_keys else v[:n_real])
+                    for k, v in rows.items()
+                }
+                st = model.admit_rows_serving({**kv, **small}, real, slots)
+                return (
+                    {k: st[k] for k in kv_keys if k in st},
+                    {k: v for k, v in st.items() if k not in kv_keys},
+                )
+
+            self._admit_cache[key] = fn
+        return self._admit_cache[key]
+
+    def decode(self):
+        if self._decode is None:
+            policy, model = self.policy, self.model
+
+            # donate only the KV state (see admit's donation note)
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def fn(params, kv, small):
+                st = model.decode_steps_serving(
+                    params, policy.config, {**kv, **small},
+                    n_steps=self.decode_block, n_tokens=self.n_tokens,
+                    token_range=self.token_range,
+                    compute_dtype=policy.compute_dtype,
+                    interpret=self.interpret,
+                )
+                kv_keys = ("k", "v", "k_scale", "v_scale")
+                return (
+                    {k: st[k] for k in kv_keys if k in st},
+                    {k: v for k, v in st.items() if k not in kv_keys},
+                )
+
+            self._decode = fn
+        return self._decode
+
+
+class SplitServingEngine:
+    """Continuous-batching engine with a persistent decode batch.
+
+    Requires a fused-quantized LM (policy.quantize(bits=8|4) — the decode
+    program IS the fused whole-LM kernel) and single-device serving
+    (mesh-sharded policies use the monolithic engine's XLA path).
+
+    Usage mirrors ServingEngine:
+        engine = SplitServingEngine(policy)
+        engine.warmup(sample_image, instructions)
+        fut = engine.submit(image, "pick up the cup", unnorm_key=...)
+        fut.result()  # {"actions": (chunk, 7), "action_ids": (3*chunk,)}
+    """
+
+    def __init__(
+        self,
+        policy,
+        *,
+        n_slots: int = 16,
+        max_prompt_len: int = 320,
+        prompt_pad_multiple: int = 64,
+        prefill_buckets: Sequence[int] = DEFAULT_PREFILL_BUCKETS,
+        decode_block: int = 4,
+        max_ahead: int = 8,
+        max_queue: Optional[int] = None,
+    ):
+        lm_layers = policy.params["lm"]["layers"]
+        if "qkv" not in lm_layers.get("attn", {}):
+            raise ValueError(
+                "SplitServingEngine requires a fused-quantized LM "
+                "(policy.quantize(bits=8) or a serving checkpoint): the "
+                "persistent decode program is the fused whole-LM kernel"
+            )
+        if getattr(policy, "mesh", None) is not None:
+            raise ValueError(
+                "SplitServingEngine is single-device (the fused decode "
+                "kernel does not partition); use ServingEngine for "
+                "mesh-sharded serving"
+            )
+        if not 1 <= n_slots <= 16:
+            raise ValueError("n_slots must be in [1, 16] (the fused kernel "
+                             "unrolls its attention loop per batch row)")
+        if max_prompt_len % prompt_pad_multiple:
+            raise ValueError("max_prompt_len must be a multiple of "
+                             "prompt_pad_multiple")
+        self.policy = policy
+        self.n_slots = n_slots
+        self.max_prompt_len = max_prompt_len
+        self.prompt_pad_multiple = prompt_pad_multiple
+        self.prefill_buckets = tuple(sorted(prefill_buckets))
+        if self.prefill_buckets[-1] > n_slots:
+            self.prefill_buckets = tuple(
+                b for b in self.prefill_buckets if b <= n_slots
+            ) or (n_slots,)
+        self.decode_block = decode_block
+        self.max_ahead = max_ahead
+        self.max_queue = max_queue
+        self.n_tokens = 3 * policy.processor.action_chunk_size
+        self.cache_len = max_prompt_len + self.n_tokens
+        sw = policy.config.text.sliding_window
+        if self.cache_len > sw:
+            raise ValueError(
+                f"cache_len {self.cache_len} exceeds the sliding window "
+                f"({sw}); the fused decode step treats window and global "
+                "layers identically only below it — lower max_prompt_len"
+            )
+        self._programs = _Programs(
+            policy, n_slots=n_slots, cache_len=self.cache_len,
+            n_tokens=self.n_tokens, decode_block=decode_block,
+        )
+        self._kv, self._small = self._programs.init_state()
+
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._pending: List[_Request] = []  # shape-incompatible holdovers
+        self._free: List[int] = list(range(n_slots))
+        self._slot_req: Dict[int, _Request] = {}
+        self._slot_steps: Dict[int, int] = {}
+        self._ahead = collections.deque()  # per-dispatch tiny sync handles
+        self._stop = threading.Event()
+        self._dead: Optional[BaseException] = None
+        self._lock = threading.Lock()
+        self._stats = {
+            "requests": 0,
+            "prefill_batches": 0,
+            "prefill_rows": 0,
+            "prefill_filler_rows": 0,
+            "decode_dispatches": 0,
+            "active_slot_dispatches": 0,  # sum of active slots per dispatch
+            "shed": 0,
+            "expired": 0,
+            "latency_ms": [],
+        }
+        self._completion: "queue.Queue" = queue.Queue()
+        self._completer = threading.Thread(
+            target=self._completion_loop, name="spatialvla-split-sync",
+            daemon=True,
+        )
+        self._completer.start()
+        self._worker = threading.Thread(
+            target=self._dispatch_loop, name="spatialvla-split", daemon=True
+        )
+        self._worker.start()
+
+    # -- client side -----------------------------------------------------
+    def submit(
+        self,
+        image,
+        instruction: str,
+        *,
+        unnorm_key: Optional[str] = None,
+        deadline_ms: Optional[float] = None,
+    ):
+        if self._stop.is_set():
+            raise RuntimeError("engine is shut down")
+        if self._dead is not None:
+            raise RuntimeError(f"engine failed: {self._dead!r}")
+        if self.max_queue is not None and (
+            self._queue.qsize() + len(self._pending) >= self.max_queue
+        ):
+            with self._lock:
+                self._stats["shed"] += 1
+            raise EngineOverloaded(
+                f"admission queue at max_queue={self.max_queue}; shed load"
+            )
+        stats = self.policy.processor.statistics
+        if unnorm_key is not None and stats and unnorm_key not in stats:
+            raise KeyError(
+                f"unknown unnorm_key {unnorm_key!r}; available: {sorted(stats)}"
+            )
+        inputs = self.policy.processor(image, instruction, unnorm_key=unnorm_key)
+        ids = np.asarray(inputs["input_ids"])
+        if _round_up(ids.shape[1], self.prompt_pad_multiple) > self.max_prompt_len:
+            raise ValueError(
+                f"prompt of {ids.shape[1]} tokens pads past max_prompt_len="
+                f"{self.max_prompt_len}; raise it (engine construction) for "
+                "longer instructions / multi-image observations"
+            )
+        req = _Request(
+            ids=ids,
+            pixel_values=np.asarray(inputs["pixel_values"]),
+            intrinsic=np.asarray(inputs["intrinsic"]),
+            unnorm_key=unnorm_key,
+            deadline_ms=deadline_ms,
+        )
+        self._queue.put(req)
+        if self._stop.is_set():
+            _safe_resolve(
+                req.future, exception=RuntimeError("engine is shut down")
+            )
+        return req.future
+
+    def predict(self, image, instruction, *, unnorm_key=None, deadline_ms=None):
+        return self.submit(
+            image, instruction, unnorm_key=unnorm_key, deadline_ms=deadline_ms
+        ).result()
+
+    def stats(self) -> Dict:
+        with self._lock:
+            lat = sorted(self._stats["latency_ms"])
+            dd = self._stats["decode_dispatches"]
+            pb = self._stats["prefill_batches"]
+            pr = self._stats["prefill_rows"] + self._stats["prefill_filler_rows"]
+            return {
+                "requests": self._stats["requests"],
+                "prefill_batches": pb,
+                "mean_prefill_rows": (
+                    self._stats["prefill_rows"] / pb if pb else 0.0
+                ),
+                "prefill_pad_fraction": (
+                    self._stats["prefill_filler_rows"] / pr if pr else 0.0
+                ),
+                "decode_dispatches": dd,
+                "mean_slot_occupancy": (
+                    self._stats["active_slot_dispatches"] / dd if dd else 0.0
+                ),
+                "shed": self._stats["shed"],
+                "expired": self._stats["expired"],
+                "latency_ms_p50": lat[len(lat) // 2] if lat else None,
+                "latency_ms_p95": lat[min(len(lat) - 1, int(0.95 * len(lat)))]
+                if lat
+                else None,
+            }
+
+    def warmup(self, sample_image, instructions: Sequence[str]):
+        """Pre-compile every program the serving loop can hit: prefill per
+        (padded-T, Bp) bucket, the decode program, and the full-bucket admit
+        variants (partial-bucket admits are cheap scatter-only compiles paid
+        on first use)."""
+        proc = self.policy.processor
+        reps: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for instr in instructions:
+            inputs = proc(sample_image, instr)
+            ids = np.asarray(inputs["input_ids"])
+            T = _round_up(ids.shape[1], self.prompt_pad_multiple)
+            if T > self.max_prompt_len:  # same guard as submit()
+                raise ValueError(
+                    f"warmup instruction {instr!r} pads to {T} tokens > "
+                    f"max_prompt_len={self.max_prompt_len}; raise it or "
+                    "trim the warmup set"
+                )
+            reps.setdefault(
+                T, (ids, np.asarray(inputs["pixel_values"]),
+                    np.asarray(inputs["intrinsic"])),
+            )
+        pad_id = proc.text_tokenizer.pad_id
+        kv, small = self._programs.init_state()  # throwaway warm state
+        for T, (ids, px, intr) in reps.items():
+            for Bp in self.prefill_buckets:
+                bids = np.full((Bp, T), pad_id, np.int32)
+                attn = np.zeros((Bp, T), np.int32)
+                bids[:, : ids.shape[1]] = ids[0]
+                attn[:, : ids.shape[1]] = 1
+                rows = self._programs.prefill(T, Bp)(
+                    self.policy.params, jnp.asarray(bids), jnp.asarray(np.concatenate([px] * Bp)),
+                    jnp.asarray(np.concatenate([intr] * Bp)), jnp.asarray(attn),
+                )
+                slots = jnp.arange(min(Bp, self.n_slots), dtype=jnp.int32)
+                kv, small = self._programs.admit(Bp, int(slots.shape[0]))(
+                    kv, small, rows, slots
+                )
+        kv, small = self._programs.decode()(self.policy.params, kv, small)
+        np.asarray(small["out"])  # host sync (axon-reliable)
+
+    def shutdown(self, *, wait: bool = True):
+        self._stop.set()
+        self._queue.put(None)
+        if wait:
+            self._worker.join(timeout=120)
+            if self._worker.is_alive():
+                import sys
+
+                print(
+                    "SplitServingEngine.shutdown: dispatch thread still "
+                    "running after 120 s (mid-compile or wedged device)",
+                    file=sys.stderr, flush=True,
+                )
+                return
+            while True:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if req is not None:
+                    _safe_resolve(
+                        req.future,
+                        exception=RuntimeError("engine is shut down"),
+                    )
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
+
+    # -- dispatch side ----------------------------------------------------
+    def _fail_expired(self, r: _Request, now: float):
+        with self._lock:
+            self._stats["expired"] += 1
+        _safe_resolve(
+            r.future,
+            exception=RequestExpired(
+                f"request waited {(now - r.t_submit) * 1e3:.0f} ms > "
+                f"deadline_ms={r.deadline_ms:.0f} before dispatch"
+            ),
+        )
+
+    def _collect_group(self, max_n: int, block: bool) -> List[_Request]:
+        """Drain up to max_n compatible queued requests without waiting
+        (decode work continues between dispatches — under load the queue
+        accumulates during them, so batching needs no artificial delay).
+        With block=True (engine idle), wait for the first arrival."""
+        group: List[_Request] = []
+        while len(group) < max_n:
+            r = None
+            if self._pending:
+                r = self._pending.pop(0)
+            else:
+                try:
+                    r = self._queue.get(
+                        timeout=0.05 if (block and not group) else 0.0
+                    )
+                except queue.Empty:
+                    break
+            if r is None:  # shutdown wakeup
+                break
+            if r.expired(time.monotonic()):
+                self._fail_expired(r, time.monotonic())
+                continue
+            if group and (
+                r.pixel_values.shape[1:] != group[0].pixel_values.shape[1:]
+            ):
+                self._pending.append(r)  # only like-shaped images co-prefill
+                break
+            group.append(r)
+        return group
+
+    def _admit_group(self, group: List[_Request]):
+        n = len(group)
+        Bp = next(b for b in self.prefill_buckets if b >= n)
+        T = _round_up(
+            max(r.ids.shape[1] for r in group), self.prompt_pad_multiple
+        )
+        pad_id = self.policy.processor.text_tokenizer.pad_id
+        ids = np.full((Bp, T), pad_id, np.int32)
+        attn = np.zeros((Bp, T), np.int32)
+        for i, r in enumerate(group):
+            t = r.ids.shape[1]
+            ids[i, :t] = r.ids[0]
+            attn[i, :t] = 1
+        if n < Bp:  # filler rows (sliced off before admission)
+            ids[n:] = ids[0]
+            attn[n:] = attn[0]
+        px = np.concatenate(
+            [r.pixel_values for r in group]
+            + [group[0].pixel_values] * (Bp - n)
+        )
+        intr = np.concatenate(
+            [r.intrinsic for r in group] + [group[0].intrinsic] * (Bp - n)
+        )
+        rows = self._programs.prefill(T, Bp)(
+            self.policy.params, jnp.asarray(ids), jnp.asarray(px),
+            jnp.asarray(intr), jnp.asarray(attn),
+        )
+        slots = [self._free.pop() for _ in range(n)]
+        self._kv, self._small = self._programs.admit(Bp, n)(
+            self._kv, self._small, rows, jnp.asarray(slots, dtype=jnp.int32)
+        )
+        for s, r in zip(slots, group):
+            self._slot_req[s] = r
+            self._slot_steps[s] = 1
+        with self._lock:
+            self._stats["prefill_batches"] += 1
+            self._stats["prefill_rows"] += n
+            self._stats["prefill_filler_rows"] += Bp - n
+
+    def _decode_dispatch(self):
+        self._kv, self._small = self._programs.decode()(
+            self.policy.params, self._kv, self._small
+        )
+        retiring = []
+        for s in list(self._slot_req):
+            self._slot_steps[s] += self.decode_block
+            if self._slot_steps[s] >= self.n_tokens:
+                retiring.append((s, self._slot_req.pop(s)))
+                del self._slot_steps[s]
+                self._free.append(s)
+        with self._lock:
+            self._stats["decode_dispatches"] += 1
+            self._stats["active_slot_dispatches"] += (
+                len(self._slot_req) + len(retiring)
+            )
+        if retiring:
+            # the completer syncs this dispatch's token buffer and resolves
+            # the futures off the dispatch thread
+            self._completion.put((self._small["out"], retiring))
+        # bound run-ahead: sync the oldest dispatch once more than max_ahead
+        # are in flight (cheap when the device has caught up; blocks the
+        # host exactly when it is outrunning the device)
+        self._ahead.append(self._small["steps"])
+        if len(self._ahead) > self.max_ahead:
+            np.asarray(self._ahead.popleft())
+
+    def _dispatch_loop(self):
+        try:
+            while True:
+                idle = not self._slot_req
+                if self._stop.is_set() and idle and not self._pending and self._queue.empty():
+                    break
+                group = self._collect_group(
+                    min(len(self._free), self.prefill_buckets[-1]),
+                    block=idle,
+                )
+                if group:
+                    try:
+                        self._admit_group(group)
+                    except Exception as e:  # noqa: BLE001 — a bad prefill
+                        # (e.g. unwarmed-compile failure) fails its group,
+                        # not the persistent state
+                        for r in group:
+                            _safe_resolve(r.future, exception=e)
+                if self._slot_req:
+                    self._decode_dispatch()
+        except BaseException as e:  # noqa: BLE001 — decode/admit touched the
+            # persistent state: refs may be donated/invalid, so the engine
+            # is dead; fail everything loudly
+            self._dead = e
+            for s, r in list(self._slot_req.items()):
+                _safe_resolve(r.future, exception=e)
+            self._slot_req.clear()
+            for r in self._pending:
+                _safe_resolve(r.future, exception=e)
+            self._pending.clear()
+            while True:
+                try:
+                    r = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if r is not None:
+                    _safe_resolve(r.future, exception=e)
+        finally:
+            self._completion.put(None)
+            self._completer.join()
+
+    def _completion_loop(self):
+        while True:
+            item = self._completion.get()
+            if item is None:
+                return
+            out_ref, retiring = item
+            try:
+                out = np.asarray(out_ref)  # sync up to that dispatch
+            except Exception as e:  # noqa: BLE001 — device error at sync
+                for _, r in retiring:
+                    _safe_resolve(r.future, exception=e)
+                continue
+            now = time.monotonic()
+            with self._lock:
+                self._stats["requests"] += len(retiring)
+                self._stats["latency_ms"] = self._stats["latency_ms"][-999:] + [
+                    (now - r.t_submit) * 1e3 for _, r in retiring
+                ]
+            for s, r in retiring:
+                if r.future.done():
+                    continue
+                try:
+                    dec = self.policy.processor.decode_actions(
+                        out[s : s + 1], unnorm_key=r.unnorm_key
+                    )
+                    _safe_resolve(
+                        r.future,
+                        result={
+                            "actions": dec["actions"][0],
+                            "action_ids": dec["action_ids"][0],
+                        },
+                    )
+                except Exception as e:  # noqa: BLE001
+                    _safe_resolve(r.future, exception=e)

@@ -38,6 +38,27 @@ def test_bench_serve_tiny_end_to_end(capsys):
     assert json.loads(out) == result
 
 
+def test_bench_serve_tiny_split_end_to_end(capsys):
+    """--split drives the split-phase engine (persistent decode slots):
+    the run completes with the split-specific occupancy columns and the
+    per-request math intact."""
+    bench = _load()
+    result = bench.main([
+        "--tiny", "--split", "--bits", "8", "--clients", "3",
+        "--requests", "2", "--max_batch", "3", "--pad_multiple", "64",
+        "--max_prompt_len", "128", "--decode_block", "2",
+    ])
+    assert result["requests"] == 6
+    assert result["throughput_rps"] > 0
+    assert result["decode_dispatches"] > 0
+    assert 0.0 < result["mean_slot_occupancy"] <= 3.0
+    assert result["mean_prefill_rows"] >= 1.0
+    import json
+
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(out) == result
+
+
 def test_bench_serve_overload_mode_counts_drops(capsys):
     bench = _load()
     # a sub-microsecond dispatch deadline expires every request

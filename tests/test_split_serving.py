@@ -1,0 +1,299 @@
+"""Split-phase continuous-batching engine (serve/split_engine.py): token
+parity against the monolithic predict path, staggered slot admission,
+per-request unnorm keys, and construction guards — on the real tiny policy
+(reference-style fabricated checkpoint), with the fused decode kernel in
+interpret mode (CPU).
+
+Parity matters because the split engine rebuilds serving from different
+programs: a standalone prefill (prefill_for_serving) emitting cache rows
+sized to the persistent state, device-side slot admission, and a
+decode-steps program over ALL slots with per-row cache positions. The
+monolithic path is itself pinned token-identical to the HF reference
+decode (tests/test_vla_golden_reference.py), so equality here chains the
+split engine to the reference contract."""
+import dataclasses
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from tests.test_hf_checkpoint import _build_reference_style_checkpoint
+
+UNNORM = "bridge_orig/1.0.0"
+
+INSTRUCTIONS = [
+    "go",
+    "pick up the green cup",
+    "push the bowl to the left side",
+    "close the drawer",
+    "stack the red block on the blue block",
+]
+
+
+@pytest.fixture(scope="module")
+def qpolicy(tmp_path_factory):
+    from spatialvla_tpu.inference import SpatialVLAPolicy
+
+    d = tmp_path_factory.mktemp("split_ckpt")
+    _build_reference_style_checkpoint(d)
+    policy = SpatialVLAPolicy.from_hf_checkpoint(str(d), param_dtype=None)
+    # widen the window so the serving cache fits it (the fused kernel treats
+    # window and global layers identically below the window, as at 4b scale)
+    policy.config = dataclasses.replace(
+        policy.config,
+        text=dataclasses.replace(policy.config.text, sliding_window=512),
+    )
+    return policy.quantize(8, vision_bits=None)
+
+
+def _images(policy, n, seed=3):
+    rng = np.random.RandomState(seed)
+    s = policy.config.vision.image_size
+    return [(rng.rand(s, s, 3) * 255).astype(np.uint8) for _ in range(n)]
+
+
+def _engine(policy, **kw):
+    from spatialvla_tpu.serve import SplitServingEngine
+
+    kw.setdefault("n_slots", 3)
+    # pad multiple 64 puts every pool prompt (<= 55 tokens) in ONE padded-T
+    # bucket, so the expected side below sees the exact program shapes the
+    # engine dispatches
+    kw.setdefault("max_prompt_len", 64)
+    kw.setdefault("prompt_pad_multiple", 64)
+    kw.setdefault("prefill_buckets", (1, 2))
+    kw.setdefault("decode_block", 2)
+    return SplitServingEngine(policy, **kw)
+
+
+def _expected_fused(policy, img, instr, T_pad=64, unnorm_key=UNNORM):
+    """Monolithic padded predict through the SAME decode kernel the split
+    engine uses (fused, interpret on CPU). The XLA decode path is NOT
+    bit-equal to the fused kernel in general (different reduction orders;
+    on this near-flat random tiny model that flips argmax after a few
+    tokens), so the parity contract is split-engine == monolithic-fused —
+    and monolithic-fused == XLA is pinned separately at matched shapes by
+    tests/test_spatialvla.py::test_padded_fused_decode_matches_xla_path."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from spatialvla_tpu.models import spatialvla
+    from spatialvla_tpu.ops import decode_step as ds
+
+    inputs = policy.processor(img, instr, unnorm_key=unnorm_key)
+    ids = np.asarray(inputs["input_ids"])
+    pad_id = policy.processor.text_tokenizer.pad_id
+    pids = np.full((1, T_pad), pad_id, np.int32)
+    attn = np.zeros((1, T_pad), np.int32)
+    pids[0, : ids.shape[1]] = ids[0]
+    attn[0, : ids.shape[1]] = 1
+    orig = ds.fused_decode_step
+    ds.fused_decode_step = functools.partial(orig, interpret=True)
+    try:
+        gen = spatialvla.generate_greedy(
+            policy.params, policy.config, jnp.asarray(pids),
+            pixel_values=jnp.asarray(inputs["pixel_values"]),
+            intrinsic=jnp.asarray(inputs["intrinsic"]),
+            attention_mask=jnp.asarray(attn),
+            max_new_tokens=3 * policy.processor.action_chunk_size,
+            token_range=(
+                policy.config.action_token_begin_idx,
+                policy.config.spatial_token_num,
+            ),
+            use_fused_decode=True,
+        )
+    finally:
+        ds.fused_decode_step = orig
+    out = policy.processor.decode_actions(np.asarray(gen), unnorm_key=unnorm_key)
+    return {"actions": out["actions"][0], "action_ids": out["action_ids"][0]}
+
+
+def test_split_programs_match_monolithic_fused(qpolicy):
+    """At matched program shapes (one slot, one-row prefill, the same
+    padded T and cache length), the split engine's prefill + persistent-
+    state decode reproduce the monolithic padded fused-decode path.
+
+    Semantics are identical; what CAN differ on CPU is XLA fusion of the
+    inter-kernel glue (embed gather / logits dequant) inside the monolithic
+    scan body vs the standalone decode program — deterministic rounding
+    that flips near-tie argmax on this random near-flat model, after which
+    greedy conditioning diverges arbitrarily (the quant-gate flatness
+    caveat, NOTES_ROUND3). So the sound CPU assertions are: the FIRST
+    token exact for every request (prefill + head numerics, which have no
+    conditioning), and full sequences exact whenever no flip occurs (the
+    majority — asserted as at least one full 12/12 match). EXACT
+    split-vs-monolithic sequence parity at serving shapes is asserted on
+    the REAL chip by scripts/bench_serve.py --parity_check every bench
+    run, and exact scheduling-invariance is pinned below."""
+    images = _images(qpolicy, 3)
+    full_matches = 0
+    with _engine(
+        qpolicy, n_slots=1, prefill_buckets=(1,), decode_block=1
+    ) as engine:
+        for img, instr in zip(images, INSTRUCTIONS[:3]):
+            res = engine.predict(img, instr, unnorm_key=UNNORM)
+            exp = _expected_fused(qpolicy, img, instr)
+            assert res["action_ids"][0] == exp["action_ids"][0]
+            full_matches += int(
+                (res["action_ids"] == exp["action_ids"]).all()
+            )
+    assert full_matches >= 1
+
+
+def test_split_engine_scheduling_invariance(qpolicy):
+    """Per-request tokens are invariant to scheduling: 5 requests submitted
+    concurrently (co-decoding through shared dispatches, slots reused as
+    rows retire) equal the same 5 requests submitted one-at-a-time through
+    the same engine configuration. Every program shape is pinned equal
+    across the two runs (prefill always at bucket 2, decode always over all
+    3 slots), so any difference would be admission/retirement bookkeeping
+    corrupting a row — the failure mode continuous batching must exclude."""
+    images = _images(qpolicy, len(INSTRUCTIONS))
+
+    def run(serial):
+        with _engine(qpolicy, prefill_buckets=(2,)) as engine:
+            if serial:
+                out = [
+                    engine.predict(img, instr, unnorm_key=UNNORM)
+                    for img, instr in zip(images, INSTRUCTIONS)
+                ]
+                stats = engine.stats()
+            else:
+                futs = [
+                    engine.submit(img, instr, unnorm_key=UNNORM)
+                    for img, instr in zip(images, INSTRUCTIONS)
+                ]
+                out = [f.result(timeout=600) for f in futs]
+                stats = engine.stats()
+        return out, stats
+
+    serial, _ = run(serial=True)
+    concurrent, stats = run(serial=False)
+    for a, b in zip(serial, concurrent):
+        np.testing.assert_array_equal(a["action_ids"], b["action_ids"])
+        np.testing.assert_allclose(a["actions"], b["actions"])
+    assert stats["requests"] == len(INSTRUCTIONS)
+    # 5 requests through 3 slots: some decode dispatch must have co-decoded
+    # more than one active slot, or batching never happened
+    assert stats["mean_slot_occupancy"] > 1.0
+
+
+def test_split_engine_staggered_admission(qpolicy):
+    """A second wave submitted while the first is mid-decode joins free
+    slots of the RUNNING batch; results still match the serial baseline."""
+    images = _images(qpolicy, 4, seed=11)
+    instrs = INSTRUCTIONS[:4]
+    with _engine(qpolicy, n_slots=2, prefill_buckets=(2,)) as baseline:
+        expected = [
+            baseline.predict(img, instr, unnorm_key=UNNORM)
+            for img, instr in zip(images, instrs)
+        ]
+    with _engine(qpolicy, n_slots=2, prefill_buckets=(2,)) as engine:
+        futs = [
+            engine.submit(images[i], instrs[i], unnorm_key=UNNORM)
+            for i in range(2)
+        ]
+        time.sleep(0.3)  # first wave is decoding (interpret mode is slow)
+        futs += [
+            engine.submit(images[i], instrs[i], unnorm_key=UNNORM)
+            for i in range(2, 4)
+        ]
+        results = [f.result(timeout=600) for f in futs]
+    for res, exp in zip(results, expected):
+        np.testing.assert_array_equal(res["action_ids"], exp["action_ids"])
+
+
+def test_split_engine_per_request_unnorm_keys(qpolicy):
+    """Co-batched requests decode with their own statistics."""
+    stats = qpolicy.processor.statistics
+    key2 = "fractal_like/1.0.0"
+    if key2 not in stats:
+        base = stats[UNNORM]["action"]
+        stats[key2] = {
+            "action": {
+                "q01": (np.asarray(base["q01"]) * 2).tolist(),
+                "q99": (np.asarray(base["q99"]) * 2).tolist(),
+                "mask": base["mask"],
+            }
+        }
+    img = _images(qpolicy, 1, seed=5)[0]
+    with _engine(qpolicy) as engine:
+        fa = engine.submit(img, "go", unnorm_key=UNNORM)
+        fb = engine.submit(img, "go", unnorm_key=key2)
+        ra, rb = fa.result(timeout=600), fb.result(timeout=600)
+    # identical observation -> identical tokens; key2's doubled q01/q99
+    # must double the unnormalized actions exactly on the masked dims
+    np.testing.assert_array_equal(ra["action_ids"], rb["action_ids"])
+    mask = np.asarray(qpolicy.processor.statistics[UNNORM]["action"]["mask"], bool)
+    np.testing.assert_allclose(
+        rb["actions"][:, mask], 2.0 * ra["actions"][:, mask], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        rb["actions"][:, ~mask], ra["actions"][:, ~mask], rtol=0
+    )
+
+
+def test_split_engine_warmup_compiles_programs(qpolicy):
+    """warmup() pre-compiles prefill/admit/decode; subsequent submits reuse
+    the cached programs (no assertion on compile counts — this pins the
+    warmup path executes end-to-end and serving still works after it)."""
+    images = _images(qpolicy, 1, seed=7)
+    with _engine(qpolicy) as baseline:
+        exp = baseline.predict(images[0], "go", unnorm_key=UNNORM)
+    with _engine(qpolicy) as engine:
+        engine.warmup(images[0], ["go", "pick up the green cup"])
+        res = engine.predict(images[0], "go", unnorm_key=UNNORM)
+    np.testing.assert_array_equal(res["action_ids"], exp["action_ids"])
+
+
+def test_split_engine_rejects_bf16_policy(tmp_path):
+    from spatialvla_tpu.inference import SpatialVLAPolicy
+    from spatialvla_tpu.serve import SplitServingEngine
+
+    _build_reference_style_checkpoint(tmp_path)
+    policy = SpatialVLAPolicy.from_hf_checkpoint(str(tmp_path), param_dtype=None)
+    with pytest.raises(ValueError, match="fused-quantized"):
+        SplitServingEngine(policy)
+
+
+def test_split_engine_rejects_overlong_prompt(qpolicy):
+    """A prompt padding past max_prompt_len fails ITS submit with guidance
+    instead of corrupting the persistent cache."""
+    img = _images(qpolicy, 1, seed=9)[0]
+    with _engine(qpolicy) as engine:  # max_prompt_len=64
+        with pytest.raises(ValueError, match="max_prompt_len"):
+            # 69 prompt tokens pad to 128 > 64
+            engine.submit(img, "an instruction long enough to pad past the "
+                               "tiny cap", unnorm_key=UNNORM)
+
+
+def test_split_engine_overload_and_deadline(qpolicy):
+    """Admission bound sheds (EngineOverloaded); an expired deadline fails
+    the request before dispatch (RequestExpired)."""
+    from spatialvla_tpu.serve import EngineOverloaded, RequestExpired
+
+    img = _images(qpolicy, 1, seed=13)[0]
+    with _engine(qpolicy, max_queue=1) as engine:
+        # saturate: the dispatch thread is busy compiling/decoding the
+        # first request, so immediate extra submits pile into the queue
+        futs = [engine.submit(img, "go", unnorm_key=UNNORM)]
+        shed = 0
+        try:
+            for _ in range(50):
+                futs.append(
+                    engine.submit(img, "go", unnorm_key=UNNORM,
+                                  deadline_ms=0.001)
+                )
+        except EngineOverloaded:
+            shed = 1
+        outcomes = []
+        for f in futs:
+            try:
+                f.result(timeout=600)
+                outcomes.append("ok")
+            except RequestExpired:
+                outcomes.append("expired")
+        assert outcomes[0] == "ok"
+        assert shed or "expired" in outcomes
