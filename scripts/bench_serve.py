@@ -364,6 +364,7 @@ def main(argv=None):
         result["mean_slot_occupancy"] = round(stats["mean_slot_occupancy"], 2)
         result["decode_dispatches"] = stats["decode_dispatches"]
         result["mean_prefill_rows"] = round(stats["mean_prefill_rows"], 2)
+        result["dispatch_thread_s"] = stats["dispatch_thread_s"]
     else:
         result["mean_batch_occupancy"] = round(stats["mean_batch_occupancy"], 2)
         result["pad_fraction"] = round(stats["pad_fraction"], 3)

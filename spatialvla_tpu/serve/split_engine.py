@@ -112,9 +112,16 @@ class _Programs:
             self._prefill_cache[key] = fn
         return self._prefill_cache[key]
 
-    def admit(self, bucket: int, n_real: int):
-        key = (bucket, n_real)
-        if key not in self._admit_cache:
+    def admit(self, bucket: int):
+        # ONE program per prefill bucket: a partial group (n < bucket) pads
+        # its slot vector with duplicates of slot[0] — the filler rows are
+        # exact copies of request 0's row (assembled that way by
+        # _admit_group), so the duplicate scatter writes identical values
+        # and any write order yields the same state. Keying on (bucket,
+        # n_real) instead compiled a fresh scatter program per occupancy
+        # level, which landed multi-second XLA compiles inside the measured
+        # serving window.
+        if bucket not in self._admit_cache:
             model = self.model
             kv_keys = ("k", "v", "k_scale", "v_scale")
 
@@ -125,20 +132,14 @@ class _Programs:
             # from earlier dispatches alive for the completion thread.
             @functools.partial(jax.jit, donate_argnums=(0, 2))
             def fn(kv, small, rows, slots):
-                # slice the real rows out of the (possibly filler-padded)
-                # prefill bucket, then scatter into the free slots
-                real = {
-                    k: (v[:, :n_real] if k in kv_keys else v[:n_real])
-                    for k, v in rows.items()
-                }
-                st = model.admit_rows_serving({**kv, **small}, real, slots)
+                st = model.admit_rows_serving({**kv, **small}, rows, slots)
                 return (
                     {k: st[k] for k in kv_keys if k in st},
                     {k: v for k, v in st.items() if k not in kv_keys},
                 )
 
-            self._admit_cache[key] = fn
-        return self._admit_cache[key]
+            self._admit_cache[bucket] = fn
+        return self._admit_cache[bucket]
 
     def decode(self):
         if self._decode is None:
@@ -255,6 +256,15 @@ class SplitServingEngine:
             "shed": 0,
             "expired": 0,
             "latency_ms": [],
+            # host-side wall seconds the dispatch thread spends blocked in
+            # each phase (dispatch is async, so these are host costs: arg
+            # transfer + program enqueue; t_ahead is the run-ahead bound
+            # actually waiting on the device)
+            "t_collect": 0.0,
+            "t_prefill": 0.0,
+            "t_admit": 0.0,
+            "t_decode": 0.0,
+            "t_ahead": 0.0,
         }
         self._completion: "queue.Queue" = queue.Queue()
         self._completer = threading.Thread(
@@ -345,6 +355,11 @@ class SplitServingEngine:
                 "latency_ms_p95": lat[min(len(lat) - 1, int(0.95 * len(lat)))]
                 if lat
                 else None,
+                "dispatch_thread_s": {
+                    k[2:]: round(self._stats[k], 3)
+                    for k in ("t_collect", "t_prefill", "t_admit",
+                              "t_decode", "t_ahead")
+                },
             }
 
     def warmup(self, sample_image, instructions: Sequence[str]):
@@ -380,10 +395,8 @@ class SplitServingEngine:
                     self.policy.params, jnp.asarray(bids), jnp.asarray(np.concatenate([px] * Bp)),
                     jnp.asarray(np.concatenate([intr] * Bp)), jnp.asarray(attn),
                 )
-                slots = jnp.arange(min(Bp, self.n_slots), dtype=jnp.int32)
-                kv, small = self._programs.admit(Bp, int(slots.shape[0]))(
-                    kv, small, rows, slots
-                )
+                slots = jnp.arange(Bp, dtype=jnp.int32)  # buckets <= n_slots
+                kv, small = self._programs.admit(Bp)(kv, small, rows, slots)
         kv, small = self._programs.decode()(self.policy.params, kv, small)
         np.asarray(small["out"])  # host sync (axon-reliable)
 
@@ -473,7 +486,7 @@ class SplitServingEngine:
             t = r.ids.shape[1]
             ids[i, :t] = r.ids[0]
             attn[i, :t] = 1
-        if n < Bp:  # filler rows (sliced off before admission)
+        if n < Bp:  # filler rows: exact copies of request 0 (see below)
             ids[n:] = ids[0]
             attn[n:] = attn[0]
         px = np.concatenate(
@@ -483,14 +496,22 @@ class SplitServingEngine:
         intr = np.concatenate(
             [r.intrinsic for r in group] + [group[0].intrinsic] * (Bp - n)
         )
+        t0 = time.monotonic()
         rows = self._programs.prefill(T, Bp)(
             self.policy.params, jnp.asarray(ids), jnp.asarray(px),
             jnp.asarray(intr), jnp.asarray(attn),
         )
+        t1 = time.monotonic()
         slots = [self._free.pop() for _ in range(n)]
-        self._kv, self._small = self._programs.admit(Bp, n)(
-            self._kv, self._small, rows, jnp.asarray(slots, dtype=jnp.int32)
+        # filler slot entries duplicate slot[0]: the filler prefill rows are
+        # bitwise copies of request 0's row, so the duplicate scatter writes
+        # identical values (order-independent) and the admit program stays
+        # ONE compile per bucket
+        slot_vec = np.asarray(slots + [slots[0]] * (Bp - n), np.int32)
+        self._kv, self._small = self._programs.admit(Bp)(
+            self._kv, self._small, rows, jnp.asarray(slot_vec)
         )
+        t2 = time.monotonic()
         for s, r in zip(slots, group):
             self._slot_req[s] = r
             self._slot_steps[s] = 1
@@ -498,11 +519,15 @@ class SplitServingEngine:
             self._stats["prefill_batches"] += 1
             self._stats["prefill_rows"] += n
             self._stats["prefill_filler_rows"] += Bp - n
+            self._stats["t_prefill"] += t1 - t0
+            self._stats["t_admit"] += t2 - t1
 
     def _decode_dispatch(self):
+        t0 = time.monotonic()
         self._kv, self._small = self._programs.decode()(
             self.policy.params, self._kv, self._small
         )
+        t_decode = time.monotonic() - t0
         retiring = []
         for s in list(self._slot_req):
             self._slot_steps[s] += self.decode_block
@@ -515,6 +540,7 @@ class SplitServingEngine:
             self._stats["active_slot_dispatches"] += (
                 len(self._slot_req) + len(retiring)
             )
+            self._stats["t_decode"] += t_decode
         if retiring:
             # the completer syncs this dispatch's token buffer and resolves
             # the futures off the dispatch thread
@@ -524,7 +550,10 @@ class SplitServingEngine:
         # host exactly when it is outrunning the device)
         self._ahead.append(self._small["steps"])
         if len(self._ahead) > self.max_ahead:
+            t0 = time.monotonic()
             np.asarray(self._ahead.popleft())
+            with self._lock:
+                self._stats["t_ahead"] += time.monotonic() - t0
 
     def _dispatch_loop(self):
         try:
@@ -532,10 +561,13 @@ class SplitServingEngine:
                 idle = not self._slot_req
                 if self._stop.is_set() and idle and not self._pending and self._queue.empty():
                     break
+                t0 = time.monotonic()
                 group = self._collect_group(
                     min(len(self._free), self.prefill_buckets[-1]),
                     block=idle,
                 )
+                with self._lock:
+                    self._stats["t_collect"] += time.monotonic() - t0
                 if group:
                     try:
                         self._admit_group(group)
