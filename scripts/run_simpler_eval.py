@@ -24,12 +24,11 @@ def main(argv=None):
     ap.add_argument("--hf", action="store_true",
                     help="checkpoint_dir is a reference-format HF directory")
     ap.add_argument("--suites", nargs="+", default=["google_vm", "widowx"],
-                    help="google_va ships with an EMPTY registry: the "
-                         "reference's Variant Aggregation protocol needs "
-                         "the SimplerEnv fork's per-task variant env "
-                         "constructions (see eval/driver.py) — supply your "
-                         "own EvalTask list rather than re-running the "
-                         "visual-matching envs under a VA label")
+                    help="any of google_vm, google_va, widowx. google_va "
+                         "runs the Variant-Aggregation matrix (background/"
+                         "lighting/camera/table-texture/distractor rows "
+                         "reconstructed from the SimplerEnv fork's variant "
+                         "scripts — eval/driver.py GOOGLE_ROBOT_VA_TASKS)")
     ap.add_argument("--episodes", type=int, default=None,
                     help="override episodes per task (default: task setting)")
     ap.add_argument("--parallel_envs", type=int, default=1,
@@ -52,7 +51,7 @@ def main(argv=None):
         return 2
 
     from spatialvla_tpu.eval.driver import (
-        SUITES, evaluate, format_table, save_results,
+        SUITES, evaluate, format_table, make_simpler_env, save_results,
     )
     from spatialvla_tpu.inference import SpatialVLAPolicy
 
@@ -67,7 +66,7 @@ def main(argv=None):
     tasks = [t for s in args.suites for t in SUITES[s]]
     results = evaluate(
         policy, tasks,
-        env_factory=lambda task: simpler_env.make(task.env_id),
+        env_factory=make_simpler_env,
         episodes=args.episodes,
         parallel_envs=args.parallel_envs,
     )

@@ -155,6 +155,72 @@ def test_google_suites_merge_drawer_rows(policy):
     assert "Visual Matching" in table and "#Average" in table
 
 
+def test_variant_aggregation_registry_structure():
+    """GOOGLE_ROBOT_VA_TASKS carries the reconstructed variant matrix
+    (reference README.md:351-371 Variant Aggregation): non-empty, exactly
+    the three reported task columns, every row a variant construction
+    (env_kwargs with a scene), and per-task variant axes present
+    (backgrounds, lighting, camera poses, table textures)."""
+    tasks = SUITES["google_va"]
+    assert tasks, "VA registry must not be empty"
+    labels = {t.label for t in tasks}
+    assert labels == {"Pick Coke Can", "Move Near", "Open/Close Drawer"}
+    assert all(t.suite == "google_va" for t in tasks)
+    assert all(t.env_kwargs and "scene_name" in t.env_kwargs for t in tasks)
+    coke = [t for t in tasks if t.label == "Pick Coke Can"]
+    # 3 can orientations per variant; lighting/background/camera/texture
+    # axes all present
+    assert sum(t.env_kwargs.get("lr_switch") is True for t in coke) >= 1
+    assert any("alt_background" in t.env_kwargs["scene_name"] for t in coke)
+    assert any(t.env_kwargs.get("slightly_darker_lighting") for t in coke)
+    assert any("AltGoogleCamera" in t.env_id for t in coke)
+    assert any("Baked" in t.env_kwargs["scene_name"] for t in coke)
+    drawer = [t for t in tasks if t.label == "Open/Close Drawer"]
+    assert {t.env_id for t in drawer} == {
+        "OpenDrawerCustomInScene-v0", "CloseDrawerCustomInScene-v0"
+    }
+    assert any(t.env_kwargs.get("light_mode") == "darker" for t in drawer)
+    assert any(
+        t.env_kwargs.get("station_name") == "mk_station3" for t in drawer
+    )
+
+
+def test_variant_aggregation_three_table_output(policy):
+    """--suites google_va is no longer a no-op: variant rows sharing a
+    label merge into one column per task, and the table renders the
+    reference's 'Variant Aggregation' section."""
+    # two variant rows per task keeps the fake-env run fast while still
+    # exercising the per-label merge
+    picked = {}
+    for t in SUITES["google_va"]:
+        picked.setdefault(t.label, []).append(t)
+    tasks = [
+        EvalTask(t.label, t.env_id, t.suite, t.policy_setup,
+                 "bridge_orig/1.0.0", episodes=1, max_steps=2,
+                 env_kwargs=t.env_kwargs)
+        for rows in picked.values()
+        for t in rows[:2]
+    ]
+    seen_kwargs = []
+
+    def factory(task):
+        assert task.env_kwargs  # the variant construction reaches the env
+        seen_kwargs.append(task.env_kwargs)
+        return FakeEnv(task.env_id, 0.0)
+
+    results = evaluate(policy, tasks, env_factory=factory,
+                       image_getter=fake_image_getter)
+    assert len(results["rows"]) == 3  # merged per label
+    assert {r["label"] for r in results["rows"]} == {
+        "Pick Coke Can", "Move Near", "Open/Close Drawer"
+    }
+    assert all(r["episodes"] == 2 for r in results["rows"])
+    assert results["suites"]["google_va"] == pytest.approx(1.0)
+    assert len(seen_kwargs) == 6
+    table = format_table(results)
+    assert "Variant Aggregation" in table
+
+
 def test_cli_reports_missing_sim(tmp_path):
     """run_simpler_eval exits 2 with guidance when simpler_env is absent."""
     import importlib.util
