@@ -5,10 +5,12 @@ int8 weight-only LM + int8 vision-front serving — ops/quant.py).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference serves spatialvla-4b bf16 on one A100 (README.md:93,
-8.5 GB inference). No actions/sec number is published; we use a
-roofline-derived A100 estimate for the same workload (prefill ~266 tokens +
-12 greedy decode steps on the ~4B-param VLM, action chunk 4):
-~57 actions/sec. vs_baseline = ours / 57.
+8.5 GB inference). No actions/sec number is published; the denominator is a
+roofline-derived A100-80GB-SXM estimate of the reference's eager-HF stack on
+the same workload (prefill ~266 tokens + 11 sequential decode steps + HF
+generate overhead, action chunk 4): ~57 actions/sec. Full line-item
+derivation + sensitivity band: BASELINE.md "A100 inference denominator".
+vs_baseline = ours / 57.
 """
 import gc
 import json
@@ -20,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-A100_BASELINE_ACTIONS_PER_SEC = 57.0
+A100_BASELINE_ACTIONS_PER_SEC = 57.0  # derived in BASELINE.md, not published
 ACTION_CHUNK = 4  # actions per generate call (3 tokens each)
 # SPATIALVLA_BENCH_BITS=4 switches the LM to packed-int4 weight streaming
 # (ops/quant.py) — quality-gated, NOT the default headline configuration

@@ -293,6 +293,13 @@ def main(argv=None):
     p.add_argument("--deadline_ms", type=float, default=0,
                    help="per-request dispatch deadline (0 = none); expired "
                         "requests drop and count in the result JSON")
+    p.add_argument("--gate", default=None, metavar="GATE_JSON",
+                   help="quality-gate artifact covering the quality-trade "
+                        "knobs (real checkpoints only; random-init/tiny "
+                        "weights have nothing to gate)")
+    p.add_argument("--ungated", action="store_true",
+                   help="bench quality-trade knobs on a real checkpoint "
+                        "without a covering gate artifact")
     p.add_argument("--repo_root", default=None, help=argparse.SUPPRESS)
     args = p.parse_args(argv)
     if args.split and not args.bits:
@@ -306,6 +313,14 @@ def main(argv=None):
         args.repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     policy = _build_policy(args)
+    if args.ckpt or args.hf:
+        # real weights: the serve-time quality-gate policy applies (the
+        # --tiny / random-init paths measure performance of synthetic
+        # weights, where a quality gate has nothing to measure)
+        from spatialvla_tpu.serve.gating import enforce_gate, load_gate
+
+        gate = load_gate(args.gate) if args.gate else policy.quality_gate
+        print(enforce_gate(policy, gate, ungated=args.ungated), flush=True)
     if args.unnorm_key is None and policy.processor.statistics:
         args.unnorm_key = next(iter(policy.processor.statistics))
 

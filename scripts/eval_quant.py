@@ -34,6 +34,15 @@ def main(argv=None):
                    help="also gate reduced-resolution ZoeDepth (e.g. 256 "
                         "192): everything else stays bf16 so the drift "
                         "isolates the depth-resolution trade")
+    p.add_argument("--kv8", action="store_true",
+                   help="also gate the int8 KV cache (bits=8, kv_bits=8) — "
+                        "rides the fused decode path, so run this on the "
+                        "TPU (the CPU XLA path rejects kv_bits)")
+    p.add_argument("--gate_out", default=None, metavar="PATH",
+                   help="write a machine-readable quality-gate artifact "
+                        "(serve.py/bench_serve.py refuse ungated "
+                        "quality-trade knobs; bake it into a serving "
+                        "checkpoint via quantize_checkpoint.py --gate)")
     args = p.parse_args(argv)
 
     from spatialvla_tpu.inference import SpatialVLAPolicy
@@ -69,10 +78,13 @@ def main(argv=None):
     configs = [(f"int{b}", dict(bits=b)) for b in args.bits]
     if args.mixed:
         configs.append(("int8+mlp4", dict(bits=8, mlp_bits=4)))
+    if args.kv8:
+        configs.append(("int8+kv8", dict(bits=8, kv_bits=8)))
     configs += [
         (f"depth@{r}", dict(bits=None, vision_bits=None, depth_image_size=r))
         for r in args.depth_res
     ]
+    entries = []
     for label, kwargs in configs:
         policy = loader(args.checkpoint_dir).quantize(**kwargs)
         q_ids, q_acts = run(policy)
@@ -89,6 +101,34 @@ def main(argv=None):
                 "observations; gate on closed-loop task success before "
                 "serving with it"
             )
+        from spatialvla_tpu.serve.gating import policy_quality_knobs
+
+        entries.append({
+            "label": label,
+            "knobs": policy_quality_knobs(policy),
+            "token_agreement": agree,
+            "action_l1": l1,
+            "max_abs_delta": worst,
+        })
+
+    if args.gate_out:
+        from spatialvla_tpu.serve.gating import write_gate
+
+        write_gate(args.gate_out, {
+            "checkpoint": args.checkpoint_dir,
+            "observations": {
+                "source": "images" if args.images else "synthetic",
+                "count": len(obs),
+                "files": args.images or [],
+            },
+            "instruction": args.instruction,
+            "entries": entries,
+        })
+        print(f"gate artifact written: {args.gate_out}")
+        if not args.images:
+            print("  (synthetic observations: a smoke-signal gate — "
+                  "re-gate with --images from the target task before "
+                  "production serving)")
 
 
 if __name__ == "__main__":

@@ -39,10 +39,18 @@ def main(argv=None):
                     help="reduced zoe internal resolution (0 = full)")
     ap.add_argument("--group_size", type=int, default=0,
                     help="int4 grouped scales (128 = accuracy mode)")
+    ap.add_argument("--gate", default=None, metavar="GATE_JSON",
+                    help="quality-gate artifact (scripts/eval_quant.py "
+                         "--gate_out) to bake into serving_config.json — "
+                         "rejected unless it covers exactly the knobs baked "
+                         "here; serve.py refuses ungated quality-trade "
+                         "knobs at startup")
     args = ap.parse_args(argv)
 
     from spatialvla_tpu.inference import SpatialVLAPolicy
+    from spatialvla_tpu.serve.gating import load_gate
 
+    gate = load_gate(args.gate) if args.gate else None
     policy = (
         SpatialVLAPolicy.from_hf_checkpoint(args.ckpt)
         if args.hf
@@ -56,7 +64,7 @@ def main(argv=None):
         depth_image_size=args.depth_res or None,
         group_size=args.group_size or None,
     )
-    policy.save_serving(args.out)
+    policy.save_serving(args.out, quality_gate=gate)
     print(f"serving checkpoint written to {args.out} "
           f"(quant={policy.quant_desc}, kv_bits={policy.kv_bits}, "
           f"depth_res={policy.depth_image_size})", flush=True)

@@ -144,6 +144,19 @@ def main(argv=None):
         help="persist XLA executables across restarts "
              "(jax persistent compilation cache)",
     )
+    ap.add_argument(
+        "--gate", default=None, metavar="GATE_JSON",
+        help="quality-gate artifact (scripts/eval_quant.py --gate_out) "
+             "covering this configuration's quality-trade knobs; a "
+             "serving checkpoint baked with quantize_checkpoint.py --gate "
+             "carries one already",
+    )
+    ap.add_argument(
+        "--ungated", action="store_true",
+        help="serve quality-trade knobs (int4/mixed/kv8/depth_res/"
+             "vision quant) WITHOUT a covering gate artifact — the "
+             "default is to refuse (spatialvla_tpu/serve/gating.py)",
+    )
     args = ap.parse_args(argv)
 
     if args.compilation_cache:
@@ -203,6 +216,14 @@ def main(argv=None):
         # over the model axis (aggregate-bandwidth latency scaling),
         # data shards whole batches; see SpatialVLAPolicy.shard
         policy.shard(n_model=args.mesh_model, n_data=args.mesh_data)
+    # quality-gate policy: any knob that trades model quality (int4/mixed/
+    # kv8/depth_res/vision quant) must be covered by a measured gate
+    # artifact — from the serving checkpoint (quantize_checkpoint --gate)
+    # or --gate — else startup refuses unless --ungated
+    from spatialvla_tpu.serve.gating import enforce_gate, load_gate
+
+    gate = load_gate(args.gate) if args.gate else policy.quality_gate
+    print(enforce_gate(policy, gate, ungated=args.ungated), flush=True)
     # ladder includes a bucket >= max_batch: the engine rounds full batches
     # UP to the next bucket, so truncating below max_batch would leave the
     # largest dispatch shape unwarmed (and fail engine construction)

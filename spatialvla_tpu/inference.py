@@ -44,6 +44,7 @@ class SpatialVLAPolicy:
         self.kv_bits: Optional[int] = None  # set by quantize()
         self.mesh = None  # set by shard()
         self.quant_desc: Optional[Dict] = None  # provenance, set by quantize()
+        self.quality_gate: Optional[Dict] = None  # serve.gating artifact
         self._predict_cache: Dict = {}
 
     # ------------------------------------------------------------------
@@ -211,7 +212,7 @@ class SpatialVLAPolicy:
         return self
 
     # ------------------------------------------------------------------
-    def save_serving(self, directory: str):
+    def save_serving(self, directory: str, *, quality_gate: Optional[Dict] = None):
         """Persist the CURRENT parameterization as a serving checkpoint.
 
         Called after quantize(), this writes the int8/int4 packed tree (+
@@ -224,10 +225,26 @@ class SpatialVLAPolicy:
         knobs (kv_bits, depth_image_size, quantize provenance) that live
         on the policy rather than in the tree. The reference has no
         quantized-artifact story (it serves bf16 safetensors,
-        /root/reference/README.md:93); this is serving infrastructure."""
+        /root/reference/README.md:93); this is serving infrastructure.
+
+        quality_gate: a serve.gating artifact (eval_quant --gate_out)
+        measuring THIS parameterization vs bf16 — embedded in
+        serving_config.json so the server can verify its quality-trade
+        knobs are gated without a side-channel file. Rejected if it does
+        not actually cover the baked knobs (a stale or mismatched gate
+        travelling with a checkpoint is worse than none)."""
         import json
 
+        from .serve.gating import check_gate, policy_quality_knobs
         from .train.checkpoints import save_params
+
+        if quality_gate is not None:
+            ok, problems = check_gate(quality_gate, policy_quality_knobs(self))
+            if not ok:
+                raise ValueError(
+                    "quality_gate does not cover this checkpoint's baked "
+                    "knobs: " + "; ".join(problems)
+                )
 
         if self.mesh is not None:
             raise ValueError(
@@ -244,6 +261,9 @@ class SpatialVLAPolicy:
                     "kv_bits": self.kv_bits,
                     "depth_image_size": self.depth_image_size,
                     "quant_desc": self.quant_desc,
+                    "quality_gate": quality_gate
+                    if quality_gate is not None
+                    else self.quality_gate,
                 },
                 f, indent=2,
             )
@@ -281,6 +301,7 @@ class SpatialVLAPolicy:
         policy.kv_bits = scfg.get("kv_bits")
         policy.depth_image_size = scfg.get("depth_image_size")
         policy.quant_desc = scfg.get("quant_desc")
+        policy.quality_gate = scfg.get("quality_gate")
         return policy
 
     # ------------------------------------------------------------------
