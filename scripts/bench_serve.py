@@ -150,6 +150,7 @@ def _make_engine(policy, args):
             decode_block=args.decode_block,
             max_ahead=args.max_ahead,
             max_queue=getattr(args, "max_queue", 0) or None,
+            prefill_min_free=getattr(args, "prefill_min_free", 0),
         )
     from spatialvla_tpu.serve import ServingEngine
 
@@ -278,6 +279,11 @@ def main(argv=None):
                         "(admission granularity)")
     p.add_argument("--max_ahead", type=int, default=8,
                    help="split engine: bound on in-flight decode dispatches")
+    p.add_argument("--prefill_min_free", type=int, default=0,
+                   help="split engine: under load, defer prefill until this "
+                        "many slots are free (larger arrival groups ride "
+                        "the cheaper per-row prefill buckets; 0 = admit "
+                        "whenever any slot is free)")
     p.add_argument("--parity_check", action="store_true",
                    help="before the measured phase, assert the engine's "
                         "tokens are identical to the monolithic predict "

@@ -127,6 +127,11 @@ def main(argv=None):
                          "slot (multiple of --pad_multiple)")
     ap.add_argument("--decode_block", type=int, default=4,
                     help="split engine: fused decode steps per dispatch")
+    ap.add_argument("--prefill_min_free", type=int, default=0,
+                    help="split engine: under load, defer prefill until "
+                         "this many slots are free so arrival groups ride "
+                         "the cheaper per-row prefill buckets (throughput/"
+                         "latency trade; 0 = admit whenever a slot frees)")
     ap.add_argument("--max_queue", type=int, default=0,
                     help="admission bound: requests beyond this many queued "
                          "get HTTP 503 instead of unbounded wait (0 = "
@@ -250,6 +255,7 @@ def main(argv=None):
             prompt_pad_multiple=args.pad_multiple,
             decode_block=args.decode_block,
             max_queue=args.max_queue or None,
+            prefill_min_free=args.prefill_min_free,
         )
         if not args.no_warmup:
             print("warming split-phase serving programs...", flush=True)

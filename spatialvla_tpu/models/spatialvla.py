@@ -691,17 +691,25 @@ def prefill_for_serving(
     cache_dtype=jnp.bfloat16,
 ) -> Dict[str, Array]:
     """Vision front + prefix attention for an arrival group, emitting
-    serving-layout cache rows sized to the persistent decode state.
+    serving-layout cache rows.
 
-    Returns {"k", "v" (L, Bp, Nkv, S_max, D) [, "k_scale", "v_scale"],
+    Returns {"k", "v" (L, Bp, Nkv, P, D) [, "k_scale", "v_scale"],
     "tok" (Bp,) first generated token, "valid" (Bp,) prefix lengths} —
-    exactly the per-row payload admit_rows_serving scatters into free
-    decode slots. Numerically identical to the monolithic padded prefill
-    (generate_greedy's attention_mask branch) with S = cache_len."""
+    exactly the per-row payload admit_rows_serving scatters into the FIRST
+    P cache slots of free decode rows (slots >= the row's current position
+    are never attended by the decode kernel, so the [P, S_max) remainder of
+    an admitted slot keeps stale bytes harmlessly — emitting P-width rows
+    instead of S_max-width ones drops the dead [P, S_max) share of the
+    prefill attention span, the cache-layout transpose, and the admission
+    scatter). Numerically identical to the monolithic padded prefill
+    (generate_greedy's attention_mask branch): the dropped key columns were
+    fully masked (their softmax terms are exp(-1e30 - mx) == 0.0 in f32).
+    `cache_len` only bounds the prompt: P must fit the persistent state."""
     from ..ops.quant import qmatmul
 
     B, P = input_ids.shape
-    S = cache_len
+    if P > cache_len:
+        raise ValueError(f"prompt P={P} exceeds cache_len={cache_len}")
     image_features = get_image_features(
         params, cfg, pixel_values, intrinsic,
         compute_dtype=compute_dtype, depth_image_size=depth_image_size,
@@ -709,18 +717,12 @@ def prefill_for_serving(
     embeds = merge_input_embeddings(
         params, cfg, input_ids, image_features, dtype=compute_dtype
     )
-    cache = gemma2_mod.init_cache(cfg.text, B, S, dtype=cache_dtype)
+    cache = gemma2_mod.init_cache(cfg.text, B, P, dtype=cache_dtype)
     am = attention_mask.astype(jnp.int32)
     valid = am.sum(axis=-1)  # (Bp,) per-row prefix length
     position_ids = jnp.cumsum(am, axis=-1) * am  # 1-indexed at valid slots
-    key_valid = jnp.concatenate(
-        [am.astype(bool), jnp.zeros((B, S - P), bool)], axis=-1
-    )  # (Bp, S)
-    mask = jnp.broadcast_to(key_valid[:, None, None, :], (B, 1, P, S))
-    k_pos_true = jnp.concatenate(
-        [position_ids, valid[:, None] + jnp.arange(1, S - P + 1)[None]],
-        axis=-1,
-    )  # (Bp, S) true token positions of every cache slot
+    mask = jnp.broadcast_to(am.astype(bool)[:, None, None, :], (B, 1, P, P))
+    k_pos_true = position_ids  # (Bp, P) true token positions per cache slot
     hidden, cache = gemma2_mod.forward(
         params["lm"], cfg.text, embeds, position_ids, mask, cache=cache,
         cache_position=0, window_positions=(position_ids, k_pos_true),
@@ -788,7 +790,7 @@ def init_serving_state(
 
 def admit_rows_serving(
     state: Dict[str, Array],
-    rows: Dict[str, Array],  # prefill_for_serving output (Bp rows)
+    rows: Dict[str, Array],  # prefill_for_serving output (Bp rows, P slots)
     slots: Array,  # (Bp,) int32 DISTINCT free slot indices
 ) -> Dict[str, Array]:
     """Scatter an arrival group's prefilled rows into free decode slots.
@@ -796,13 +798,18 @@ def admit_rows_serving(
     Entirely device-side: the prefill output feeds the persistent state
     without a host round-trip. Each admitted row starts at steps=1 with its
     first token already in the output buffer (the monolithic path's
-    next_token-from-prefill-hidden, _generate_greedy_fused)."""
+    next_token-from-prefill-hidden, _generate_greedy_fused). The prefill
+    rows cover cache slots [0, P) only — slots >= the row's position are
+    never attended (fused_decode_step masks kiota < p), and decode writes
+    each slot before the mask can reach it, so [P, S_max) keeps whatever
+    bytes the previous occupant left."""
+    P = rows["k"].shape[3]
     new = dict(state)
-    new["k"] = state["k"].at[:, slots].set(rows["k"])
-    new["v"] = state["v"].at[:, slots].set(rows["v"])
+    new["k"] = state["k"].at[:, slots, :, :P].set(rows["k"])
+    new["v"] = state["v"].at[:, slots, :, :P].set(rows["v"])
     if "k_scale" in state:
-        new["k_scale"] = state["k_scale"].at[:, slots].set(rows["k_scale"])
-        new["v_scale"] = state["v_scale"].at[:, slots].set(rows["v_scale"])
+        new["k_scale"] = state["k_scale"].at[:, slots, :, :P].set(rows["k_scale"])
+        new["v_scale"] = state["v_scale"].at[:, slots, :, :P].set(rows["v_scale"])
     new["tok"] = state["tok"].at[slots].set(rows["tok"])
     new["pos"] = state["pos"].at[slots].set(rows["valid"])
     new["steps"] = state["steps"].at[slots].set(1)

@@ -64,12 +64,18 @@ def _weight_block_budget(M, Nkv, S, D, kv_quant, H, I, N0, Nq) -> int:
     so the weight budget yields to the cache instead of a fixed constant.
     Floor 512 KB: blocks below that waste the DMA pipeline; above ~60 MB
     total the Mosaic scoped-vmem stack overflows."""
+    G = Nq // Nkv
     kv_bytes = 1 if kv_quant else 2
     cache_total = 2 * 2 * M * Nkv * S * D * kv_bytes  # k+v, double-buffered
     if kv_quant:
         cache_total += 2 * 2 * M * Nkv * S * 4  # per-slot f32 scales
     scratch_bytes = 4 * M * (4 * H + N0 + Nq * D + 3 * I)
-    left = 60 * 1024 * 1024 - cache_total - scratch_bytes - 4 * 1024 * 1024
+    # batched-attention transients: the (M*G, M*S) f32 logits/exp/probs
+    # triple lives across the softmax chain (the K/V operands are loads of
+    # the already-budgeted pipeline cache block)
+    attn_tmp = 3 * 4 * (M * G) * (M * S)
+    left = (60 * 1024 * 1024 - cache_total - scratch_bytes - attn_tmp
+            - 4 * 1024 * 1024)
     if left < 8 * 512 * 1024:
         raise ValueError(
             "fused decode step cannot fit VMEM: the KV-cache blocks alone "
@@ -148,9 +154,10 @@ def _matvec_block(x_bf16, w_ref, s_ref):
 
 
 def _decode_kernel(
-    # scalars (SMEM)
-    p_ref,  # (M,) int32: per-row cache slot / number of valid cached slots
     # inputs (VMEM blocks)
+    pcols_ref,  # (1, M*S) int32: p[m] repeated S times (cache-valid bounds,
+    # laid out along the flattened (m, s) key columns of the batched
+    # attention — see _attention)
     x_ref,  # (M, H) f32 — sqrt(H)-scaled input embedding
     cos_ref, sin_ref,  # (M, D) f32 — per-row RoPE tables
     norm_in_ref, norm_pa_ref, norm_pf_ref, norm_pd_ref,  # (1, H)
@@ -207,75 +214,92 @@ def _decode_kernel(
 
     @pl.when(t == A)
     def _attention():
-        kiota = jax.lax.broadcasted_iota(jnp.int32, (1, S + 1), 1)
-        for m in range(M):
-            # per-row cache occupancy: slots [0, p_m) are valid; column S is
-            # the current token. Rows may sit at different positions (mixed
-            # prompt lengths in one serving batch).
-            p = p_ref[m]
-            mask = (kiota < p) | (kiota == S)
-            cos = cos_ref[m].astype(jnp.bfloat16).astype(jnp.float32)  # (D,)
-            sin = sin_ref[m].astype(jnp.bfloat16).astype(jnp.float32)
-            for h in range(Nkv):
-                # current k/v for this head
-                k_new = qkv_scr[m : m + 1, NqD + h * D : NqD + (h + 1) * D]
-                v_new = qkv_scr[m : m + 1, NqD + NkvD + h * D : NqD + NkvD + (h + 1) * D]
-                k_new = _rope(
-                    k_new.astype(jnp.bfloat16).astype(jnp.float32),
-                    cos[None], sin[None],
+        # Batched across all M rows per kv head: each row attends only its
+        # own cache, so the (M*G, M*S) logits are block-diagonal — the
+        # off-diagonal blocks are computed redundantly by one large MXU dot
+        # and masked to -1e30 (their softmax terms are exactly 0.0 in f32,
+        # and the probability@V dot accumulates exact zeros), instead of
+        # M*Nkv unrolled (G, S) matmuls whose per-iteration latency
+        # dominated the phase (measured ~3.6 ms/step of non-DMA overhead at
+        # M=16, S=332 — decode 7.71 ms/step vs a ~4.1 ms DMA floor).
+        # Column j of the flattened key axis is cache slot (m' = j // S,
+        # s = j % S); pcols_ref carries p[m'] per column, so the mask
+        # (rowm == colm) & (s < p) needs no in-kernel gather.
+        cos = cos_ref[:].astype(jnp.bfloat16).astype(jnp.float32)  # (M, D)
+        sin = sin_ref[:].astype(jnp.bfloat16).astype(jnp.float32)
+        qkv = qkv_scr[:]
+        k_new_all = _rope(
+            qkv[:, NqD : NqD + NkvD].reshape(M, Nkv, D)
+            .astype(jnp.bfloat16).astype(jnp.float32),
+            cos[:, None, :], sin[:, None, :],
+        )  # (M, Nkv, D)
+        v_new_all = qkv[:, NqD + NkvD :].reshape(M, Nkv, D)
+        knew_ref[0] = k_new_all
+        vnew_ref[0] = v_new_all
+        q_all = (
+            _rope(
+                qkv[:, :NqD].reshape(M, Nq, D)
+                .astype(jnp.bfloat16).astype(jnp.float32),
+                cos[:, None, :], sin[:, None, :],
+            )
+            * q_scale
+        )  # (M, Nq, D) f32
+        pcols = pcols_ref[0]  # (M*S,) int32
+        siota = jax.lax.broadcasted_iota(jnp.int32, (1, M * S), 1)
+        colm = siota // S
+        col_valid = (siota % S) < pcols[None, :]
+        rowm = jax.lax.broadcasted_iota(jnp.int32, (M * G, 1), 0) // G
+        for h in range(Nkv):  # static unroll: one batched dot per kv head
+            q16 = (
+                q_all[:, h * G : (h + 1) * G].astype(jnp.bfloat16)
+                .reshape(M * G, D)
+            )
+            K = kc_ref[0, :, h].reshape(M * S, D)  # bf16 / int8
+            V = vc_ref[0, :, h].reshape(M * S, D)
+            if kv_quant:  # int8 codes <= 127 are exact in bf16
+                K = K.astype(jnp.float32).astype(jnp.bfloat16)
+                V = V.astype(jnp.float32).astype(jnp.bfloat16)
+            logits = jax.lax.dot_general(
+                q16, K, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (M*G, M*S)
+            if kv_quant:  # per-slot scales fold into the logits row
+                logits = logits * ks_ref[0, :, h].reshape(1, M * S)
+            k16 = k_new_all[:, h].astype(jnp.bfloat16)  # (M, D)
+            self_logit = jnp.sum(
+                q16.astype(jnp.float32).reshape(M, G, D)
+                * k16.astype(jnp.float32)[:, None, :],
+                axis=-1,
+            ).reshape(M * G, 1)
+            logits = jnp.tanh(logits / attn_cap) * attn_cap
+            self_logit = jnp.tanh(self_logit / attn_cap) * attn_cap
+            logits = jnp.where(
+                (rowm == colm) & col_valid, logits, -1e30
+            )
+            mx = jnp.maximum(
+                jnp.max(logits, axis=-1, keepdims=True), self_logit
+            )
+            e = jnp.exp(logits - mx)
+            e_self = jnp.exp(self_logit - mx)
+            denom = jnp.sum(e, axis=-1, keepdims=True) + e_self
+            probs = e / denom
+            p16 = probs.astype(jnp.bfloat16)
+            if kv_quant:  # per-slot V scales fold into the prob row
+                pv = (probs * vs_ref[0, :, h].reshape(1, M * S)).astype(
+                    jnp.bfloat16
                 )
-                knew_ref[0, m, h] = k_new[0]
-                vnew_ref[0, m, h] = v_new[0]
-                # grouped queries for this kv head: q heads [hG, hG+G)
-                qs = [
-                    _rope(
-                        qkv_scr[m : m + 1, (h * G + g) * D : (h * G + g + 1) * D]
-                        .astype(jnp.bfloat16)
-                        .astype(jnp.float32),
-                        cos[None], sin[None],
-                    )
-                    for g in range(G)
-                ]
-                q = jnp.concatenate(qs, axis=0) * q_scale  # (G, D) f32
-                q16 = q.astype(jnp.bfloat16)
-                K = kc_ref[0, m, h]  # (S, D) bf16 / int8
-                V = vc_ref[0, m, h]
-                if kv_quant:  # int8 codes <= 127 are exact in bf16
-                    K = K.astype(jnp.float32).astype(jnp.bfloat16)
-                    V = V.astype(jnp.float32).astype(jnp.bfloat16)
-                logits = jax.lax.dot_general(
-                    q16, K, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (G, S)
-                if kv_quant:  # per-slot scales fold into the logits row
-                    logits = logits * ks_ref[0, m, h][None, :]
-                # (G, 1) via VPU reduce — an N=1 MXU matmul trips Mosaic
-                self_logit = jnp.sum(
-                    q16.astype(jnp.float32)
-                    * k_new.astype(jnp.bfloat16).astype(jnp.float32),
-                    axis=-1, keepdims=True,
-                )
-                logits = jnp.concatenate([logits, self_logit], axis=1)
-                logits = jnp.tanh(logits / attn_cap) * attn_cap
-                logits = jnp.where(mask, logits, -1e30)
-                mx = jnp.max(logits, axis=-1, keepdims=True)
-                e = jnp.exp(logits - mx)
-                probs = e / jnp.sum(e, axis=-1, keepdims=True)
-                p16 = probs.astype(jnp.bfloat16)
-                if kv_quant:  # per-slot V scales fold into the prob row
-                    pv = (probs[:, :S] * vs_ref[0, m, h][None, :]).astype(
-                        jnp.bfloat16
-                    )
-                else:
-                    pv = p16[:, :S]
-                out = jax.lax.dot_general(
-                    pv, V, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (G, D)
-                out = out + p16[:, S:].astype(jnp.float32) * v_new
-                out16 = out.astype(jnp.bfloat16).astype(jnp.float32)
-                for g in range(G):
-                    attn_scr[m, pl.ds((h * G + g) * D, D)] = out16[g]
+            else:
+                pv = p16
+            out = jax.lax.dot_general(
+                pv, V, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (M*G, D)
+            out = out + (
+                (e_self / denom).astype(jnp.bfloat16).astype(jnp.float32)
+                * v_new_all[:, h].repeat(G, axis=0)
+            )
+            out16 = out.astype(jnp.bfloat16).astype(jnp.float32)
+            attn_scr[:, pl.ds(h * G * D, G * D)] = out16.reshape(M, G * D)
 
     @pl.when((t >= O0) & (t < G0))
     def _o_proj():
@@ -448,7 +472,7 @@ def fused_decode_step(
         kernel,
         grid=(L, T),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # position (M,)
+            const(1, M * S),  # pcols: p[m] per flattened (m, s) key column
             const(M, H),  # x
             const(M, D), const(M, D),  # cos, sin (per row)
             perlayer(H), perlayer(H), perlayer(H), perlayer(H),  # layer norms
@@ -487,7 +511,7 @@ def fused_decode_step(
         ),
         interpret=interpret,
     )(
-        position,
+        jnp.repeat(position, S).reshape(1, M * S),
         f32(x),
         cos, sin,
         f32(norms["input_norm"])[:, None], f32(norms["post_attn_norm"])[:, None],

@@ -158,37 +158,51 @@ def is_lora_factored(w) -> bool:
 
 def grouped_int4_dot(x_bf16, lo, hi, s32, G, g):
     """Grouped-scale int4 dot shared by the standalone quant kernel and the
-    whole-LM fused decode kernel (ops/decode_step.py): one MXU partial dot
-    PER GROUP on the raw biased codes with the scale applied to the
-    (M, bn) f32 partial — O(G*M*bn) scale work instead of dequantizing the
-    whole (bn, K) block on the VPU (that formulation measured 8x slower
-    end-to-end; MEASURE_ROUND3.prev int4 11.76 vs 93.9 actions/sec). The
-    offset-binary +8 bias becomes an (M, G) x (G, bn) matmul of group sums
-    against scales.
+    whole-LM fused decode kernel (ops/decode_step.py): fold the -8 offset
+    and the per-group scale into the codes in ONE elementwise pass over the
+    block (reshape to (bn, G/2, g) + broadcast multiply — the same
+    scale-expand grouped_dequant_t uses on the XLA path; no lane-repeat),
+    then run the SAME single split lo/hi MXU dot as the per-channel format.
+
+    Two earlier formulations both lost: dequantizing via jnp.repeat'd
+    scale maps measured 8x slower end-to-end (MEASURE_ROUND3.prev int4
+    11.76 vs 93.9 actions/sec — the lane-repeat materialization dominated),
+    and one MXU partial dot PER GROUP with the scale applied to the
+    (M, bn) f32 partial measured 1.8x slower than per-channel at G=16
+    (54.0 vs 95.8 actions/sec — G latency-bound small-K dots instead of
+    two K/2 dots). The scaled codes round to bf16, exactly like the XLA
+    fallback's grouped_dequant_t(x.dtype=bf16) weights at serving time.
 
     lo/hi: bf16 nibble halves (column j packs with column j + K/2, so
     groups [0, G/2) live in `lo` and [G/2, G) in `hi`); s32: (bn, G) f32
-    scales; g: elements per group along K."""
+    scales; g: elements per group along K.
+
+    Mosaic gotchas (NOTES_ROUND3/4): minor-dim-splitting reshape is
+    32-bit-only, so the reshape/multiply chain runs in f32 and the scaled
+    codes cast to bf16 at the end — bit-identical to a bf16 multiply (the
+    codes and the bf16-rounded scales are exact in f32, so rounding the
+    f32 product to bf16 equals the bf16*bf16 product rounding). And
+    `s[:, :Gh, None]`-style getitem (slice + newaxis in one subscript)
+    traces to a lax.gather Mosaic rejects — hence the explicit
+    lax.slice_in_dim + expand_dims."""
     dims = (((1,), (1,)), ((), ()))
-    acc = None
-    for j in range(G):  # static unroll: one MXU dot per group
-        codes = (
-            lo[:, j * g : (j + 1) * g]
-            if j < G // 2
-            else hi[:, (j - G // 2) * g : (j - G // 2 + 1) * g]
-        )
-        pj = jax.lax.dot_general(
-            x_bf16[:, j * g : (j + 1) * g], codes, dims,
-            preferred_element_type=jnp.float32,
-        ) * s32[:, j][None, :]
-        acc = pj if acc is None else acc + pj
-    xsum = jnp.sum(
-        x_bf16.astype(jnp.float32).reshape(x_bf16.shape[0], G, g), axis=-1
-    )  # (M, G)
-    bias = 8.0 * jax.lax.dot_general(
-        xsum, s32, dims, preferred_element_type=jnp.float32
+    bn = lo.shape[0]
+    Gh = G // 2
+    Kh = Gh * g
+    s16 = s32.astype(jnp.bfloat16).astype(jnp.float32)
+    s_lo = jnp.expand_dims(jax.lax.slice_in_dim(s16, 0, Gh, axis=1), -1)
+    s_hi = jnp.expand_dims(jax.lax.slice_in_dim(s16, Gh, G, axis=1), -1)
+    lo_s = (
+        (lo.astype(jnp.float32) - 8.0).reshape(bn, Gh, g) * s_lo
+    ).reshape(bn, Kh).astype(jnp.bfloat16)
+    hi_s = (
+        (hi.astype(jnp.float32) - 8.0).reshape(bn, Gh, g) * s_hi
+    ).reshape(bn, Kh).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        x_bf16[:, :Kh], lo_s, dims, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(
+        x_bf16[:, Kh:], hi_s, dims, preferred_element_type=jnp.float32
     )
-    return acc - bias
 
 
 def _q_dot_scaled(x_bf16, w, s):
@@ -262,10 +276,10 @@ def _qkernel_max_m(qt) -> int:
 def _pick_block_n(K: int, N: int, M: int, *, grouped: bool = False) -> int:
     # VMEM per grid step ≈ w block + dequant temporaries + x_bf16 + out;
     # stay well under the 16MB scoped limit. Per-channel: w_int8/packed
-    # (≤ K) + w_bf16 convert (2K) ≈ 3K bytes/row. Grouped (per-group
-    # partial dots on raw codes): packed (K/2) + widened w32 (2K) +
-    # lo/hi bf16 nibbles (2K) ≈ 5K bytes/row.
-    per_row = 5 * K if grouped else 3 * K
+    # (≤ K) + w_bf16 convert (2K) ≈ 3K bytes/row. Grouped (scale-expanded
+    # codes): packed (K/2) + widened w32 (2K) + lo/hi bf16 nibbles (2K) +
+    # f32 scaled transients (4K) + bf16 scaled copies (2K) ≈ 10K bytes/row.
+    per_row = 10 * K if grouped else 3 * K
     budget = 10 * 1024 * 1024 - M * K * 2
     bn = max(128, min(N, budget // max(per_row + 4 * M, 1)))
     return (bn // 128) * 128

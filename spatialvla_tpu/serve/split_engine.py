@@ -190,6 +190,7 @@ class SplitServingEngine:
         decode_block: int = 4,
         max_ahead: int = 8,
         max_queue: Optional[int] = None,
+        prefill_min_free: int = 0,
     ):
         lm_layers = policy.params["lm"]["layers"]
         if "qkv" not in lm_layers.get("attn", {}):
@@ -222,6 +223,13 @@ class SplitServingEngine:
         self.decode_block = decode_block
         self.max_ahead = max_ahead
         self.max_queue = max_queue
+        # batch-forming hysteresis: while decode work is in flight, defer
+        # prefill until at least this many slots are free, so arrival
+        # groups ride the larger prefill buckets (measured per-row prefill:
+        # 25.5 ms at Bp=4 vs 22.3 at Bp=8 — prefill is ~3/4 of per-request
+        # device time, so group size is a first-order throughput lever).
+        # 0 disables; an idle engine always admits immediately regardless.
+        self.prefill_min_free = min(prefill_min_free, n_slots)
         self.n_tokens = 3 * policy.processor.action_chunk_size
         self.cache_len = max_prompt_len + self.n_tokens
         sw = policy.config.text.sliding_window
@@ -561,13 +569,20 @@ class SplitServingEngine:
                 idle = not self._slot_req
                 if self._stop.is_set() and idle and not self._pending and self._queue.empty():
                     break
-                t0 = time.monotonic()
-                group = self._collect_group(
-                    min(len(self._free), self.prefill_buckets[-1]),
-                    block=idle,
-                )
-                with self._lock:
-                    self._stats["t_collect"] += time.monotonic() - t0
+                group: List[_Request] = []
+                if idle or len(self._free) >= self.prefill_min_free:
+                    t0 = time.monotonic()
+                    group = self._collect_group(
+                        min(len(self._free), self.prefill_buckets[-1]),
+                        block=idle,
+                    )
+                    with self._lock:
+                        self._stats["t_collect"] += time.monotonic() - t0
+                # else: decode work is in flight and too few slots are free
+                # for an efficient prefill bucket — let retirements
+                # accumulate (queued requests keep waiting; no deadlock:
+                # active slots always advance below, and an idle engine
+                # admits unconditionally)
                 if group:
                     try:
                         self._admit_group(group)

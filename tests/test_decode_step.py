@@ -22,8 +22,8 @@ CFG = Gemma2Config(
 
 @pytest.fixture(
     scope="module",
-    params=[(8, None), (4, None), (8, 4)],
-    ids=["int8", "int4", "int8+mlp4"],
+    params=[(8, None, None), (4, None, None), (8, 4, None), (4, None, 16)],
+    ids=["int8", "int4", "int8+mlp4", "int4-g16"],
 )
 def qparams(request):
     params = gemma2.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
@@ -36,8 +36,10 @@ def qparams(request):
     params["final_norm"] = 0.1 * jax.random.normal(
         jax.random.PRNGKey(9), params["final_norm"].shape
     )
-    bits, mlp_bits = request.param
-    return quantize_lm_params(params, fuse=True, bits=bits, mlp_bits=mlp_bits)
+    bits, mlp_bits, group_size = request.param
+    return quantize_lm_params(
+        params, fuse=True, bits=bits, mlp_bits=mlp_bits, group_size=group_size
+    )
 
 
 def prefill(qparams, B, P, Smax, seed=0):

@@ -150,6 +150,44 @@ def test_int4_matmul_kernel_parity():
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
 
 
+def test_int4_grouped_matmul_kernel_parity():
+    """Group-wise int4 kernel (interpret) == bf16 grouped dequant + matmul.
+
+    The kernel folds the -8 offset and the per-group scale into the codes
+    (one elementwise pass, bf16-rounded) and runs the per-channel format's
+    single split lo/hi dot — the reference here IS the XLA serving
+    fallback (grouped_dequant_t at serving dtype bf16: code and scale both
+    bf16-rounded before the product), which the kernel matches to f32-dot
+    accumulation noise. ``dequantize()`` (f32 products, one rounding) is a
+    different convention and only agrees to bf16 tolerance — checked with
+    a loose bound below so the two paths can't silently diverge."""
+    from spatialvla_tpu.ops.quant import (
+        grouped_dequant_t,
+        quantize_int4,
+        unpack_int4,
+    )
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(4, 256).astype(np.float32))
+    w = jnp.asarray(rng.randn(256, 384).astype(np.float32))
+    qw = quantize_int4(w, group_size=64)  # G = 4 groups along K
+    assert qw["scale"].shape == (384, 4)
+    xb = x.astype(jnp.bfloat16)
+    wd_t = grouped_dequant_t(unpack_int4(qw["qt"]), qw["scale"], jnp.bfloat16)
+    ref = np.asarray(
+        jnp.einsum("mk,nk->mn", xb, wd_t, preferred_element_type=jnp.float32)
+    )
+    got = np.asarray(
+        int8_matmul(x, qw["qt"], qw["scale"], out_dtype=jnp.float32,
+                    interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+    # f32-product dequantize stays within bf16 rounding of the serving path
+    wd_f32 = np.asarray(dequantize(qw, jnp.bfloat16), np.float32)  # (K, N)
+    ref_f32 = np.asarray(xb, np.float32) @ wd_f32
+    np.testing.assert_allclose(got, ref_f32, rtol=0.2, atol=0.2)
+
+
 def test_int4_rmsnorm_matmul_kernel_parity():
     from spatialvla_tpu.models.layers import rms_norm
     from spatialvla_tpu.ops.quant import (

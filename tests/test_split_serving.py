@@ -205,6 +205,33 @@ def test_split_engine_staggered_admission(qpolicy):
         np.testing.assert_array_equal(res["action_ids"], exp["action_ids"])
 
 
+def test_split_engine_prefill_deferral(qpolicy):
+    """prefill_min_free (batch-forming hysteresis) preserves token parity
+    and liveness: with the threshold at n_slots, prefill only happens when
+    every slot is free (waves), yet all requests complete and match the
+    immediate-admission engine. Exercises the no-deadlock argument in
+    _dispatch_loop (active slots always advance; an idle engine admits
+    unconditionally)."""
+    images = _images(qpolicy, len(INSTRUCTIONS), seed=17)
+
+    def run(min_free):
+        with _engine(
+            qpolicy, prefill_buckets=(2,), prefill_min_free=min_free
+        ) as engine:
+            futs = [
+                engine.submit(img, instr, unnorm_key=UNNORM)
+                for img, instr in zip(images, INSTRUCTIONS)
+            ]
+            out = [f.result(timeout=600) for f in futs]
+            return out, engine.stats()
+
+    base, _ = run(0)
+    deferred, stats = run(3)  # = n_slots: admit only into an empty batch
+    for a, b in zip(base, deferred):
+        np.testing.assert_array_equal(a["action_ids"], b["action_ids"])
+    assert stats["requests"] == len(INSTRUCTIONS)
+
+
 def test_split_engine_per_request_unnorm_keys(qpolicy):
     """Co-batched requests decode with their own statistics."""
     stats = qpolicy.processor.statistics
