@@ -165,24 +165,56 @@ def _make_engine(policy, args):
     )
 
 
-def _parity_check(policy, engine, images):
-    """Exact sequence parity of the serving engine against the monolithic
-    predict path on the SAME device — the token-parity contract for the
-    split engine's separate prefill/decode programs (the CPU test suite
-    pins first-token + scheduling invariance; this closes the loop on real
-    hardware where both paths run the same Mosaic kernels)."""
+def _parity_check(policy, engine, images, *, strict: bool):
+    """Serving engine vs the monolithic predict path on the SAME device.
+
+    strict=True (real checkpoint weights): every sequence must match
+    exactly — real logit margins leave no room for fusion-rounding flips.
+
+    strict=False (random-init weights): first token exact for EVERY prompt
+    + at least one full-sequence match, mirroring the CPU contract in
+    tests/test_split_serving.py. Exact full-sequence parity is NOT
+    assertable on random-init weights: their near-flat action-block logits
+    flip argmax under program-level XLA fusion differences (per-bucket
+    prefill shapes, standalone vs scanned decode program), after which
+    greedy conditioning diverges — observed on-chip as a token-1 flip into
+    the same token cycle at a different phase (MEASURE_ROUND4
+    serve_16c_split_int8_parity). The decode kernel itself is pinned
+    exactly on-chip every bench.py run (fused-vs-XLA sequence assert), and
+    the split programs are pinned for first-token exactness + exact
+    scheduling-invariance on CPU."""
     import numpy as np
 
+    full = 0
+    mismatches = []
     for i, instr in enumerate(INSTRUCTION_POOL):
         img = images[i % len(images)]
         got = engine.predict(img, instr)
         want = policy.predict(img, instr)
-        if not np.array_equal(got["action_ids"], want["action_ids"]):
+        if got["action_ids"][0] != want["action_ids"][0]:
             raise AssertionError(
-                f"serving-engine vs monolithic token mismatch on {instr!r}: "
-                f"{got['action_ids']} vs {want['action_ids']}"
+                f"serving-engine vs monolithic FIRST-token mismatch on "
+                f"{instr!r}: {got['action_ids']} vs {want['action_ids']} — "
+                "prefill/head numerics differ (not a conditioning flip)"
             )
-    return "ok (%d prompts token-identical)" % len(INSTRUCTION_POOL)
+        if np.array_equal(got["action_ids"], want["action_ids"]):
+            full += 1
+        else:
+            mismatches.append(instr)
+            if strict:
+                raise AssertionError(
+                    f"serving-engine vs monolithic token mismatch on "
+                    f"{instr!r} (strict: real-checkpoint weights): "
+                    f"{got['action_ids']} vs {want['action_ids']}"
+                )
+    if not strict and full == 0:
+        raise AssertionError(
+            "no prompt matched the monolithic path full-sequence: "
+            f"{mismatches} — beyond near-tie flip rates, likely a real bug"
+        )
+    return "ok (%d/%d prompts token-identical%s)" % (
+        full, len(INSTRUCTION_POOL), ", first tokens all exact"
+    )
 
 
 def _run_phase(policy, args, images, n_clients, n_requests):
@@ -200,7 +232,10 @@ def _run_phase(policy, args, images, n_clients, n_requests):
             # on the policy by main())
             engine.warmup(images[0], INSTRUCTION_POOL)
         if getattr(args, "parity_check", False):
-            parity = _parity_check(policy, engine, images)
+            parity = _parity_check(
+                policy, engine, images,
+                strict=bool(args.ckpt or args.hf),
+            )
 
         def client(i):
             try:

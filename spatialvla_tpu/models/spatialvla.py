@@ -669,10 +669,13 @@ def _generate_greedy_fused(
 # glue (embed gather, logits dequant) differently in a standalone decode
 # program than inside the monolithic scan body — immaterial at real-model
 # logit margins; on random flat-logit test models it can flip near-tie
-# argmax. tests/test_split_serving.py pins first-token exactness, exact
+# argmax (observed on-chip: a token-1 flip into the same token cycle at a
+# different phase, MEASURE_ROUND4 serve_16c_split_int8_parity).
+# tests/test_split_serving.py pins first-token exactness, exact
 # scheduling-invariance, and majority full-sequence equality on CPU;
-# scripts/bench_serve.py --parity_check asserts exact sequence parity on
-# the real chip.
+# scripts/bench_serve.py --parity_check applies the same calibrated
+# contract on the real chip with random weights, and EXACT sequence parity
+# when serving real checkpoint weights (--ckpt/--hf).
 
 
 def prefill_for_serving(

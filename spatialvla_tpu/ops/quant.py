@@ -66,10 +66,14 @@ def quantize_int4(w: jnp.ndarray, group_size: int = None) -> QuantW:
     95.8 actions/sec end-to-end on the bench host). group_size=128 cuts
     the quantization error ~23% (the per-row amax over K=2048 gaussian
     weights is ~3.5 sigma; over a 128-group ~2.7 sigma) and its scale
-    bytes are negligible DMA (1/256 of the packed weights), but the
-    per-group partial dots cost ~1.8x decode speed measured (54.0 vs
-    95.8 actions/sec, MEASURE_ROUND3.jsonl int4_g128 vs int4) — opt in
-    when int4's accuracy, not its speed, is the constraint."""
+    bytes are negligible DMA (1/256 of the packed weights), but it is a
+    DOMINATED operating point as measured: its best kernel formulation
+    decodes at 54.0 actions/sec (MEASURE_ROUND3 int4_g128; two other
+    formulations measured slower still — see grouped_int4_dot) while the
+    mixed tree quantize(bits=8, mlp_bits=4) is both faster (92.2) and
+    more accurate (gate L1 0.0288 vs 0.0507, NOTES_ROUND3). Use mixed
+    when int4's accuracy is the concern; grouped scales remain available
+    as a documented experiment."""
     wf = w.astype(jnp.float32)
     K = wf.shape[-2]
     if group_size is not None:
@@ -158,51 +162,44 @@ def is_lora_factored(w) -> bool:
 
 def grouped_int4_dot(x_bf16, lo, hi, s32, G, g):
     """Grouped-scale int4 dot shared by the standalone quant kernel and the
-    whole-LM fused decode kernel (ops/decode_step.py): fold the -8 offset
-    and the per-group scale into the codes in ONE elementwise pass over the
-    block (reshape to (bn, G/2, g) + broadcast multiply — the same
-    scale-expand grouped_dequant_t uses on the XLA path; no lane-repeat),
-    then run the SAME single split lo/hi MXU dot as the per-channel format.
+    whole-LM fused decode kernel (ops/decode_step.py): one MXU partial dot
+    PER GROUP on the raw biased codes with the scale applied to the
+    (M, bn) f32 partial — O(G*M*bn) scale work. The offset-binary +8 bias
+    becomes an (M, G) x (G, bn) matmul of group sums against scales.
 
-    Two earlier formulations both lost: dequantizing via jnp.repeat'd
-    scale maps measured 8x slower end-to-end (MEASURE_ROUND3.prev int4
-    11.76 vs 93.9 actions/sec — the lane-repeat materialization dominated),
-    and one MXU partial dot PER GROUP with the scale applied to the
-    (M, bn) f32 partial measured 1.8x slower than per-channel at G=16
-    (54.0 vs 95.8 actions/sec — G latency-bound small-K dots instead of
-    two K/2 dots). The scaled codes round to bf16, exactly like the XLA
-    fallback's grouped_dequant_t(x.dtype=bf16) weights at serving time.
+    This is the FASTEST of three formulations measured end-to-end on the
+    bench host (g128 decode, actions/sec): per-group partial dots 54.0
+    (MEASURE_ROUND3 int4_g128), fold-scales-into-codes 9.62
+    (MEASURE_ROUND4 int4_g128_fold — the O(bn*K) elementwise scale pass
+    per block is VPU-bound, the same regime as the 8x-slower jnp.repeat
+    dequant: MEASURE_ROUND3.prev 11.76 vs 93.9), and all of them lose to
+    per-channel int4 (95.8) and int8 (76.6). Grouped int4 is therefore a
+    documented experiment, not a recommended serving mode — see
+    quantize_int4's docstring for the operating-point analysis.
 
     lo/hi: bf16 nibble halves (column j packs with column j + K/2, so
     groups [0, G/2) live in `lo` and [G/2, G) in `hi`); s32: (bn, G) f32
-    scales; g: elements per group along K.
-
-    Mosaic gotchas (NOTES_ROUND3/4): minor-dim-splitting reshape is
-    32-bit-only, so the reshape/multiply chain runs in f32 and the scaled
-    codes cast to bf16 at the end — bit-identical to a bf16 multiply (the
-    codes and the bf16-rounded scales are exact in f32, so rounding the
-    f32 product to bf16 equals the bf16*bf16 product rounding). And
-    `s[:, :Gh, None]`-style getitem (slice + newaxis in one subscript)
-    traces to a lax.gather Mosaic rejects — hence the explicit
-    lax.slice_in_dim + expand_dims."""
+    scales; g: elements per group along K."""
     dims = (((1,), (1,)), ((), ()))
-    bn = lo.shape[0]
-    Gh = G // 2
-    Kh = Gh * g
-    s16 = s32.astype(jnp.bfloat16).astype(jnp.float32)
-    s_lo = jnp.expand_dims(jax.lax.slice_in_dim(s16, 0, Gh, axis=1), -1)
-    s_hi = jnp.expand_dims(jax.lax.slice_in_dim(s16, Gh, G, axis=1), -1)
-    lo_s = (
-        (lo.astype(jnp.float32) - 8.0).reshape(bn, Gh, g) * s_lo
-    ).reshape(bn, Kh).astype(jnp.bfloat16)
-    hi_s = (
-        (hi.astype(jnp.float32) - 8.0).reshape(bn, Gh, g) * s_hi
-    ).reshape(bn, Kh).astype(jnp.bfloat16)
-    return jax.lax.dot_general(
-        x_bf16[:, :Kh], lo_s, dims, preferred_element_type=jnp.float32
-    ) + jax.lax.dot_general(
-        x_bf16[:, Kh:], hi_s, dims, preferred_element_type=jnp.float32
+    acc = None
+    for j in range(G):  # static unroll: one MXU dot per group
+        codes = (
+            lo[:, j * g : (j + 1) * g]
+            if j < G // 2
+            else hi[:, (j - G // 2) * g : (j - G // 2 + 1) * g]
+        )
+        pj = jax.lax.dot_general(
+            x_bf16[:, j * g : (j + 1) * g], codes, dims,
+            preferred_element_type=jnp.float32,
+        ) * s32[:, j][None, :]
+        acc = pj if acc is None else acc + pj
+    xsum = jnp.sum(
+        x_bf16.astype(jnp.float32).reshape(x_bf16.shape[0], G, g), axis=-1
+    )  # (M, G)
+    bias = 8.0 * jax.lax.dot_general(
+        xsum, s32, dims, preferred_element_type=jnp.float32
     )
+    return acc - bias
 
 
 def _q_dot_scaled(x_bf16, w, s):
@@ -215,12 +212,9 @@ def _q_dot_scaled(x_bf16, w, s):
     int4 nibbles are stored offset-binary (code + 8) so the unpack is just
     widen + mask/shift + bf16 convert (3 VPU ops per element). Per-channel:
     the +8 bias factors out of the dot as 8 * sum(x) — O(M) instead of two
-    O(bn*K) vector subtractions. Group-wise: one partial dot PER GROUP on
-    the raw codes, scale applied to the (M, bn) partial — O(G*M*bn) scale
-    work; dequantizing the whole (bn, K) block on the VPU (repeat +
-    elementwise multiply over every weight element) measured 8x slower
-    end-to-end on TPU (MEASURE_ROUND3.jsonl) — and the bias becomes an
-    (M, G) x (G, bn) matmul of group sums against scales.
+    O(bn*K) vector subtractions. Group-wise: grouped_int4_dot runs one MXU
+    partial dot per group with the scale applied to the f32 partial — see
+    its docstring for the two slower formulations this outmeasured.
     int8/int4 codes are exact in bf16; fp32 MXU would be 4x slower."""
     dims = (((1,), (1,)), ((), ()))
     grouped = s.shape[0] != 1  # (bn, G) vs (1, bn)

@@ -69,6 +69,9 @@ class _Request:
     intrinsic: np.ndarray  # (1, 3, 3)
     unnorm_key: Optional[str]
     deadline_ms: Optional[float] = None  # drop if not dispatched in time
+    px_dev: object = None  # device-resident pixels, put at submit time on
+    # the client thread (split engine) — uint8 when the f32 pixels sit
+    # exactly on the u8/255 grid, else f32
     future: Future = field(default_factory=Future)
     t_submit: float = field(default_factory=time.monotonic)
 

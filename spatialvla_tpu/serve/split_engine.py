@@ -34,8 +34,9 @@ per-dispatch handle once more than ``max_ahead`` dispatches are in flight.
 Token parity with the monolithic path is semantically exact (see the
 parity note in models/spatialvla.py); tests/test_split_serving.py pins
 first-token exactness + exact scheduling-invariance on CPU, and
-scripts/bench_serve.py --parity_check asserts exact sequence parity on
-the real chip.
+scripts/bench_serve.py --parity_check pins first-token exactness (all
+prompts) on the real chip — exact full sequences when serving real
+checkpoint weights, where logit margins rule out fusion-rounding flips.
 """
 from __future__ import annotations
 
@@ -60,6 +61,27 @@ from .engine import (
 )
 
 DEFAULT_PREFILL_BUCKETS = (1, 2, 4, 8)
+
+
+def _put_pixels(px: np.ndarray):
+    """Ship pixels device-resident at submit time, on the CLIENT thread.
+
+    The dispatch thread previously paid the host->device image copy inside
+    _admit_group, serializing it with decode dispatching: measured 115 ms
+    per prefill batch on the tunnel host — 2.07 s of a 6.35 s 64-request
+    run with the device idling meanwhile (MEASURE_ROUND4
+    serve_16c_split_int8_pad64). Client-side device_put overlaps the
+    transfers with everything else, and rides the exact-u8 representation
+    when possible: processor pixels are u8/255 grid points (PIL resize
+    path), so u8 round-trip is bitwise-lossless at 4x fewer bytes; the
+    prefill program converts back with the same f32 divide the host would
+    apply (tests/test_split_serving.py pins u8/255 device==host over all
+    256 values). Off-grid pixels (the PIL-free bicubic fallback, custom
+    callers) ship as f32 unchanged."""
+    u8 = np.rint(px * 255.0).astype(np.uint8)
+    if np.array_equal(u8.astype(np.float32) / 255.0, px):
+        return jax.device_put(u8)
+    return jax.device_put(px.astype(np.float32))
 
 
 class _Programs:
@@ -99,6 +121,9 @@ class _Programs:
 
             @jax.jit
             def fn(params, ids, px, intr, attn):
+                if px.dtype == jnp.uint8:  # client-side u8 transport: the
+                    # /255 rescale moves on-device (static branch per aval)
+                    px = px.astype(jnp.float32) / 255.0
                 return model.prefill_for_serving(
                     params, policy.config, ids,
                     pixel_values=px, intrinsic=intr, attention_mask=attn,
@@ -319,12 +344,14 @@ class SplitServingEngine:
                 f"{self.max_prompt_len}; raise it (engine construction) for "
                 "longer instructions / multi-image observations"
             )
+        px = np.asarray(inputs["pixel_values"])
         req = _Request(
             ids=ids,
-            pixel_values=np.asarray(inputs["pixel_values"]),
+            pixel_values=px,
             intrinsic=np.asarray(inputs["intrinsic"]),
             unnorm_key=unnorm_key,
             deadline_ms=deadline_ms,
+            px_dev=_put_pixels(px),
         )
         self._queue.put(req)
         if self._stop.is_set():
@@ -399,8 +426,13 @@ class SplitServingEngine:
                 attn = np.zeros((Bp, T), np.int32)
                 bids[:, : ids.shape[1]] = ids[0]
                 attn[:, : ids.shape[1]] = 1
+                # transport exactly like the runtime path (_put_pixels +
+                # device concat) so the traced px aval (u8 on the standard
+                # processor path) matches what submit() ships
+                px_dev = _put_pixels(px)
                 rows = self._programs.prefill(T, Bp)(
-                    self.policy.params, jnp.asarray(bids), jnp.asarray(np.concatenate([px] * Bp)),
+                    self.policy.params, jnp.asarray(bids),
+                    jnp.concatenate([px_dev] * Bp),
                     jnp.asarray(np.concatenate([intr] * Bp)), jnp.asarray(attn),
                 )
                 slots = jnp.arange(Bp, dtype=jnp.int32)  # buckets <= n_slots
@@ -475,8 +507,10 @@ class SplitServingEngine:
                 continue
             if group and (
                 r.pixel_values.shape[1:] != group[0].pixel_values.shape[1:]
+                or r.px_dev.dtype != group[0].px_dev.dtype
             ):
-                self._pending.append(r)  # only like-shaped images co-prefill
+                self._pending.append(r)  # only like-shaped (and like-
+                # transported) images co-prefill
                 break
             group.append(r)
         return group
@@ -497,16 +531,18 @@ class SplitServingEngine:
         if n < Bp:  # filler rows: exact copies of request 0 (see below)
             ids[n:] = ids[0]
             attn[n:] = attn[0]
-        px = np.concatenate(
-            [r.pixel_values for r in group]
-            + [group[0].pixel_values] * (Bp - n)
+        # pixels are already device-resident (submit-time device_put on the
+        # client threads); assembly is a device-side concat enqueue, so the
+        # dispatch thread never blocks on the image bytes
+        px = jnp.concatenate(
+            [r.px_dev for r in group] + [group[0].px_dev] * (Bp - n)
         )
         intr = np.concatenate(
             [r.intrinsic for r in group] + [group[0].intrinsic] * (Bp - n)
         )
         t0 = time.monotonic()
         rows = self._programs.prefill(T, Bp)(
-            self.policy.params, jnp.asarray(ids), jnp.asarray(px),
+            self.policy.params, jnp.asarray(ids), px,
             jnp.asarray(intr), jnp.asarray(attn),
         )
         t1 = time.monotonic()

@@ -151,40 +151,40 @@ def test_int4_matmul_kernel_parity():
 
 
 def test_int4_grouped_matmul_kernel_parity():
-    """Group-wise int4 kernel (interpret) == bf16 grouped dequant + matmul.
+    """Group-wise int4 kernel (interpret) == group-wise f32-partial math.
 
-    The kernel folds the -8 offset and the per-group scale into the codes
-    (one elementwise pass, bf16-rounded) and runs the per-channel format's
-    single split lo/hi dot — the reference here IS the XLA serving
-    fallback (grouped_dequant_t at serving dtype bf16: code and scale both
-    bf16-rounded before the product), which the kernel matches to f32-dot
-    accumulation noise. ``dequantize()`` (f32 products, one rounding) is a
-    different convention and only agrees to bf16 tolerance — checked with
-    a loose bound below so the two paths can't silently diverge."""
-    from spatialvla_tpu.ops.quant import (
-        grouped_dequant_t,
-        quantize_int4,
-        unpack_int4,
-    )
+    The kernel (grouped_int4_dot, the per-group-partial-dot formulation —
+    fastest of the three measured, see its docstring) computes per-group
+    f32 partial dots on exact-in-bf16 codes with f32 scales applied to the
+    partials: the matching reference is the group-sliced f32 einsum below,
+    which it equals to f32 accumulation noise. The XLA serving fallback
+    (grouped_dequant_t: bf16-rounded scaled weights) is a different
+    rounding convention and only agrees to bf16 tolerance — checked with
+    a loose bound so the two paths can't silently diverge."""
+    from spatialvla_tpu.ops.quant import quantize_int4, unpack_int4
 
     rng = np.random.RandomState(9)
     x = jnp.asarray(rng.randn(4, 256).astype(np.float32))
     w = jnp.asarray(rng.randn(256, 384).astype(np.float32))
     qw = quantize_int4(w, group_size=64)  # G = 4 groups along K
     assert qw["scale"].shape == (384, 4)
-    xb = x.astype(jnp.bfloat16)
-    wd_t = grouped_dequant_t(unpack_int4(qw["qt"]), qw["scale"], jnp.bfloat16)
-    ref = np.asarray(
-        jnp.einsum("mk,nk->mn", xb, wd_t, preferred_element_type=jnp.float32)
+    xb = np.asarray(x.astype(jnp.bfloat16), np.float32)  # (4, 256)
+    codes = np.asarray(unpack_int4(qw["qt"]), np.float32)  # (384, 256)
+    scale = np.asarray(qw["scale"], np.float32)  # (384, 4)
+    g = 256 // 4
+    ref = sum(
+        (xb[:, j * g : (j + 1) * g] @ codes[:, j * g : (j + 1) * g].T)
+        * scale[:, j][None, :]
+        for j in range(4)
     )
     got = np.asarray(
         int8_matmul(x, qw["qt"], qw["scale"], out_dtype=jnp.float32,
                     interpret=True)
     )
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
-    # f32-product dequantize stays within bf16 rounding of the serving path
+    # the bf16-rounded XLA fallback stays within bf16 rounding of the kernel
     wd_f32 = np.asarray(dequantize(qw, jnp.bfloat16), np.float32)  # (K, N)
-    ref_f32 = np.asarray(xb, np.float32) @ wd_f32
+    ref_f32 = xb @ wd_f32
     np.testing.assert_allclose(got, ref_f32, rtol=0.2, atol=0.2)
 
 

@@ -324,3 +324,108 @@ def test_split_engine_overload_and_deadline(qpolicy):
                 outcomes.append("expired")
         assert outcomes[0] == "ok"
         assert shed or "expired" in outcomes
+
+
+def test_http_front_end_over_split_engine(qpolicy):
+    """scripts/serve.py --engine split over a live socket: the HTTP handler
+    is engine-agnostic, so the production split-phase path (serve.py:243-
+    262) must serve /predict, /stats (split-engine keys), and /health
+    through the same make_handler the monolithic test exercises."""
+    import importlib.util
+    import json
+    import os
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_script",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "serve.py"),
+    )
+    serve_script = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve_script)
+
+    images = _images(qpolicy, 3, seed=29)
+    with _engine(qpolicy) as engine:
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0), serve_script.make_handler(engine)
+        )
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            def post(path, payload):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}{path}",
+                    data=json.dumps(payload).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=600) as r:
+                        return r.status, json.loads(r.read())
+                except urllib.error.HTTPError as e:
+                    return e.code, json.loads(e.read())
+
+            results = {}
+
+            def client(i):
+                results[i] = post("/predict", {
+                    "image": images[i].tolist(),
+                    "instruction": INSTRUCTIONS[i],
+                    "unnorm_key": UNNORM,
+                })
+
+            threads = [
+                threading.Thread(target=client, args=(i,)) for i in range(3)
+            ]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join(timeout=600)
+            assert sorted(results) == [0, 1, 2]
+            chunk = qpolicy.processor.action_chunk_size
+            for code, body in results.values():
+                assert code == 200
+                assert np.asarray(body["actions"]).shape == (chunk, 7)
+
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health", timeout=30
+            ) as r:
+                assert json.loads(r.read()) == {"ok": True}
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=30
+            ) as r:
+                stats = json.loads(r.read())
+            assert stats["requests"] == 3
+            # split-engine counters (not the monolithic keys): every request
+            # decoded through the persistent slots
+            assert stats["decode_dispatches"] > 0
+            assert stats["mean_slot_occupancy"] > 0
+        finally:
+            server.shutdown()
+            server.server_close()
+
+
+def test_u8_pixel_transport_is_exact():
+    """The split engine ships processor pixels as uint8 and rescales
+    on-device (split_engine._put_pixels): device u8/255 must equal host
+    u8/255 bit-for-bit over ALL 256 byte values, or the u8 transport would
+    perturb the model inputs vs the monolithic f32 path. Also pins the
+    grid check: off-grid f32 pixels must ship as f32, not get quantized."""
+    import jax.numpy as jnp
+
+    from spatialvla_tpu.serve.split_engine import _put_pixels
+
+    u8 = np.arange(256, dtype=np.uint8).reshape(1, 16, 16)
+    host = u8.astype(np.float32) / 255.0
+    dev = np.asarray(jnp.asarray(u8).astype(jnp.float32) / 255.0)
+    np.testing.assert_array_equal(dev, host)
+
+    shipped = _put_pixels(host)
+    assert shipped.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(shipped), u8)
+
+    off_grid = host + np.float32(1e-4)
+    shipped = _put_pixels(off_grid)
+    assert shipped.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(shipped), off_grid)
