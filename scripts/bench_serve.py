@@ -151,6 +151,7 @@ def _make_engine(policy, args):
             max_ahead=args.max_ahead,
             max_queue=getattr(args, "max_queue", 0) or None,
             prefill_min_free=getattr(args, "prefill_min_free", 0),
+            prefill_wait_ms=getattr(args, "prefill_wait_ms", 0.0),
         )
     from spatialvla_tpu.serve import ServingEngine
 
@@ -236,6 +237,9 @@ def _run_phase(policy, args, images, n_clients, n_requests):
                 policy, engine, images,
                 strict=bool(args.ckpt or args.hf),
             )
+        # measured window starts here: drop warmup/parity traffic from the
+        # engine's occupancy/latency/dispatch-thread counters
+        engine.reset_stats()
 
         def client(i):
             try:
@@ -314,6 +318,11 @@ def main(argv=None):
                         "(admission granularity)")
     p.add_argument("--max_ahead", type=int, default=8,
                    help="split engine: bound on in-flight decode dispatches")
+    p.add_argument("--prefill_wait_ms", type=float, default=0,
+                   help="split engine: an IDLE engine holds its first "
+                        "arrival up to this long to gather a client burst "
+                        "into one large prefill group (0 = admit on first "
+                        "arrival)")
     p.add_argument("--prefill_min_free", type=int, default=0,
                    help="split engine: under load, defer prefill until this "
                         "many slots are free (larger arrival groups ride "

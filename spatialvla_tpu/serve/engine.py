@@ -348,6 +348,17 @@ class ServingEngine:
                 else None,
             }
 
+    def reset_stats(self):
+        """Zero the counters so stats() reflects a measured window only
+        (warmup / parity-probe requests otherwise pollute occupancy and
+        latency percentiles)."""
+        with self._lock:
+            for k, v in self._stats.items():
+                if isinstance(v, list):
+                    self._stats[k] = []
+                else:
+                    self._stats[k] = 0
+
     def shutdown(self, *, wait: bool = True):
         self._stop.set()
         self._queue.put(None)  # wake the worker

@@ -60,7 +60,7 @@ from .engine import (
     _safe_resolve,
 )
 
-DEFAULT_PREFILL_BUCKETS = (1, 2, 4, 8)
+DEFAULT_PREFILL_BUCKETS = (1, 2, 4, 8, 16)
 
 
 def _put_pixels(px: np.ndarray):
@@ -150,12 +150,14 @@ class _Programs:
             model = self.model
             kv_keys = ("k", "v", "k_scale", "v_scale")
 
-            # donate the persistent KV state and the prefill rows: the
-            # scatter aliases in place instead of copying the (141 MB at
-            # flagship scale) cache per admission. `small` (tok/pos/steps/
-            # out) is NOT donated — retirement records keep out-buffer refs
-            # from earlier dispatches alive for the completion thread.
-            @functools.partial(jax.jit, donate_argnums=(0, 2))
+            # donate the persistent KV state: the scatter aliases in place
+            # instead of copying the (141 MB at flagship scale) cache per
+            # admission. `small` (tok/pos/steps/out) is NOT donated —
+            # retirement records keep out-buffer refs from earlier
+            # dispatches alive for the completion thread. The prefill rows
+            # are not donated: their (L, Bp, Nkv, P, D) layout can never
+            # alias an output, so donating them only warned.
+            @functools.partial(jax.jit, donate_argnums=(0,))
             def fn(kv, small, rows, slots):
                 st = model.admit_rows_serving({**kv, **small}, rows, slots)
                 return (
@@ -216,6 +218,7 @@ class SplitServingEngine:
         max_ahead: int = 8,
         max_queue: Optional[int] = None,
         prefill_min_free: int = 0,
+        prefill_wait_ms: float = 0.0,
     ):
         lm_layers = policy.params["lm"]["layers"]
         if "qkv" not in lm_layers.get("attn", {}):
@@ -255,6 +258,13 @@ class SplitServingEngine:
         # device time, so group size is a first-order throughput lever).
         # 0 disables; an idle engine always admits immediately regardless.
         self.prefill_min_free = min(prefill_min_free, n_slots)
+        # idle-burst gather: an IDLE engine (no decode in flight — nothing
+        # to stall) holds its first arrival up to this long so a closed-loop
+        # client burst (N clients resubmitting after a retirement wave)
+        # forms one large prefill group instead of a ragged run of tiny
+        # ones. Complements prefill_min_free, which only defers while
+        # decode work is in flight. 0 disables (admit-on-first-arrival).
+        self.prefill_wait_ms = prefill_wait_ms
         self.n_tokens = 3 * policy.processor.action_chunk_size
         self.cache_len = max_prompt_len + self.n_tokens
         sw = policy.config.text.sliding_window
@@ -397,6 +407,21 @@ class SplitServingEngine:
                 },
             }
 
+    def reset_stats(self):
+        """Zero the counters so stats() reflects a measured window only —
+        warmup compiles and parity probes otherwise pollute the dispatch-
+        thread timings (the idle dispatch loop accrues t_collect for the
+        engine's whole lifetime, which dwarfed the measured window in
+        MEASURE_ROUND4 serve_16c_split_*)."""
+        with self._lock:
+            for k, v in self._stats.items():
+                if isinstance(v, float):
+                    self._stats[k] = 0.0
+                elif isinstance(v, int):
+                    self._stats[k] = 0
+                elif isinstance(v, list):
+                    self._stats[k] = []
+
     def warmup(self, sample_image, instructions: Sequence[str]):
         """Pre-compile every program the serving loop can hit: prefill per
         (padded-T, Bp) bucket, the decode program, and the full-bucket admit
@@ -487,21 +512,35 @@ class SplitServingEngine:
         """Drain up to max_n compatible queued requests without waiting
         (decode work continues between dispatches — under load the queue
         accumulates during them, so batching needs no artificial delay).
-        With block=True (engine idle), wait for the first arrival."""
+        With block=True (engine idle), wait for the first arrival, then —
+        if prefill_wait_ms is set — keep gathering the burst until the
+        window closes or the group fills (idle: there is no decode work
+        this wait could stall)."""
         group: List[_Request] = []
+        gather_until: Optional[float] = None
         while len(group) < max_n:
             r = None
             if self._pending:
                 r = self._pending.pop(0)
             else:
+                if not group:
+                    timeout = 0.05 if block else 0.0
+                elif gather_until is not None:
+                    timeout = gather_until - time.monotonic()
+                    if timeout <= 0:
+                        break
+                else:
+                    timeout = 0.0
                 try:
-                    r = self._queue.get(
-                        timeout=0.05 if (block and not group) else 0.0
-                    )
+                    r = self._queue.get(timeout=max(timeout, 0.0))
                 except queue.Empty:
-                    break
+                    if gather_until is None or time.monotonic() >= gather_until:
+                        break
+                    continue
             if r is None:  # shutdown wakeup
                 break
+            if block and not group and self.prefill_wait_ms > 0:
+                gather_until = time.monotonic() + self.prefill_wait_ms / 1e3
             if r.expired(time.monotonic()):
                 self._fail_expired(r, time.monotonic())
                 continue

@@ -232,6 +232,52 @@ def test_split_engine_prefill_deferral(qpolicy):
     assert stats["requests"] == len(INSTRUCTIONS)
 
 
+def test_split_engine_idle_burst_gather(qpolicy):
+    """prefill_wait_ms: an idle engine holds its first arrival to gather a
+    client burst into ONE prefill group (here: 2 requests, bucket 2, one
+    prefill batch), with tokens identical to the no-wait engine. Liveness:
+    a lone request still completes after the window closes."""
+    images = _images(qpolicy, 2, seed=23)
+
+    def run(wait_ms):
+        with _engine(qpolicy, n_slots=2, prefill_wait_ms=wait_ms) as engine:
+            futs = [
+                engine.submit(images[i], INSTRUCTIONS[i], unnorm_key=UNNORM)
+                for i in range(2)
+            ]
+            out = [f.result(timeout=600) for f in futs]
+            return out, engine.stats()
+
+    base, _ = run(0)
+    gathered, stats = run(10_000)  # >> the submit stagger
+    for a, b in zip(base, gathered):
+        np.testing.assert_array_equal(a["action_ids"], b["action_ids"])
+    # the burst formed one bucket-2 prefill batch instead of two singles
+    assert stats["prefill_batches"] == 1
+    assert stats["mean_prefill_rows"] == 2.0
+    # liveness: a single request is admitted once the window expires
+    with _engine(qpolicy, n_slots=2, prefill_wait_ms=50) as engine:
+        res = engine.predict(images[0], INSTRUCTIONS[0], unnorm_key=UNNORM)
+    np.testing.assert_array_equal(res["action_ids"], base[0]["action_ids"])
+
+
+def test_split_engine_reset_stats(qpolicy):
+    """reset_stats() zeroes the measured-window counters (bench_serve calls
+    it after warmup/parity) without touching engine state: a request served
+    after the reset is counted from zero and still decodes correctly."""
+    images = _images(qpolicy, 1, seed=29)
+    with _engine(qpolicy) as engine:
+        exp = engine.predict(images[0], "go", unnorm_key=UNNORM)
+        assert engine.stats()["requests"] == 1
+        engine.reset_stats()
+        s = engine.stats()
+        assert s["requests"] == 0 and s["decode_dispatches"] == 0
+        assert s["latency_ms_p50"] is None
+        res = engine.predict(images[0], "go", unnorm_key=UNNORM)
+        assert engine.stats()["requests"] == 1
+    np.testing.assert_array_equal(res["action_ids"], exp["action_ids"])
+
+
 def test_split_engine_per_request_unnorm_keys(qpolicy):
     """Co-batched requests decode with their own statistics."""
     stats = qpolicy.processor.statistics
