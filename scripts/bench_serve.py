@@ -152,6 +152,7 @@ def _make_engine(policy, args):
             max_queue=getattr(args, "max_queue", 0) or None,
             prefill_min_free=getattr(args, "prefill_min_free", 0),
             prefill_wait_ms=getattr(args, "prefill_wait_ms", 0.0),
+            prefill_quiet_ms=getattr(args, "prefill_quiet_ms", 0.0),
         )
     from spatialvla_tpu.serve import ServingEngine
 
@@ -323,6 +324,10 @@ def main(argv=None):
                         "arrival up to this long to gather a client burst "
                         "into one large prefill group (0 = admit on first "
                         "arrival)")
+    p.add_argument("--prefill_quiet_ms", type=float, default=0,
+                   help="split engine: close the gather window early once "
+                        "no arrival lands for this long (tracks the burst's "
+                        "actual length; --prefill_wait_ms stays the cap)")
     p.add_argument("--prefill_min_free", type=int, default=0,
                    help="split engine: under load, defer prefill until this "
                         "many slots are free (larger arrival groups ride "

@@ -132,6 +132,14 @@ def main(argv=None):
                          "this many slots are free so arrival groups ride "
                          "the cheaper per-row prefill buckets (throughput/"
                          "latency trade; 0 = admit whenever a slot frees)")
+    ap.add_argument("--prefill_wait_ms", type=float, default=0,
+                    help="split engine: an idle engine holds its first "
+                         "arrival up to this long to gather a client burst "
+                         "into one prefill group (0 = admit immediately)")
+    ap.add_argument("--prefill_quiet_ms", type=float, default=0,
+                    help="split engine: close the gather window early once "
+                         "no arrival lands for this long (wait_ms stays "
+                         "the cap)")
     ap.add_argument("--max_queue", type=int, default=0,
                     help="admission bound: requests beyond this many queued "
                          "get HTTP 503 instead of unbounded wait (0 = "
@@ -256,6 +264,8 @@ def main(argv=None):
             decode_block=args.decode_block,
             max_queue=args.max_queue or None,
             prefill_min_free=args.prefill_min_free,
+            prefill_wait_ms=args.prefill_wait_ms,
+            prefill_quiet_ms=args.prefill_quiet_ms,
         )
         if not args.no_warmup:
             print("warming split-phase serving programs...", flush=True)

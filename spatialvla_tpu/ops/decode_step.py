@@ -167,7 +167,9 @@ def _decode_kernel(
     gu_qt_ref, gu_s_ref,
     dn_qt_ref, dn_s_ref,
     kc_ref, vc_ref,  # (1, M, Nkv, S, D) bf16 (or int8 when kv_quant)
-    ks_ref, vs_ref,  # (1, M, Nkv, S) f32 per-slot scales (dummy (.., 1) bf16 cache)
+    ks_ref, vs_ref,  # (1, Nkv, 1, M*S) f32 per-slot scales, pre-flattened
+    # host-side along the batched attention's (m, s) key columns (dummy
+    # (1, Nkv, 1, 1) for the bf16 cache)
     # outputs
     h_out_ref,  # (M, H) f32 final-normed hidden
     knew_ref, vnew_ref,  # (1, M, Nkv, D) f32
@@ -254,17 +256,26 @@ def _decode_kernel(
                 q_all[:, h * G : (h + 1) * G].astype(jnp.bfloat16)
                 .reshape(M * G, D)
             )
-            K = kc_ref[0, :, h].reshape(M * S, D)  # bf16 / int8
-            V = vc_ref[0, :, h].reshape(M * S, D)
-            if kv_quant:  # int8 codes <= 127 are exact in bf16
+            K = kc_ref[0, :, h]  # (M, S, D) bf16 / int8
+            V = vc_ref[0, :, h]
+            if kv_quant:  # int8 codes <= 127 are exact in bf16; widen
+                # BEFORE the (M, S, D) -> (M*S, D) collapse — Mosaic's
+                # vector-layout inference rejects the shape cast on the
+                # 8-bit layout (the serve_16c_split_mixed on-chip compile
+                # failure, MEASURE_ROUND4)
                 K = K.astype(jnp.float32).astype(jnp.bfloat16)
                 V = V.astype(jnp.float32).astype(jnp.bfloat16)
+            K = K.reshape(M * S, D)
+            V = V.reshape(M * S, D)
             logits = jax.lax.dot_general(
                 q16, K, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (M*G, M*S)
             if kv_quant:  # per-slot scales fold into the logits row
-                logits = logits * ks_ref[0, :, h].reshape(1, M * S)
+                # (1, M*S) row comes pre-shaped from the host (the in-kernel
+                # (M, S) -> (1, M*S) f32 collapse was the exact Mosaic
+                # "unsupported shape cast" that killed the mixed config)
+                logits = logits * ks_ref[0, h]
             k16 = k_new_all[:, h].astype(jnp.bfloat16)  # (M, D)
             self_logit = jnp.sum(
                 q16.astype(jnp.float32).reshape(M, G, D)
@@ -285,9 +296,7 @@ def _decode_kernel(
             probs = e / denom
             p16 = probs.astype(jnp.bfloat16)
             if kv_quant:  # per-slot V scales fold into the prob row
-                pv = (probs * vs_ref[0, :, h].reshape(1, M * S)).astype(
-                    jnp.bfloat16
-                )
+                pv = (probs * vs_ref[0, h]).astype(jnp.bfloat16)
             else:
                 pv = p16
             out = jax.lax.dot_general(
@@ -389,10 +398,17 @@ def fused_decode_step(
         assert cache_k_scale is not None and cache_v_scale is not None, (
             "int8 KV cache requires per-slot cache_k_scale/cache_v_scale"
         )
+        # pre-flatten the (L, M, Nkv, S) scales to one (1, M*S) row per
+        # (layer, kv head), matching the batched attention's flattened
+        # (m, s) key columns — the in-kernel (M, S) -> (1, M*S) collapse is
+        # an unsupported Mosaic shape cast (serve_16c_split_mixed failure)
+        ks_in = cache_k_scale.astype(jnp.float32).transpose(0, 2, 1, 3)
+        vs_in = cache_v_scale.astype(jnp.float32).transpose(0, 2, 1, 3)
+        ks_in = ks_in.reshape(L, Nkv, 1, M * S)
+        vs_in = vs_in.reshape(L, Nkv, 1, M * S)
     else:  # dummy refs; the kernel never reads them (static kv_quant flag)
-        cache_k_scale = jnp.ones((L, M, Nkv, 1), jnp.float32)
-        cache_v_scale = cache_k_scale
-    Ssc = S if kv_quant else 1
+        ks_in = vs_in = jnp.ones((L, Nkv, 1, 1), jnp.float32)
+    Msc = M * S if kv_quant else 1
     assert S <= cfg.sliding_window, (
         "serving cache exceeds the sliding window; the fused decode step "
         "treats window and global layers identically"
@@ -483,8 +499,8 @@ def fused_decode_step(
             wspec(B3, D0, bn3, Kb3), sspec(B3, D0, bn3, dn["scale"]),
             pl.BlockSpec((1, M, Nkv, S, D), lambda l, t: (l, 0, 0, 0, 0)),
             pl.BlockSpec((1, M, Nkv, S, D), lambda l, t: (l, 0, 0, 0, 0)),
-            pl.BlockSpec((1, M, Nkv, Ssc), lambda l, t: (l, 0, 0, 0)),
-            pl.BlockSpec((1, M, Nkv, Ssc), lambda l, t: (l, 0, 0, 0)),
+            pl.BlockSpec((1, Nkv, 1, Msc), lambda l, t: (l, 0, 0, 0)),
+            pl.BlockSpec((1, Nkv, 1, Msc), lambda l, t: (l, 0, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((M, H), lambda l, t: (0, 0)),
@@ -522,7 +538,7 @@ def fused_decode_step(
         gu["qt"], sop(gu["scale"]),
         dn["qt"], sop(dn["scale"]),
         cache_k, cache_v,
-        f32(cache_k_scale), f32(cache_v_scale),
+        ks_in, vs_in,
     )
     hidden, k_new, v_new = out
     new_dtype = jnp.bfloat16 if kv_quant else cache_k.dtype

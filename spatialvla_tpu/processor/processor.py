@@ -26,7 +26,7 @@ from typing import Dict, List, Optional, Sequence, Union
 import numpy as np
 
 from ..action import SpatialActionTokenizer
-from .image import preprocess_images
+from .image import preprocess_images, preprocess_images_u8
 from .text_tokenizer import ByteTokenizer, TextTokenizer
 
 IGNORE_INDEX = -100
@@ -187,6 +187,7 @@ class SpatialVLAProcessor:
             attention_mask[i, :n] = 1
             token_type_ids[i, min(len(p), T) : n] = 1
 
+        pixels_u8 = None
         if any(n > 1 for n in n_images):
             assert len(set(n_images)) == 1, "mixed obs counts in one batch"
             pixel_values = np.stack(
@@ -194,7 +195,11 @@ class SpatialVLAProcessor:
             )  # (B, k, H, W, 3)
         else:
             flat = [im[0] if isinstance(im, (list, tuple)) else im for im in images]
-            pixel_values = preprocess_images(flat, self.image_size)
+            pixels_u8 = preprocess_images_u8(flat, self.image_size)
+            if pixels_u8 is not None:  # PIL path: f32 == u8/255 bitwise
+                pixel_values = pixels_u8.astype(np.float32) / 255.0
+            else:  # PIL-free bicubic fallback: off the u8 grid
+                pixel_values = preprocess_images(flat, self.image_size)
         K = self.intrinsic_for(unnorm_key)
         out = {
             "input_ids": input_ids,
@@ -203,6 +208,10 @@ class SpatialVLAProcessor:
             "pixel_values": pixel_values,
             "intrinsic": np.broadcast_to(K, (B, 3, 3)).copy(),
         }
+        if pixels_u8 is not None:
+            # exact-u8 transport form for serving (split_engine._put_pixels
+            # ships these 4x-smaller bytes and rescales on-device)
+            out["pixel_values_u8"] = pixels_u8
         if return_labels:
             out["labels"] = np.where(token_type_ids == 0, IGNORE_INDEX, input_ids)
         return out

@@ -63,7 +63,7 @@ from .engine import (
 DEFAULT_PREFILL_BUCKETS = (1, 2, 4, 8, 16)
 
 
-def _put_pixels(px: np.ndarray):
+def _put_pixels(px: np.ndarray, u8: Optional[np.ndarray] = None):
     """Ship pixels device-resident at submit time, on the CLIENT thread.
 
     The dispatch thread previously paid the host->device image copy inside
@@ -77,7 +77,16 @@ def _put_pixels(px: np.ndarray):
     prefill program converts back with the same f32 divide the host would
     apply (tests/test_split_serving.py pins u8/255 device==host over all
     256 values). Off-grid pixels (the PIL-free bicubic fallback, custom
-    callers) ship as f32 unchanged."""
+    callers) ship as f32 unchanged.
+
+    When the processor already carries the exact-u8 form
+    (inputs["pixel_values_u8"], processor/image.py:resize_image_u8), pass
+    it as `u8` — re-deriving it here (rint + full-array equality compare)
+    cost ~2 ms of GIL per submit, which serialized the closed-loop clients'
+    resubmission burst and truncated the idle-burst gather groups
+    (MEASURE_ROUND4 serve_16c_split_block11_sync: mean 10.67 of 16 rows)."""
+    if u8 is not None:
+        return jax.device_put(np.ascontiguousarray(u8))
     u8 = np.rint(px * 255.0).astype(np.uint8)
     if np.array_equal(u8.astype(np.float32) / 255.0, px):
         return jax.device_put(u8)
@@ -219,6 +228,7 @@ class SplitServingEngine:
         max_queue: Optional[int] = None,
         prefill_min_free: int = 0,
         prefill_wait_ms: float = 0.0,
+        prefill_quiet_ms: float = 0.0,
     ):
         lm_layers = policy.params["lm"]["layers"]
         if "qkv" not in lm_layers.get("attn", {}):
@@ -265,6 +275,15 @@ class SplitServingEngine:
         # ones. Complements prefill_min_free, which only defers while
         # decode work is in flight. 0 disables (admit-on-first-arrival).
         self.prefill_wait_ms = prefill_wait_ms
+        # adaptive early-close for the gather window: if > 0, the window
+        # closes once no arrival lands for this long (prefill_wait_ms stays
+        # the hard cap). A client burst arrives with small inter-arrival
+        # gaps (measured ~5.6 ms: GIL-serialized processor + device_put per
+        # client), so a fixed window either truncates the burst (60 ms
+        # caught 10.67 of 16 rows — MEASURE_ROUND4) or overpays after it
+        # ends; quiet-gap close tracks the burst's actual length. 0 keeps
+        # the fixed-cap behavior.
+        self.prefill_quiet_ms = prefill_quiet_ms
         self.n_tokens = 3 * policy.processor.action_chunk_size
         self.cache_len = max_prompt_len + self.n_tokens
         sw = policy.config.text.sliding_window
@@ -361,7 +380,7 @@ class SplitServingEngine:
             intrinsic=np.asarray(inputs["intrinsic"]),
             unnorm_key=unnorm_key,
             deadline_ms=deadline_ms,
-            px_dev=_put_pixels(px),
+            px_dev=_put_pixels(px, inputs.get("pixel_values_u8")),
         )
         self._queue.put(req)
         if self._stop.is_set():
@@ -515,9 +534,12 @@ class SplitServingEngine:
         With block=True (engine idle), wait for the first arrival, then —
         if prefill_wait_ms is set — keep gathering the burst until the
         window closes or the group fills (idle: there is no decode work
-        this wait could stall)."""
+        this wait could stall). With prefill_quiet_ms also set, the window
+        closes early once arrivals stop for that long (wait_ms stays the
+        hard cap)."""
         group: List[_Request] = []
         gather_until: Optional[float] = None
+        cap_until: Optional[float] = None
         while len(group) < max_n:
             r = None
             if self._pending:
@@ -540,7 +562,18 @@ class SplitServingEngine:
             if r is None:  # shutdown wakeup
                 break
             if block and not group and self.prefill_wait_ms > 0:
-                gather_until = time.monotonic() + self.prefill_wait_ms / 1e3
+                now = time.monotonic()
+                cap_until = now + self.prefill_wait_ms / 1e3
+                gather_until = (
+                    min(cap_until, now + self.prefill_quiet_ms / 1e3)
+                    if self.prefill_quiet_ms > 0
+                    else cap_until
+                )
+            elif gather_until is not None and self.prefill_quiet_ms > 0:
+                # burst still arriving: extend the quiet-gap window
+                gather_until = min(
+                    cap_until, time.monotonic() + self.prefill_quiet_ms / 1e3
+                )
             if r.expired(time.monotonic()):
                 self._fail_expired(r, time.monotonic())
                 continue
@@ -707,19 +740,28 @@ class SplitServingEngine:
                 self._stats["latency_ms"] = self._stats["latency_ms"][-999:] + [
                     (now - r.t_submit) * 1e3 for _, r in retiring
                 ]
+            # one decode_actions per unnorm_key instead of one per row: the
+            # per-row loop put ~16 sequential host calls between a
+            # retirement wave and the first client waking, delaying the
+            # closed-loop resubmission burst the idle gather window waits on
+            groups: Dict = {}
             for s, r in retiring:
-                if r.future.done():
-                    continue
+                if not r.future.done():
+                    groups.setdefault(r.unnorm_key, []).append((s, r))
+            for key, members in groups.items():
                 try:
                     dec = self.policy.processor.decode_actions(
-                        out[s : s + 1], unnorm_key=r.unnorm_key
+                        out[[s for s, _ in members]], unnorm_key=key
                     )
+                except Exception as e:  # noqa: BLE001
+                    for _, r in members:
+                        _safe_resolve(r.future, exception=e)
+                    continue
+                for i, (_, r) in enumerate(members):
                     _safe_resolve(
                         r.future,
                         result={
-                            "actions": dec["actions"][0],
-                            "action_ids": dec["action_ids"][0],
+                            "actions": dec["actions"][i],
+                            "action_ids": dec["action_ids"][i],
                         },
                     )
-                except Exception as e:  # noqa: BLE001
-                    _safe_resolve(r.future, exception=e)

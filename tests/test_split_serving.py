@@ -103,6 +103,7 @@ def _expected_fused(policy, img, instr, T_pad=64, unnorm_key=UNNORM):
                 policy.config.spatial_token_num,
             ),
             use_fused_decode=True,
+            kv_bits=getattr(policy, "kv_bits", None),
         )
     finally:
         ds.fused_decode_step = orig
@@ -475,3 +476,77 @@ def test_u8_pixel_transport_is_exact():
     shipped = _put_pixels(off_grid)
     assert shipped.dtype == jnp.float32
     np.testing.assert_array_equal(np.asarray(shipped), off_grid)
+
+
+@pytest.fixture(scope="module")
+def qpolicy_kv8m4(tmp_path_factory):
+    """The mixed serving config (int8 attention/head + int4 MLP + int8 KV
+    cache) on the split engine — the exact knob set whose on-chip split run
+    crashed in MEASURE_ROUND4 serve_16c_split_mixed while the MONOLITHIC
+    engine served it fine (MEASURE_ROUND3 serve_16c_mixed_fixed_sync):
+    the split-only programs (prefill-with-kv8 emission, scale admission,
+    standalone decode) had zero coverage."""
+    from spatialvla_tpu.inference import SpatialVLAPolicy
+
+    d = tmp_path_factory.mktemp("split_ckpt_kv8m4")
+    _build_reference_style_checkpoint(d)
+    policy = SpatialVLAPolicy.from_hf_checkpoint(str(d), param_dtype=None)
+    policy.config = dataclasses.replace(
+        policy.config,
+        text=dataclasses.replace(policy.config.text, sliding_window=512),
+    )
+    return policy.quantize(8, vision_bits=None, mlp_bits=4, kv_bits=8)
+
+
+def test_split_engine_mixed_kv8_mlp4(qpolicy_kv8m4):
+    """kv8+mlp4 split serving: prefill emits int8 cache rows + per-slot
+    scales, admission scatters them, and the persistent decode program
+    consumes the int8 state — first token exact vs the monolithic fused
+    kv8 path per request, full sequences subject to the same near-tie
+    caveat as test_split_programs_match_monolithic_fused."""
+    policy = qpolicy_kv8m4
+    images = _images(policy, 2, seed=31)
+    full_matches = 0
+    with _engine(
+        policy, n_slots=2, prefill_buckets=(1, 2), decode_block=2
+    ) as engine:
+        futs = [
+            engine.submit(images[i], INSTRUCTIONS[i], unnorm_key=UNNORM)
+            for i in range(2)
+        ]
+        results = [f.result(timeout=600) for f in futs]
+        stats = engine.stats()
+    for i, res in enumerate(results):
+        exp = _expected_fused(policy, images[i], INSTRUCTIONS[i])
+        assert res["action_ids"][0] == exp["action_ids"][0]
+        full_matches += int((res["action_ids"] == exp["action_ids"]).all())
+    assert full_matches >= 1
+    assert stats["requests"] == 2
+
+
+def test_split_engine_quiet_gap_gather(qpolicy):
+    """prefill_quiet_ms: the gather window closes early once arrivals stop
+    (cap untouched). Burst case: two back-to-back submits (spacing << quiet
+    gap) form ONE prefill batch under a 60 s cap. Early-close case: with the
+    same 60 s cap, a second request arriving long after the quiet gap finds
+    the first already admitted — TWO prefill batches. Without early close,
+    the 60 s cap would have gathered both into one batch, so the split
+    proves the quiet gap, not the cap."""
+    images = _images(qpolicy, 2, seed=37)
+    with _engine(
+        qpolicy, n_slots=2, prefill_wait_ms=60_000, prefill_quiet_ms=10_000
+    ) as engine:
+        futs = [
+            engine.submit(images[i], INSTRUCTIONS[i], unnorm_key=UNNORM)
+            for i in range(2)
+        ]
+        [f.result(timeout=600) for f in futs]
+        assert engine.stats()["prefill_batches"] == 1
+    with _engine(
+        qpolicy, n_slots=2, prefill_wait_ms=60_000, prefill_quiet_ms=200
+    ) as engine:
+        f1 = engine.submit(images[0], INSTRUCTIONS[0], unnorm_key=UNNORM)
+        time.sleep(3.0)  # >> the 200 ms quiet gap
+        f2 = engine.submit(images[1], INSTRUCTIONS[1], unnorm_key=UNNORM)
+        f1.result(timeout=600), f2.result(timeout=600)
+        assert engine.stats()["prefill_batches"] == 2
