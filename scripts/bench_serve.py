@@ -167,32 +167,38 @@ def _make_engine(policy, args):
     )
 
 
-def _parity_check(policy, engine, images, *, strict: bool):
-    """Serving engine vs the monolithic predict path on the SAME device.
+def _parity_check(policy, engine, images, *, strict: bool,
+                  margin_eps: float = 0.5):
+    """Serving engine vs the monolithic predict path on the SAME device,
+    with the per-step greedy argmax margin (top1 - top2 logit,
+    policy.predict(return_margins=True)) recorded as evidence.
 
     strict=True (real checkpoint weights): every sequence must match
-    exactly — real logit margins leave no room for fusion-rounding flips.
+    exactly — real logit margins leave no room for fusion-rounding flips
+    (the returned min_margin quantifies that claim).
 
     strict=False (random-init weights): first token exact for EVERY prompt
     + at least one full-sequence match, mirroring the CPU contract in
-    tests/test_split_serving.py. Exact full-sequence parity is NOT
-    assertable on random-init weights: their near-flat action-block logits
-    flip argmax under program-level XLA fusion differences (per-bucket
-    prefill shapes, standalone vs scanned decode program), after which
-    greedy conditioning diverges — observed on-chip as a token-1 flip into
-    the same token cycle at a different phase (MEASURE_ROUND4
-    serve_16c_split_int8_parity). The decode kernel itself is pinned
-    exactly on-chip every bench.py run (fused-vs-XLA sequence assert), and
-    the split programs are pinned for first-token exactness + exact
-    scheduling-invariance on CPU."""
+    tests/test_split_serving.py — AND any full-sequence flip must sit at a
+    sub-margin_eps margin. Exact full-sequence parity is NOT assertable on
+    random-init weights: near-flat action-block logits flip argmax under
+    program-level XLA fusion differences (per-bucket prefill shapes,
+    standalone vs scanned decode program), after which greedy conditioning
+    diverges — observed on-chip as a token-1 flip (MEASURE_ROUND4
+    serve_16c_split_int8_parity). The margin log turns that explanation
+    into a number: a flip at a LARGE margin is a real numeric bug and
+    fails the check even in relaxed mode."""
     import numpy as np
 
     full = 0
-    mismatches = []
+    flips = []
+    min_margin = float("inf")
     for i, instr in enumerate(INSTRUCTION_POOL):
         img = images[i % len(images)]
         got = engine.predict(img, instr)
-        want = policy.predict(img, instr)
+        want = policy.predict(img, instr, return_margins=True)
+        margins = np.asarray(want["margins"], np.float32)
+        min_margin = min(min_margin, float(margins.min()))
         if got["action_ids"][0] != want["action_ids"][0]:
             raise AssertionError(
                 f"serving-engine vs monolithic FIRST-token mismatch on "
@@ -202,21 +208,41 @@ def _parity_check(policy, engine, images, *, strict: bool):
         if np.array_equal(got["action_ids"], want["action_ids"]):
             full += 1
         else:
-            mismatches.append(instr)
+            t = int(
+                np.argmax(
+                    np.asarray(got["action_ids"]) != np.asarray(want["action_ids"])
+                )
+            )
+            fm = float(margins[t])
+            flips.append({"instr": instr, "step": t,
+                          "margin": round(fm, 6)})
             if strict:
                 raise AssertionError(
                     f"serving-engine vs monolithic token mismatch on "
-                    f"{instr!r} (strict: real-checkpoint weights): "
+                    f"{instr!r} (strict: real-checkpoint weights; margin at "
+                    f"flip step {t}: {fm:.4f}): "
                     f"{got['action_ids']} vs {want['action_ids']}"
+                )
+            if fm > margin_eps:
+                raise AssertionError(
+                    f"flip on {instr!r} at step {t} with margin {fm:.4f} > "
+                    f"eps {margin_eps}: too large for a fusion-rounding "
+                    "near-tie — a real numeric divergence"
                 )
     if not strict and full == 0:
         raise AssertionError(
             "no prompt matched the monolithic path full-sequence: "
-            f"{mismatches} — beyond near-tie flip rates, likely a real bug"
+            f"{flips} — beyond near-tie flip rates, likely a real bug"
         )
-    return "ok (%d/%d prompts token-identical%s)" % (
-        full, len(INSTRUCTION_POOL), ", first tokens all exact"
-    )
+    return {
+        "ok": True,
+        "full_matches": full,
+        "prompts": len(INSTRUCTION_POOL),
+        "first_tokens_exact": True,
+        "min_margin": round(min_margin, 6),
+        "margin_eps": margin_eps,
+        "flips": flips,
+    }
 
 
 def _run_phase(policy, args, images, n_clients, n_requests):
@@ -237,6 +263,7 @@ def _run_phase(policy, args, images, n_clients, n_requests):
             parity = _parity_check(
                 policy, engine, images,
                 strict=bool(args.ckpt or args.hf),
+                margin_eps=getattr(args, "parity_margin_eps", 0.5),
             )
         # measured window starts here: drop warmup/parity traffic from the
         # engine's occupancy/latency/dispatch-thread counters
@@ -336,7 +363,13 @@ def main(argv=None):
     p.add_argument("--parity_check", action="store_true",
                    help="before the measured phase, assert the engine's "
                         "tokens are identical to the monolithic predict "
-                        "path on this device, per pool prompt")
+                        "path on this device, per pool prompt (records "
+                        "per-step argmax margins as evidence)")
+    p.add_argument("--parity_margin_eps", type=float, default=0.5,
+                   help="relaxed-mode bound: a full-sequence flip is only "
+                        "tolerated when the monolithic argmax margin at "
+                        "the flip step is below this (near-tie); larger "
+                        "flips fail the check")
     p.add_argument("--pad_multiple", type=int, default=64,
                    help="prompt pad multiple (64 keeps the short-instruction "
                         "pool in one padded-length bucket -> one compile per "
@@ -357,11 +390,13 @@ def main(argv=None):
                         "without a covering gate artifact")
     p.add_argument("--repo_root", default=None, help=argparse.SUPPRESS)
     args = p.parse_args(argv)
-    if args.split and not args.bits:
-        p.error("--split requires a fused-quantized LM: pass --bits 8 or 4")
-    if args.split and (args.mesh_model > 1 or args.mesh_data > 1):
-        p.error("--split is single-device; drop --mesh_* or use the "
-                "monolithic engine")
+    if args.split and not args.bits and args.mesh_model <= 1 and args.mesh_data <= 1:
+        p.error("--split on a single device requires a fused-quantized LM: "
+                "pass --bits 8 or 4 (mesh-sharded split serving also takes "
+                "bf16 — the XLA decode step partitions either tree)")
+    if args.split and args.kv_bits and (args.mesh_model > 1 or args.mesh_data > 1):
+        p.error("--kv_bits rides the fused decode path; mesh-sharded split "
+                "serving runs the XLA decode step — drop --kv_bits")
     if args.repo_root is None:
         import os
 

@@ -118,10 +118,11 @@ def main(argv=None):
                     default="monolithic",
                     help="'split' = split-phase continuous batching "
                          "(persistent decode slots — highest throughput "
-                         "under concurrent load; requires a quantized LM "
-                         "and single-device serving); 'monolithic' = one "
-                         "predict program per batch (works bf16 and "
-                         "mesh-sharded)")
+                         "under concurrent load; single-device needs a "
+                         "quantized LM, and it composes with --mesh_model "
+                         "TP serving via the partitionable XLA decode "
+                         "step); 'monolithic' = one predict program per "
+                         "batch (works bf16 and mesh-sharded)")
     ap.add_argument("--max_prompt_len", type=int, default=320,
                     help="split engine: prompt-token capacity of a decode "
                          "slot (multiple of --pad_multiple)")

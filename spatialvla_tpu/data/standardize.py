@@ -552,6 +552,20 @@ def tdroid(traj: Traj) -> Traj:
     return traj
 
 
+def ppgm(traj: Traj) -> Traj:
+    """transforms.py:95-110 (ppgm_dataset_transform, registered for
+    ppgm/ppgm_static/ppgm_wrist at :1013-1015 — the registry's long tail;
+    not in any released mixture): binarize gripper onto action[:6];
+    EEF_state from cartesian_position[:, :6], gripper_state from
+    gripper_position[:, -1:]."""
+    a = np.asarray(traj["action"], dtype=np.float32)
+    traj["action"] = _cat(a[:, :6], binarize_gripper_actions(a[:, -1])[:, None])
+    obs = traj["observation"]
+    obs["EEF_state"] = np.asarray(obs["cartesian_position"], dtype=np.float32)[:, :6]
+    obs["gripper_state"] = np.asarray(obs["gripper_position"], dtype=np.float32)[:, -1:]
+    return traj
+
+
 def droid_finetuning(traj: Traj) -> Traj:
     act = traj["action_dict"]
     vel = np.asarray(act["cartesian_velocity"], dtype=np.float32)
@@ -636,6 +650,9 @@ STANDARDIZE_FNS: Dict[str, Callable[[Traj], Traj]] = {
     "tdroid_knock_object_over/0.1.0": tdroid,
     "tdroid_cover_object_with_towel/0.1.0": tdroid,
     "droid_wipe/0.1.0": droid_finetuning,
+    "ppgm/0.1.0": ppgm,
+    "ppgm_static/0.1.0": ppgm,
+    "ppgm_wrist/0.1.0": ppgm,
 }
 
 

@@ -359,9 +359,12 @@ class SpatialVLAPolicy:
         return out
 
     # ------------------------------------------------------------------
-    def _jitted_predict(self, prefix_len: int, chunk: int, padded: bool = False):
+    def _jitted_predict(
+        self, prefix_len: int, chunk: int, padded: bool = False,
+        margins: bool = False,
+    ):
         key = (prefix_len, chunk, padded, self.depth_image_size, self.kv_bits,
-               self.mesh)
+               self.mesh, margins)
         if key not in self._predict_cache:
             cfg = self.config
             dres = self.depth_image_size
@@ -387,7 +390,8 @@ class SpatialVLAPolicy:
                         attention_mask=attn,
                         action_chunk_size=chunk,
                         compute_dtype=self.compute_dtype,
-                        depth_image_size=dres, kv_bits=kvb, **kw,
+                        depth_image_size=dres, kv_bits=kvb,
+                        return_margins=margins, **kw,
                     )
 
             if padded:  # mixed-length batch: pad-aware masks/positions
@@ -408,11 +412,20 @@ class SpatialVLAPolicy:
         instruction: str,
         *,
         unnorm_key: Optional[str] = None,
+        return_margins: bool = False,
     ) -> Dict[str, np.ndarray]:
-        """One observation -> {'actions': (chunk, 7), 'action_ids'}."""
+        """One observation -> {'actions': (chunk, 7), 'action_ids'}.
+
+        return_margins adds 'margins': (3*chunk,) f32 per-decode-step
+        greedy argmax margins (top1 - top2 logit of the action block) —
+        the parity-contract evidence bench_serve --parity_check records
+        (models/spatialvla._argmax_margin)."""
         inputs = self.processor(image, instruction, unnorm_key=unnorm_key)
         ids = jnp.asarray(inputs["input_ids"])
-        fn = self._jitted_predict(int(ids.shape[1]), self.processor.action_chunk_size)
+        fn = self._jitted_predict(
+            int(ids.shape[1]), self.processor.action_chunk_size,
+            margins=return_margins,
+        )
         args = (
             ids,
             jnp.asarray(inputs["pixel_values"]),
@@ -421,8 +434,13 @@ class SpatialVLAPolicy:
         if self.mesh is not None:
             args = self._place_inputs(*args)
         generated = fn(self.params, *args)
+        if return_margins:
+            generated, margins = generated
         out = self.processor.decode_actions(np.asarray(generated), unnorm_key=unnorm_key)
-        return {"actions": out["actions"][0], "action_ids": out["action_ids"][0]}
+        res = {"actions": out["actions"][0], "action_ids": out["action_ids"][0]}
+        if return_margins:
+            res["margins"] = np.asarray(margins)[0]
+        return res
 
     def predict_batch(self, images, instructions, *, unnorm_key=None) -> Dict[str, np.ndarray]:
         inputs = self.processor(list(images), list(instructions), unnorm_key=unnorm_key)

@@ -88,6 +88,21 @@ def _weight_block_budget(M, Nkv, S, D, kv_quant, H, I, N0, Nq) -> int:
     return max(512 * 1024, min(_BLOCK_BYTES, left // 8))
 
 
+def flatten_kv_scales(sc: jnp.ndarray) -> jnp.ndarray:
+    """(L, M, Nkv, S) per-slot KV scales -> the kernel's pre-flattened
+    (L, Nkv, 1, M*S) layout (column j of the batched attention's flattened
+    key axis is cache slot (m = j // S, s = j % S)).
+
+    Persistent callers (the split engine's serving state, the monolithic
+    decode scan carry) should store scales in THIS layout and scatter new
+    per-step scales into it directly — relayouting inside fused_decode_step
+    made every decode step pay a full transpose+reshape of both scale
+    tensors (~2*L*M*Nkv*S*4 bytes of extra HBM traffic, ~3% of the int8
+    cache read at 4B/M=16)."""
+    L, M, Nkv, S = sc.shape
+    return sc.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(L, Nkv, 1, M * S)
+
+
 def _rms(x, w, eps):
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -398,14 +413,24 @@ def fused_decode_step(
         assert cache_k_scale is not None and cache_v_scale is not None, (
             "int8 KV cache requires per-slot cache_k_scale/cache_v_scale"
         )
-        # pre-flatten the (L, M, Nkv, S) scales to one (1, M*S) row per
-        # (layer, kv head), matching the batched attention's flattened
-        # (m, s) key columns — the in-kernel (M, S) -> (1, M*S) collapse is
-        # an unsupported Mosaic shape cast (serve_16c_split_mixed failure)
-        ks_in = cache_k_scale.astype(jnp.float32).transpose(0, 2, 1, 3)
-        vs_in = cache_v_scale.astype(jnp.float32).transpose(0, 2, 1, 3)
-        ks_in = ks_in.reshape(L, Nkv, 1, M * S)
-        vs_in = vs_in.reshape(L, Nkv, 1, M * S)
+        # the kernel wants one (1, M*S) scale row per (layer, kv head),
+        # matching the batched attention's flattened (m, s) key columns —
+        # the in-kernel (M, S) -> (1, M*S) collapse is an unsupported
+        # Mosaic shape cast (serve_16c_split_mixed failure). Persistent
+        # callers pass the (L, Nkv, 1, M*S) layout directly (zero relayout
+        # per step — see flatten_kv_scales); (L, M, Nkv, S) is accepted and
+        # flattened here for one-shot callers.
+        flat_shape = (L, Nkv, 1, M * S)
+        if cache_k_scale.shape == flat_shape:
+            ks_in = cache_k_scale.astype(jnp.float32)
+            vs_in = cache_v_scale.astype(jnp.float32)
+        else:
+            assert cache_k_scale.shape == (L, M, Nkv, S), (
+                f"cache_k_scale: expected {(L, M, Nkv, S)} or {flat_shape}, "
+                f"got {cache_k_scale.shape}"
+            )
+            ks_in = flatten_kv_scales(cache_k_scale)
+            vs_in = flatten_kv_scales(cache_v_scale)
     else:  # dummy refs; the kernel never reads them (static kv_quant flag)
         ks_in = vs_in = jnp.ones((L, Nkv, 1, 1), jnp.float32)
     Msc = M * S if kv_quant else 1

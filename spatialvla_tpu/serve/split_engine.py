@@ -95,7 +95,13 @@ def _put_pixels(px: np.ndarray, u8: Optional[np.ndarray] = None):
 
 class _Programs:
     """Compiled-program cache over one policy: prefill per (T, Bp) bucket,
-    one decode program, admit per (bucket, n_real)."""
+    one decode program, admit per (bucket, n_real).
+
+    Under a mesh-sharded policy (policy.shard) every program traces inside
+    ops/quant.xla_matmuls and the decode uses
+    models/spatialvla.xla_decode_step — GSPMD partitions the einsum graphs
+    over the model axis (the single-device Pallas kernels would be wrapped
+    in all-gathers); the persistent KV state shards over kv heads."""
 
     def __init__(self, policy, *, n_slots, cache_len, n_tokens, decode_block):
         from ..models import spatialvla as model
@@ -106,12 +112,45 @@ class _Programs:
         self.cache_len = cache_len
         self.n_tokens = n_tokens
         self.decode_block = decode_block
-        self.interpret = jax.devices()[0].platform == "cpu"
+        self.mesh = getattr(policy, "mesh", None)
+        self.interpret = (
+            self.mesh is None and jax.devices()[0].platform == "cpu"
+        )
         cfg = policy.config
         self.token_range = (cfg.action_token_begin_idx, cfg.spatial_token_num)
         self._prefill_cache: Dict = {}
         self._admit_cache: Dict = {}
         self._decode = None
+
+    def _trace_ctx(self):
+        import contextlib
+
+        from ..ops.quant import xla_matmuls
+
+        return xla_matmuls() if self.mesh is not None else contextlib.nullcontext()
+
+    def _kv_sharding(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # (L, n_slots, Nkv, S, D): kv heads over the model axis — the same
+        # head split the TP attention math produces, so decode touches only
+        # its local heads and admission scatters stay local per shard
+        return NamedSharding(self.mesh, P(None, None, "model", None, None))
+
+    def _constrain_state(self, kv, small):
+        if self.mesh is None:
+            return kv, small
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        kv_sh = self._kv_sharding()
+        rep = NamedSharding(self.mesh, P())
+        kv = {
+            k: jax.lax.with_sharding_constraint(v, kv_sh) for k, v in kv.items()
+        }
+        small = {
+            k: jax.lax.with_sharding_constraint(v, rep) for k, v in small.items()
+        }
+        return kv, small
 
     def init_state(self):
         st = self.model.init_serving_state(
@@ -121,6 +160,13 @@ class _Programs:
         kv_keys = ("k", "v", "k_scale", "v_scale")
         kv = {k: st[k] for k in kv_keys if k in st}
         small = {k: v for k, v in st.items() if k not in kv_keys}
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            kv_sh = self._kv_sharding()
+            rep = NamedSharding(self.mesh, P())
+            kv = {k: jax.device_put(v, kv_sh) for k, v in kv.items()}
+            small = {k: jax.device_put(v, rep) for k, v in small.items()}
         return kv, small
 
     def prefill(self, T: int, Bp: int):
@@ -133,15 +179,16 @@ class _Programs:
                 if px.dtype == jnp.uint8:  # client-side u8 transport: the
                     # /255 rescale moves on-device (static branch per aval)
                     px = px.astype(jnp.float32) / 255.0
-                return model.prefill_for_serving(
-                    params, policy.config, ids,
-                    pixel_values=px, intrinsic=intr, attention_mask=attn,
-                    cache_len=self.cache_len,
-                    compute_dtype=policy.compute_dtype,
-                    token_range=self.token_range,
-                    depth_image_size=policy.depth_image_size,
-                    kv_bits=policy.kv_bits,
-                )
+                with self._trace_ctx():
+                    return model.prefill_for_serving(
+                        params, policy.config, ids,
+                        pixel_values=px, intrinsic=intr, attention_mask=attn,
+                        cache_len=self.cache_len,
+                        compute_dtype=policy.compute_dtype,
+                        token_range=self.token_range,
+                        depth_image_size=policy.depth_image_size,
+                        kv_bits=policy.kv_bits,
+                    )
 
             self._prefill_cache[key] = fn
         return self._prefill_cache[key]
@@ -169,7 +216,7 @@ class _Programs:
             @functools.partial(jax.jit, donate_argnums=(0,))
             def fn(kv, small, rows, slots):
                 st = model.admit_rows_serving({**kv, **small}, rows, slots)
-                return (
+                return self._constrain_state(
                     {k: st[k] for k in kv_keys if k in st},
                     {k: v for k, v in st.items() if k not in kv_keys},
                 )
@@ -184,15 +231,17 @@ class _Programs:
             # donate only the KV state (see admit's donation note)
             @functools.partial(jax.jit, donate_argnums=(1,))
             def fn(params, kv, small):
-                st = model.decode_steps_serving(
-                    params, policy.config, {**kv, **small},
-                    n_steps=self.decode_block, n_tokens=self.n_tokens,
-                    token_range=self.token_range,
-                    compute_dtype=policy.compute_dtype,
-                    interpret=self.interpret,
-                )
+                with self._trace_ctx():
+                    st = model.decode_steps_serving(
+                        params, policy.config, {**kv, **small},
+                        n_steps=self.decode_block, n_tokens=self.n_tokens,
+                        token_range=self.token_range,
+                        compute_dtype=policy.compute_dtype,
+                        interpret=self.interpret,
+                        use_fused=self.mesh is None,
+                    )
                 kv_keys = ("k", "v", "k_scale", "v_scale")
-                return (
+                return self._constrain_state(
                     {k: st[k] for k in kv_keys if k in st},
                     {k: v for k, v in st.items() if k not in kv_keys},
                 )
@@ -204,9 +253,13 @@ class _Programs:
 class SplitServingEngine:
     """Continuous-batching engine with a persistent decode batch.
 
-    Requires a fused-quantized LM (policy.quantize(bits=8|4) — the decode
-    program IS the fused whole-LM kernel) and single-device serving
-    (mesh-sharded policies use the monolithic engine's XLA path).
+    Single-device: requires a fused-quantized LM (policy.quantize(bits=8|4)
+    — the decode program IS the fused whole-LM kernel). Mesh-sharded
+    (policy.shard(n_model=...)): the same engine runs the partitionable XLA
+    programs under GSPMD — persistent KV sharded over kv heads, each decode
+    step streaming 1/n of the weight bytes per chip (split-phase slot
+    amortization and TP aggregate-bandwidth scaling compose); kv_bits is
+    fused-path-only and rejected under a mesh.
 
     Usage mirrors ServingEngine:
         engine = SplitServingEngine(policy)
@@ -231,17 +284,21 @@ class SplitServingEngine:
         prefill_quiet_ms: float = 0.0,
     ):
         lm_layers = policy.params["lm"]["layers"]
-        if "qkv" not in lm_layers.get("attn", {}):
+        mesh = getattr(policy, "mesh", None)
+        if mesh is None and "qkv" not in lm_layers.get("attn", {}):
             raise ValueError(
                 "SplitServingEngine requires a fused-quantized LM "
                 "(policy.quantize(bits=8) or a serving checkpoint): the "
-                "persistent decode program is the fused whole-LM kernel"
+                "single-device persistent decode program is the fused "
+                "whole-LM kernel. (Mesh-sharded policies may also serve "
+                "bf16 — their decode is the partitionable XLA step.)"
             )
-        if getattr(policy, "mesh", None) is not None:
+        if mesh is not None and policy.kv_bits:
+            # policy.shard() already rejects this; defend against callers
+            # assembling the policy by hand
             raise ValueError(
-                "SplitServingEngine is single-device (the fused decode "
-                "kernel does not partition); use ServingEngine for "
-                "mesh-sharded serving"
+                "kv_bits is a fused-decode-path layout; mesh-sharded split "
+                "serving runs the XLA decode step — quantize(kv_bits=None)"
             )
         if not 1 <= n_slots <= 16:
             raise ValueError("n_slots must be in [1, 16] (the fused kernel "
@@ -283,6 +340,11 @@ class SplitServingEngine:
         # caught 10.67 of 16 rows — MEASURE_ROUND4) or overpays after it
         # ends; quiet-gap close tracks the burst's actual length. 0 keeps
         # the fixed-cap behavior.
+        if prefill_quiet_ms > 0 and prefill_wait_ms <= 0:
+            raise ValueError(
+                "prefill_quiet_ms needs prefill_wait_ms > 0 (the hard cap "
+                "that opens the gather window); quiet_ms alone is inert"
+            )
         self.prefill_quiet_ms = prefill_quiet_ms
         self.n_tokens = 3 * policy.processor.action_chunk_size
         self.cache_len = max_prompt_len + self.n_tokens
@@ -563,7 +625,11 @@ class SplitServingEngine:
                 break
             if block and not group and self.prefill_wait_ms > 0:
                 now = time.monotonic()
-                cap_until = now + self.prefill_wait_ms / 1e3
+                if cap_until is None:
+                    # anchored to the FIRST arrival only: if that request is
+                    # expired and discarded below, a later arrival must not
+                    # restart the hard cap (total wait would exceed wait_ms)
+                    cap_until = now + self.prefill_wait_ms / 1e3
                 gather_until = (
                     min(cap_until, now + self.prefill_quiet_ms / 1e3)
                     if self.prefill_quiet_ms > 0

