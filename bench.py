@@ -52,6 +52,108 @@ KV_BITS = int(os.environ.get("SPATIALVLA_BENCH_KV_BITS", "0")) or None
 VISION_BITS = int(os.environ.get("SPATIALVLA_BENCH_VISION_BITS", "0"))
 
 
+# SPATIALVLA_BENCH_SMOKE=0 skips the per-config kernel smoke matrix (it
+# adds ~a minute of compiles; the headline figure is unaffected either way)
+RUN_SMOKE = os.environ.get("SPATIALVLA_BENCH_SMOKE", "1") != "0"
+
+
+def _kernel_config_smoke():
+    """On-chip Mosaic compile/run + numerics sweep over every serving-
+    relevant fused-decode config: {int8, int4, int4-g128, int8+mlp4} x
+    {bf16 KV, int8 KV}, at serving shapes (M=16, S=332, per-row position
+    vector) on a 2-layer flagship-cross-section LM.
+
+    Why: interpret-mode parity tests are green while Mosaic compiles red —
+    twice now (r2 zoe conv, r4 kv8 scale layout, MEASURE_ROUND4
+    serve_16c_split_mixed) — and the main bench gate only covers the
+    default config at B=1. One decode step per config catches the third
+    instance before a load test does (round-4 VERDICT directive 4). Each
+    config also checks numerics against the XLA serving path, so a wrong-
+    but-running layout fails too. Per-config results go to stderr; the
+    driver's one-line stdout contract is untouched."""
+    import sys
+
+    from spatialvla_tpu.config import Gemma2Config
+    from spatialvla_tpu.models import gemma2
+    from spatialvla_tpu.ops.decode_step import flatten_kv_scales, fused_decode_step
+    from spatialvla_tpu.ops.quant import quantize_kv, quantize_lm_params
+
+    tcfg = Gemma2Config(
+        vocab_size=2048, hidden_size=2304, intermediate_size=9216,
+        num_layers=2, num_heads=8, num_kv_heads=4, head_dim=256,
+        sliding_window=4096, query_pre_attn_scalar=256.0,
+    )
+    M, S, P = 16, 332, 300
+    L, Nkv, D = tcfg.num_layers, tcfg.num_kv_heads, tcfg.head_dim
+    rng = np.random.RandomState(11)
+    base = gemma2.init_params(jax.random.PRNGKey(42), tcfg, dtype=jnp.bfloat16)
+    emb_raw = jnp.asarray(
+        rng.randn(M, tcfg.hidden_size).astype(np.float32) * 0.3
+    ).astype(jnp.bfloat16)
+    ck = jnp.asarray(
+        (rng.randn(L, M, Nkv, S, D) * 0.3).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    cv = jnp.asarray(
+        (rng.randn(L, M, Nkv, S, D) * 0.3).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    normalizer = jnp.asarray(tcfg.hidden_size**0.5, dtype=jnp.bfloat16)
+    mask = jnp.broadcast_to(jnp.arange(S) <= P, (M, 1, 1, S))
+    cache_xla = {
+        "k": jnp.transpose(ck, (0, 1, 3, 2, 4)),
+        "v": jnp.transpose(cv, (0, 1, 3, 2, 4)),
+    }
+    pos_vec = jnp.full((M,), P, jnp.int32)  # the serving per-row-vector path
+
+    WEIGHTS = (
+        ("int8", dict(bits=8)),
+        ("int4", dict(bits=4)),
+        ("int4-g128", dict(bits=4, group_size=128)),
+        ("int8+mlp4", dict(bits=8, mlp_bits=4)),
+    )
+    import functools
+
+    for name, qkw in WEIGHTS:
+        qp = jax.jit(
+            functools.partial(quantize_lm_params, fuse=True, **qkw)
+        )(base)
+        hx, _ = jax.jit(
+            lambda p, e: gemma2.forward(
+                p, tcfg, e[:, None, :], jnp.full((M, 1), P + 1), mask,
+                cache=cache_xla, cache_position=P,
+            )
+        )(qp, emb_raw)
+        hx_np = np.asarray(hx[:, 0], np.float32)
+        scale_ref = np.abs(hx_np).max() + 1e-6
+        for kv_name, kv8 in (("bf16kv", False), ("kv8", True)):
+            if kv8:
+                ck_in, ks = quantize_kv(ck)
+                cv_in, vs = quantize_kv(cv)
+                kw = {
+                    "cache_k_scale": flatten_kv_scales(ks),
+                    "cache_v_scale": flatten_kv_scales(vs),
+                }
+                tol = 0.08  # + int8-cache noise (test_decode_step envelopes)
+            else:
+                ck_in, cv_in, kw = ck, cv, {}
+                tol = 0.05
+            hf, _, _ = jax.jit(
+                lambda p, x, k, v, kwd: fused_decode_step(
+                    p, tcfg, x, k, v, pos_vec, pos_vec + 1, **kwd
+                )
+            )(qp, emb_raw * normalizer, ck_in, cv_in, kw)
+            drift = float(
+                np.abs(np.asarray(hf, np.float32) - hx_np).max() / scale_ref
+            )
+            assert drift < tol, (
+                f"kernel smoke {name}+{kv_name}: fused-vs-XLA drift "
+                f"{drift:.4f} >= {tol}"
+            )
+            print(
+                f"bench smoke: {name}+{kv_name} ok (rel drift {drift:.4f})",
+                file=sys.stderr, flush=True,
+            )
+
+
 def _watchdog(done, delay=300):
     """If the axon pool claim wedges (outages can last hours —
     NOTES_ROUND3.md), the bench would hang silently until the caller's
@@ -161,6 +263,12 @@ def main():
     d = np.abs(np.asarray(hf, np.float32) - np.asarray(hx[0], np.float32))
     scale_ref = np.abs(np.asarray(hx, np.float32)).max() + 1e-6
     assert d.max() / scale_ref < 0.02, f"fused-decode parity drift: {d.max()} vs {scale_ref}"
+
+    if RUN_SMOKE:
+        # per serving-config Mosaic compile + numerics matrix (stderr lines;
+        # a config that compiles in interpret mode but fails on Mosaic —
+        # the r2-zoe/r4-kv8 class — dies here, not in a load test)
+        _kernel_config_smoke()
 
     # min over 3 sets of 20 async dispatches with one host-transfer sync
     # each (bench_train's convention): the shared bench host adds 3-5%

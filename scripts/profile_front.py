@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--depth_res", type=int, default=0,
                     help=">0 runs zoe at a reduced internal resolution")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="replicate the observation to B rows: probes the "
+                         "serving prefill-bucket front cost per row "
+                         "(round-4 NOTES: image_features 30 -> 15.6 ms/row "
+                         "from Bp=1 to 8 and still falling — this measures "
+                         "Bp=16/32)")
     args = ap.parse_args()
 
     from __graft_entry__ import _example_batch, _flagship_cfg
@@ -63,6 +69,11 @@ def main():
 
     batch = _example_batch(cfg, B=1, n_text=10, n_action=0)
     ids, px, intr = batch["input_ids"], batch["pixel_values"], batch["intrinsic"]
+    B = args.batch
+    if B > 1:
+        ids = jnp.concatenate([ids] * B)
+        px = jnp.concatenate([px] * B)
+        intr = jnp.concatenate([intr] * B)
     P = int(ids.shape[1])
     report = {}
 
@@ -106,9 +117,9 @@ def main():
     def prefill_fn(params, ids, feats):
         embeds = spatialvla.merge_input_embeddings(
             params, cfg, ids, feats, dtype=jnp.bfloat16)
-        cache = gemma2.init_cache(cfg.text, 1, S, dtype=jnp.bfloat16)
-        pos = jnp.arange(1, P + 1)[None]
-        mask = spatialvla.bidirectional_prefill_mask(P, S, 1)
+        cache = gemma2.init_cache(cfg.text, B, S, dtype=jnp.bfloat16)
+        pos = jnp.broadcast_to(jnp.arange(1, P + 1)[None], (B, P))
+        mask = spatialvla.bidirectional_prefill_mask(P, S, B)
         hidden, cache = gemma2.forward(
             params["lm"], cfg.text, embeds, pos, mask, cache=cache,
             cache_position=0)
@@ -117,7 +128,8 @@ def main():
 
     decode = report["full_predict"] - report["image_features"] - report["prefill"]
     for k, v in report.items():
-        print(f"{k:>18}: {v*1e3:8.2f} ms")
+        suffix = f"  ({v*1e3/B:6.2f} ms/row)" if B > 1 else ""
+        print(f"{k:>18}: {v*1e3:8.2f} ms{suffix}")
     print(f"{'decode (resid)':>18}: {decode*1e3:8.2f} ms  (~{decode/11*1e3:.2f} ms/step x 11)")
 
 
