@@ -18,25 +18,44 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH="/root/.axon_site:$PWD"
 OUT=MEASURE_ROUND5.jsonl
 
+# Mid-sweep wedge guard: two consecutive failed/timed-out runs almost
+# certainly mean the tunnel wedged under us; keeping going would burn 30
+# min of killed clients per remaining run (which can EXTEND the wedge,
+# CLAUDE.md). Abort instead; the babysitter loop re-fires the whole sweep
+# after the next clean health probe, and completed tags are skipped below.
+CONSECUTIVE_FAILS=0
+
+already_done() {  # already_done <tag>: a non-null result is already on record
+    grep -q "\"tag\": \"$1\", \"result\": {" "$OUT" 2>/dev/null
+}
+
 run() {  # run <tag> <env...> -- <cmd...>
     local tag="$1"; shift
     local envs=()
     while [ "$1" != "--" ]; do envs+=("$1"); shift; done
     shift
+    if already_done "$tag"; then echo "=== $tag (cached) ==="; return 0; fi
     echo "=== $tag ==="
     if timeout 1800 env "${envs[@]}" "$@" > /tmp/measure_out.txt 2>&1; then
         local line
         line=$(grep -E '^\{' /tmp/measure_out.txt | tail -1)
         echo "{\"tag\": \"$tag\", \"result\": ${line:-null}}" >> "$OUT"
         echo "$line"
+        CONSECUTIVE_FAILS=0
     else
         echo "{\"tag\": \"$tag\", \"result\": null, \"error\": \"rc=$? or timeout\"}" >> "$OUT"
         tail -5 /tmp/measure_out.txt
+        CONSECUTIVE_FAILS=$((CONSECUTIVE_FAILS + 1))
+        if [ "$CONSECUTIVE_FAILS" -ge 2 ]; then
+            echo "two consecutive failures — tunnel likely wedged, aborting sweep"
+            exit 3
+        fi
     fi
 }
 
 probe() {  # probe <tag> -- <cmd...>: capture the full stage table as text
     local tag="$1"; shift; shift
+    if already_done "$tag"; then echo "=== $tag (cached) ==="; return 0; fi
     echo "=== $tag ==="
     if timeout 1800 "$@" > /tmp/measure_out.txt 2>&1; then
         python - "$tag" < /tmp/measure_out.txt >> "$OUT" <<'EOF'
@@ -45,9 +64,15 @@ print(json.dumps({"tag": sys.argv[1],
                   "result": {"stages": sys.stdin.read().strip().splitlines()}}))
 EOF
         tail -8 /tmp/measure_out.txt
+        CONSECUTIVE_FAILS=0
     else
         echo "{\"tag\": \"$tag\", \"result\": null, \"error\": \"rc=$? or timeout\"}" >> "$OUT"
         tail -5 /tmp/measure_out.txt
+        CONSECUTIVE_FAILS=$((CONSECUTIVE_FAILS + 1))
+        if [ "$CONSECUTIVE_FAILS" -ge 2 ]; then
+            echo "two consecutive failures — tunnel likely wedged, aborting sweep"
+            exit 3
+        fi
     fi
 }
 
