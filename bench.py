@@ -70,8 +70,12 @@ def _kernel_config_smoke():
     instance before a load test does (round-4 VERDICT directive 4). Each
     config also checks numerics against the XLA serving path, so a wrong-
     but-running layout fails too. Per-config results go to stderr; the
-    driver's one-line stdout contract is untouched."""
+    driver's one-line stdout contract is untouched (the headline JSON
+    additionally carries a compact "kernel_smoke" summary so the matrix
+    leaves a persistent artifact in BENCH_r*.json)."""
     import sys
+
+    results = []
 
     from spatialvla_tpu.config import Gemma2Config
     from spatialvla_tpu.models import gemma2
@@ -152,6 +156,8 @@ def _kernel_config_smoke():
                 f"bench smoke: {name}+{kv_name} ok (rel drift {drift:.4f})",
                 file=sys.stderr, flush=True,
             )
+            results.append(f"{name}+{kv_name}:{drift:.4f}")
+    return results
 
 
 def _watchdog(done, delay=300):
@@ -264,11 +270,12 @@ def main():
     scale_ref = np.abs(np.asarray(hx, np.float32)).max() + 1e-6
     assert d.max() / scale_ref < 0.02, f"fused-decode parity drift: {d.max()} vs {scale_ref}"
 
+    smoke = None
     if RUN_SMOKE:
         # per serving-config Mosaic compile + numerics matrix (stderr lines;
         # a config that compiles in interpret mode but fails on Mosaic —
         # the r2-zoe/r4-kv8 class — dies here, not in a load test)
-        _kernel_config_smoke()
+        smoke = _kernel_config_smoke()
 
     # min over 3 sets of 20 async dispatches with one host-transfer sync
     # each (bench_train's convention): the shared bench host adds 3-5%
@@ -289,12 +296,15 @@ def main():
     tag += ", int%d front" % VISION_BITS if VISION_BITS else ""
     tag += ", depth@%d" % DEPTH_RES if DEPTH_RES else ""
     tag += ", int%d kv" % KV_BITS if KV_BITS else ""
-    print(json.dumps({
+    line = {
         "metric": "spatialvla-4b-224 greedy inference, full model incl. depth (chunk=4, prefix=%d, int%d LM%s)" % (prefix_len, QUANT_BITS, tag),
         "value": round(actions_per_sec, 2),
         "unit": "actions/sec/chip",
         "vs_baseline": round(actions_per_sec / A100_BASELINE_ACTIONS_PER_SEC, 3),
-    }))
+    }
+    if smoke is not None:
+        line["kernel_smoke"] = smoke
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -125,15 +125,19 @@ def _build_policy(args):
     # random-init flagship fused its LM quantize into the init program
     # above — quantize() then only handles the remaining knobs (vision
     # front, zoe precompute/resolution, kv-bits bookkeeping).
+    meshed = args.mesh_model > 1 or args.mesh_data > 1
     if args.bits or args.vision_bits or args.depth_res or args.kv_bits:
         policy.quantize(
             bits=None if lm_prequantized else (args.bits or None),
             vision_bits=args.vision_bits or None,
             depth_image_size=args.depth_res or None,
-            kv_bits=args.kv_bits or None,
+            # under a mesh the split ENGINE owns the kv_bits knob
+            # (shard() rejects policy-level kv_bits — the monolithic mesh
+            # decode has no int8-cache layout); _make_engine passes it
+            kv_bits=None if meshed else (args.kv_bits or None),
             mlp_bits=None if lm_prequantized else (args.mlp_bits or None),
         )
-    if args.mesh_model > 1 or args.mesh_data > 1:
+    if meshed:
         policy.shard(n_model=args.mesh_model, n_data=args.mesh_data)
     return policy
 
@@ -153,6 +157,7 @@ def _make_engine(policy, args):
             prefill_min_free=getattr(args, "prefill_min_free", 0),
             prefill_wait_ms=getattr(args, "prefill_wait_ms", 0.0),
             prefill_quiet_ms=getattr(args, "prefill_quiet_ms", 0.0),
+            kv_bits=getattr(args, "kv_bits", 0) or None,
         )
     from spatialvla_tpu.serve import ServingEngine
 
@@ -394,9 +399,10 @@ def main(argv=None):
         p.error("--split on a single device requires a fused-quantized LM: "
                 "pass --bits 8 or 4 (mesh-sharded split serving also takes "
                 "bf16 — the XLA decode step partitions either tree)")
-    if args.split and args.kv_bits and (args.mesh_model > 1 or args.mesh_data > 1):
-        p.error("--kv_bits rides the fused decode path; mesh-sharded split "
-                "serving runs the XLA decode step — drop --kv_bits")
+    if args.kv_bits and not args.split and (args.mesh_model > 1 or args.mesh_data > 1):
+        p.error("--kv_bits under a mesh needs --split: the MONOLITHIC mesh "
+                "decode has no int8-cache layout (split serving runs "
+                "xla_decode_step's code-domain attention)")
     if args.repo_root is None:
         import os
 

@@ -58,11 +58,13 @@ probe() {  # probe <tag> -- <cmd...>: capture the full stage table as text
     if already_done "$tag"; then echo "=== $tag (cached) ==="; return 0; fi
     echo "=== $tag ==="
     if timeout 1800 "$@" > /tmp/measure_out.txt 2>&1; then
-        python - "$tag" < /tmp/measure_out.txt >> "$OUT" <<'EOF'
+        # NB: pass the capture file as argv, NOT stdin — a heredoc script
+        # would consume stdin itself and record "stages": [] (r5 bug)
+        python -c '
 import json, sys
-print(json.dumps({"tag": sys.argv[1],
-                  "result": {"stages": sys.stdin.read().strip().splitlines()}}))
-EOF
+lines = open(sys.argv[2]).read().strip().splitlines()
+print(json.dumps({"tag": sys.argv[1], "result": {"stages": lines}}))
+' "$tag" /tmp/measure_out.txt >> "$OUT"
         tail -8 /tmp/measure_out.txt
         CONSECUTIVE_FAILS=0
     else

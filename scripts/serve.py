@@ -199,16 +199,27 @@ def main(argv=None):
                 flush=True,
             )
         if (args.mesh_model > 1 or args.mesh_data > 1) and policy.kv_bits:
-            # kv_bits is a decode-path knob (not baked into the tree) and
-            # the fused decode path is single-device — clear it so a
-            # kv_bits-baked checkpoint can still be tensor-parallel served
-            print(
-                f"note: clearing baked kv_bits={policy.kv_bits} — the int8 "
-                "KV cache rides the single-device fused decode path, which "
-                "mesh-sharded serving does not use",
-                flush=True,
-            )
+            # kv_bits is a decode-path knob (not baked into the tree);
+            # shard() rejects it policy-level because the MONOLITHIC mesh
+            # decode has no int8-cache layout. The split engine takes it
+            # directly (xla_decode_step's code-domain attention), so hand
+            # the baked value over; the monolithic mesh engine drops it.
+            baked_kv = policy.kv_bits
             policy.kv_bits = None
+            if args.engine == "split":
+                args.kv_bits = args.kv_bits or baked_kv
+                print(
+                    f"note: baked kv_bits={baked_kv} moves to the split "
+                    "engine (mesh-sharded int8 KV runs the XLA decode step)",
+                    flush=True,
+                )
+            else:
+                print(
+                    f"note: clearing baked kv_bits={baked_kv} — the "
+                    "monolithic mesh decode has no int8-cache layout "
+                    "(--engine split serves it sharded)",
+                    flush=True,
+                )
     else:
         policy = (
             SpatialVLAPolicy.from_hf_checkpoint(args.ckpt)
@@ -218,11 +229,18 @@ def main(argv=None):
         # any serving-parameterization knob triggers quantize(); bits=0
         # keeps the LM bf16 (bits=None) so e.g. --depth_res alone applies
         if args.bits or args.vision_bits or args.depth_res or args.kv_bits:
+            meshed = args.mesh_model > 1 or args.mesh_data > 1
+            if meshed and args.kv_bits and args.engine != "split":
+                raise SystemExit(
+                    "--kv_bits under a mesh needs --engine split (the "
+                    "monolithic mesh decode has no int8-cache layout)"
+                )
             policy.quantize(
                 args.bits or None,
                 vision_bits=args.vision_bits or None,
                 depth_image_size=args.depth_res or None,
-                kv_bits=args.kv_bits or None,
+                # under a mesh the split ENGINE owns the kv_bits knob
+                kv_bits=None if meshed else (args.kv_bits or None),
                 mlp_bits=args.mlp_bits or None,
             )
     if args.mesh_model > 1 or args.mesh_data > 1:
@@ -267,6 +285,7 @@ def main(argv=None):
             prefill_min_free=args.prefill_min_free,
             prefill_wait_ms=args.prefill_wait_ms,
             prefill_quiet_ms=args.prefill_quiet_ms,
+            kv_bits=args.kv_bits or None,
         )
         if not args.no_warmup:
             print("warming split-phase serving programs...", flush=True)

@@ -327,7 +327,10 @@ class SpatialVLAPolicy:
         Prediction under a mesh runs the XLA decode path (GSPMD partitions
         einsum + dequant graphs; the single-device Pallas microkernels
         would be wrapped in all-gathers instead — ops/quant.xla_matmuls),
-        so kv_bits (fused-path-only) is rejected. Call quantize() BEFORE
+        whose MONOLITHIC decode loop has no int8-cache layout, so
+        policy-level kv_bits is rejected; mesh-sharded SPLIT serving does
+        take int8 KV via SplitServingEngine(kv_bits=8), which runs
+        xla_decode_step's code-domain attention. Call quantize() BEFORE
         shard(): int8/int4 trees shard with the same rules via their base
         paths. In-place; returns self."""
         from .parallel.mesh import MeshConfig, make_mesh
@@ -335,8 +338,9 @@ class SpatialVLAPolicy:
 
         if self.kv_bits:
             raise ValueError(
-                "kv_bits requires the fused decode path, which is "
-                "single-device — quantize(kv_bits=None) before shard()"
+                "kv_bits on the monolithic mesh path is unsupported — "
+                "quantize(kv_bits=None) before shard(); for mesh-sharded "
+                "split serving pass SplitServingEngine(kv_bits=8) instead"
             )
         mesh = make_mesh(MeshConfig(data=n_data, fsdp=1, model=n_model), devices)
         self.params = shard_params(mesh, self.params)

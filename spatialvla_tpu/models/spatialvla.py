@@ -890,16 +890,19 @@ def xla_decode_step(
     lm_params: Params,
     tcfg,  # Gemma2Config
     x: Array,  # (M, H) — embeddings * sqrt(H), like fused_decode_step
-    cache_k: Array,  # (L, M, Nkv, S, D) bf16 serving layout, valid [0, pos)
+    cache_k: Array,  # (L, M, Nkv, S, D) bf16 or int8 serving layout
     cache_v: Array,
     position: Array,  # (M,) or scalar int32 — slot the new token occupies
     rope_position: Array,  # (M,) or scalar int32
     *,
+    cache_k_scale: Optional[Array] = None,  # (L, Nkv, 1, M*S) f32 — int8 only
+    cache_v_scale: Optional[Array] = None,
     compute_dtype=jnp.bfloat16,
 ) -> Tuple[Array, Array, Array]:
     """GSPMD-partitionable twin of ops/decode_step.fused_decode_step (same
     contract: read-only cache, returns (hidden, k_new, v_new) for the
-    caller to scatter).
+    caller to scatter; int8 caches take the kernel's pre-flattened per-slot
+    scales and return BF16 k_new/v_new for the caller to re-quantize).
 
     Mesh-sharded split serving runs this path: the fused Pallas kernel does
     not partition (GSPMD would wrap it in all-gathers), while this einsum
@@ -909,22 +912,34 @@ def xla_decode_step(
     (parallel/partitioning.py rules; wrap the caller in
     ops/quant.xla_matmuls so qmatmul stays an einsum). Per-step math is
     gemma2._attention_block/_mlp_block over a one-token query with per-row
-    cache positions; bf16 KV only (int8 KV scales are a fused-path layout).
-    Matches the reference's per-token HybridCache decode
+    cache positions. An int8 KV cache mirrors the fused kernel's math
+    (ops/decode_step.py:285-324): logits = (q . K_codes) * k_scale and
+    probs * v_scale before the V matmul — the codes stream from HBM at
+    half the bf16 bytes and the scale multiplies fuse into the dots, so
+    TP's per-chip cache split and kv8's byte halving stack. Matches the
+    reference's per-token HybridCache decode
     (/root/reference/model/modeling_gemma2.py:712-720) under TP done for
     real (its `_tp_plan` is vestigial, :889)."""
     from ..ops.quant import qmatmul, qnorm_matmul
     from .attention import multi_head_attention
     from .rope import apply_rope, rope_cos_sin
 
-    assert cache_k.dtype != jnp.int8, (
-        "xla_decode_step serves the bf16 cache only (int8 KV is a "
-        "fused-decode-path layout)"
-    )
     layers = lm_params["layers"]
     L, M, Nkv, S, D = cache_k.shape
     H, Nq = tcfg.hidden_size, tcfg.num_heads
     eps = tcfg.rms_norm_eps
+    kv_quant = cache_k.dtype == jnp.int8
+    if kv_quant:
+        flat = (L, Nkv, 1, M * S)
+        assert (
+            cache_k_scale is not None
+            and cache_v_scale is not None
+            and cache_k_scale.shape == flat
+            and cache_v_scale.shape == flat
+        ), (
+            "int8 KV cache requires per-slot scales in the pre-flattened "
+            f"{flat} layout (ops/decode_step.py:flatten_kv_scales)"
+        )
     assert S <= tcfg.sliding_window, (
         "serving cache exceeds the sliding window; this step treats window "
         "and global layers identically"
@@ -941,7 +956,10 @@ def xla_decode_step(
     h0 = x.astype(compute_dtype)
 
     def layer(h, xs):
-        lp, ck_l, cv_l = xs  # ck_l/cv_l: (M, Nkv, S, D)
+        if kv_quant:
+            lp, ck_l, cv_l, ks_l, vs_l = xs  # ck_l/cv_l: (M, Nkv, S, D) int8
+        else:
+            lp, ck_l, cv_l = xs  # ck_l/cv_l: (M, Nkv, S, D)
         hT = h[:, None, :]  # (M, 1, H)
         if "qkv" in lp["attn"]:  # fused-quantized serving tree
             qkv = qnorm_matmul(hT, lp["input_norm"], lp["attn"]["qkv"], eps=eps)
@@ -954,33 +972,78 @@ def xla_decode_step(
         q = apply_rope(q.reshape(M, 1, Nq, D), cos, sin)
         k = apply_rope(k.reshape(M, 1, Nkv, D), cos, sin)
         v = v.reshape(M, 1, Nkv, D)
-        k_new = k[:, 0].astype(cache_k.dtype)  # (M, Nkv, D)
-        v_new = v[:, 0].astype(cache_v.dtype)
-        # keys/values: cache in (M, S, Nkv, D) with the current token
-        # scattered in at each row's slot (the caller re-scatters into the
-        # persistent state; this local write only feeds the attention)
-        kk = jax.vmap(
-            lambda c, n, p: jax.lax.dynamic_update_slice(
-                c, n[None], (p, 0, 0)
+        if kv_quant:
+            # the int8 cache stays codes end-to-end: logits pick up the
+            # per-slot K scale AFTER the q.K dot and the per-slot V scale
+            # folds into the probability row BEFORE the probs.V dot —
+            # exactly the fused kernel's association
+            # (ops/decode_step.py:289-314); the current token attends
+            # unquantized via a separate self term, also like the kernel
+            k_new = k[:, 0].astype(jnp.bfloat16)  # caller re-quantizes
+            v_new = v[:, 0].astype(jnp.bfloat16)
+            G = Nq // Nkv
+            qf = (
+                q[:, 0].reshape(M, Nkv, G, D).astype(jnp.float32)
+                * tcfg.query_pre_attn_scalar**-0.5
             )
-        )(ck_l.transpose(0, 2, 1, 3), k_new, position)
-        vv = jax.vmap(
-            lambda c, n, p: jax.lax.dynamic_update_slice(
-                c, n[None], (p, 0, 0)
-            )
-        )(cv_l.transpose(0, 2, 1, 3), v_new, position)
-        out = multi_head_attention(
-            q, kk.astype(compute_dtype), vv.astype(compute_dtype), mask,
-            scale=tcfg.query_pre_attn_scalar**-0.5,
-            logit_softcap=tcfg.attn_logit_softcap,
-        )
-        attn = qmatmul(out.reshape(M, 1, Nq * D).astype(compute_dtype), lp["attn"]["o"])
+            ks = ks_l.reshape(Nkv, M, S).transpose(1, 0, 2)[:, :, None, :]
+            vs = vs_l.reshape(Nkv, M, S).transpose(1, 0, 2)[:, :, None, :]
+            logits = jnp.einsum(
+                "mhgd,mhsd->mhgs", qf, ck_l.astype(jnp.float32)
+            ) * ks
+            self_l = jnp.sum(
+                qf * k_new.astype(jnp.float32)[:, :, None, :], axis=-1
+            )[..., None]  # (M, Nkv, G, 1)
+            cap = tcfg.attn_logit_softcap
+            if cap:
+                logits = jnp.tanh(logits / cap) * cap
+                self_l = jnp.tanh(self_l / cap) * cap
+            col_ok = (
+                jnp.arange(S, dtype=jnp.int32)[None, :] < position[:, None]
+            )[:, None, None, :]  # strict <: the self term covers slot pos
+            logits = jnp.where(col_ok, logits, -1e30)
+            mx = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), self_l)
+            e = jnp.exp(logits - mx)
+            e_self = jnp.exp(self_l - mx)
+            denom = jnp.sum(e, axis=-1, keepdims=True) + e_self
+            out = jnp.einsum(
+                "mhgs,mhsd->mhgd", (e / denom) * vs, cv_l.astype(jnp.float32)
+            ) + (e_self / denom) * v_new.astype(jnp.float32)[:, :, None, :]
+            out = out.reshape(M, 1, Nq * D)
+        else:
+            k_new = k[:, 0].astype(cache_k.dtype)  # (M, Nkv, D)
+            v_new = v[:, 0].astype(cache_v.dtype)
+            # keys/values: cache in (M, S, Nkv, D) with the current token
+            # scattered in at each row's slot (the caller re-scatters into
+            # the persistent state; this local write only feeds the
+            # attention)
+            kk = jax.vmap(
+                lambda c, n, p: jax.lax.dynamic_update_slice(
+                    c, n[None], (p, 0, 0)
+                )
+            )(ck_l.transpose(0, 2, 1, 3), k_new, position)
+            vv = jax.vmap(
+                lambda c, n, p: jax.lax.dynamic_update_slice(
+                    c, n[None], (p, 0, 0)
+                )
+            )(cv_l.transpose(0, 2, 1, 3), v_new, position)
+            out = multi_head_attention(
+                q, kk.astype(compute_dtype), vv.astype(compute_dtype), mask,
+                scale=tcfg.query_pre_attn_scalar**-0.5,
+                logit_softcap=tcfg.attn_logit_softcap,
+            ).reshape(M, 1, Nq * D)
+        attn = qmatmul(out.astype(compute_dtype), lp["attn"]["o"])
         h = h + gemma2_mod.rms_norm(lp["post_attn_norm"], attn[:, 0], eps)
         mlp = gemma2_mod._mlp_block(lp["mlp"], h[:, None, :], lp["pre_ffn_norm"], eps)
         h = h + gemma2_mod.rms_norm(lp["post_ffn_norm"], mlp[:, 0], eps)
         return h, (k_new, v_new)
 
-    h, (k_news, v_news) = jax.lax.scan(layer, h0, (layers, cache_k, cache_v))
+    xs = (
+        (layers, cache_k, cache_v, cache_k_scale, cache_v_scale)
+        if kv_quant
+        else (layers, cache_k, cache_v)
+    )
+    h, (k_news, v_news) = jax.lax.scan(layer, h0, xs)
     hidden = gemma2_mod.rms_norm(lm_params["final_norm"], h, eps)
     return hidden.astype(jnp.bfloat16), k_news, v_news
 
@@ -1010,7 +1073,7 @@ def decode_steps_serving(
 
     use_fused=False swaps the Pallas kernel for xla_decode_step (the
     GSPMD-partitionable einsum twin) — mesh-sharded split serving uses it
-    (bf16 KV only; trace the caller under ops/quant.xla_matmuls)."""
+    (bf16 or int8 KV; trace the caller under ops/quant.xla_matmuls)."""
     from ..ops.decode_step import fused_decode_step
     from ..ops.quant import qmatmul
 
@@ -1018,11 +1081,6 @@ def decode_steps_serving(
     B = state["tok"].shape[0]
     S = state["k"].shape[3]
     kv_bits = 8 if "k_scale" in state else None
-    if not use_fused and kv_bits:
-        raise ValueError(
-            "use_fused=False serves the bf16 KV state only (int8 KV scales "
-            "are a fused-kernel layout) — init_serving_state(kv_bits=None)"
-        )
     if token_range is not None:
         begin, size = token_range
         head, offset = _slice_head(params["lm"], begin, size), begin
@@ -1046,6 +1104,7 @@ def decode_steps_serving(
         else:
             hidden, k_new, v_new = xla_decode_step(
                 params["lm"], tcfg, x, st["k"], st["v"], st["pos"], st["pos"] + 1,
+                cache_k_scale=st.get("k_scale"), cache_v_scale=st.get("v_scale"),
                 compute_dtype=compute_dtype,
             )
         nxt = (

@@ -103,7 +103,8 @@ class _Programs:
     over the model axis (the single-device Pallas kernels would be wrapped
     in all-gathers); the persistent KV state shards over kv heads."""
 
-    def __init__(self, policy, *, n_slots, cache_len, n_tokens, decode_block):
+    def __init__(self, policy, *, n_slots, cache_len, n_tokens, decode_block,
+                 kv_bits=None):
         from ..models import spatialvla as model
 
         self.policy = policy
@@ -112,6 +113,7 @@ class _Programs:
         self.cache_len = cache_len
         self.n_tokens = n_tokens
         self.decode_block = decode_block
+        self.kv_bits = kv_bits
         self.mesh = getattr(policy, "mesh", None)
         self.interpret = (
             self.mesh is None and jax.devices()[0].platform == "cpu"
@@ -129,12 +131,16 @@ class _Programs:
 
         return xla_matmuls() if self.mesh is not None else contextlib.nullcontext()
 
-    def _kv_sharding(self):
+    def _kv_sharding(self, key="k"):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        # (L, n_slots, Nkv, S, D): kv heads over the model axis — the same
-        # head split the TP attention math produces, so decode touches only
-        # its local heads and admission scatters stay local per shard
+        # "k"/"v" (L, n_slots, Nkv, S, D): kv heads over the model axis —
+        # the same head split the TP attention math produces, so decode
+        # touches only its local heads and admission scatters stay local
+        # per shard. The int8 caches' per-slot scales live pre-flattened
+        # (L, Nkv, 1, n_slots*S) and shard over the same kv-head axis.
+        if key in ("k_scale", "v_scale"):
+            return NamedSharding(self.mesh, P(None, "model", None, None))
         return NamedSharding(self.mesh, P(None, None, "model", None, None))
 
     def _constrain_state(self, kv, small):
@@ -142,10 +148,10 @@ class _Programs:
             return kv, small
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        kv_sh = self._kv_sharding()
         rep = NamedSharding(self.mesh, P())
         kv = {
-            k: jax.lax.with_sharding_constraint(v, kv_sh) for k, v in kv.items()
+            k: jax.lax.with_sharding_constraint(v, self._kv_sharding(k))
+            for k, v in kv.items()
         }
         small = {
             k: jax.lax.with_sharding_constraint(v, rep) for k, v in small.items()
@@ -155,7 +161,7 @@ class _Programs:
     def init_state(self):
         st = self.model.init_serving_state(
             self.policy.config, self.n_slots, self.cache_len, self.n_tokens,
-            kv_bits=self.policy.kv_bits,
+            kv_bits=self.kv_bits,
         )
         kv_keys = ("k", "v", "k_scale", "v_scale")
         kv = {k: st[k] for k in kv_keys if k in st}
@@ -163,9 +169,8 @@ class _Programs:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            kv_sh = self._kv_sharding()
             rep = NamedSharding(self.mesh, P())
-            kv = {k: jax.device_put(v, kv_sh) for k, v in kv.items()}
+            kv = {k: jax.device_put(v, self._kv_sharding(k)) for k, v in kv.items()}
             small = {k: jax.device_put(v, rep) for k, v in small.items()}
         return kv, small
 
@@ -187,7 +192,7 @@ class _Programs:
                         compute_dtype=policy.compute_dtype,
                         token_range=self.token_range,
                         depth_image_size=policy.depth_image_size,
-                        kv_bits=policy.kv_bits,
+                        kv_bits=self.kv_bits,
                     )
 
             self._prefill_cache[key] = fn
@@ -258,8 +263,12 @@ class SplitServingEngine:
     (policy.shard(n_model=...)): the same engine runs the partitionable XLA
     programs under GSPMD — persistent KV sharded over kv heads, each decode
     step streaming 1/n of the weight bytes per chip (split-phase slot
-    amortization and TP aggregate-bandwidth scaling compose); kv_bits is
-    fused-path-only and rejected under a mesh.
+    amortization and TP aggregate-bandwidth scaling compose). int8 KV
+    (kv_bits=8) stacks with both: single-device via the fused kernel's
+    quantized cache, mesh-sharded via xla_decode_step's code-domain
+    attention — pass kv_bits here (policy.shard() keeps rejecting
+    policy-level kv_bits because the MONOLITHIC mesh predict path has no
+    int8-cache decode; the engine owns the knob under a mesh).
 
     Usage mirrors ServingEngine:
         engine = SplitServingEngine(policy)
@@ -282,6 +291,7 @@ class SplitServingEngine:
         prefill_min_free: int = 0,
         prefill_wait_ms: float = 0.0,
         prefill_quiet_ms: float = 0.0,
+        kv_bits: Optional[int] = None,  # None = inherit policy.kv_bits
     ):
         lm_layers = policy.params["lm"]["layers"]
         mesh = getattr(policy, "mesh", None)
@@ -293,13 +303,11 @@ class SplitServingEngine:
                 "whole-LM kernel. (Mesh-sharded policies may also serve "
                 "bf16 — their decode is the partitionable XLA step.)"
             )
-        if mesh is not None and policy.kv_bits:
-            # policy.shard() already rejects this; defend against callers
-            # assembling the policy by hand
-            raise ValueError(
-                "kv_bits is a fused-decode-path layout; mesh-sharded split "
-                "serving runs the XLA decode step — quantize(kv_bits=None)"
-            )
+        self.kv_bits = (
+            getattr(policy, "kv_bits", None) if kv_bits is None else (kv_bits or None)
+        )
+        if self.kv_bits not in (None, 8):
+            raise ValueError(f"kv_bits={self.kv_bits}: only 8 (or None)")
         if not 1 <= n_slots <= 16:
             raise ValueError("n_slots must be in [1, 16] (the fused kernel "
                              "unrolls its attention loop per batch row)")
@@ -358,6 +366,7 @@ class SplitServingEngine:
         self._programs = _Programs(
             policy, n_slots=n_slots, cache_len=self.cache_len,
             n_tokens=self.n_tokens, decode_block=decode_block,
+            kv_bits=self.kv_bits,
         )
         self._kv, self._small = self._programs.init_state()
 

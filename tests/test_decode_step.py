@@ -334,8 +334,8 @@ def test_xla_decode_step_matches_fused(qparams):
     """models/spatialvla.xla_decode_step (the GSPMD-partitionable twin the
     mesh-sharded split engine decodes through) tracks the fused Pallas step
     on the same per-row-position serving batch — hidden state and new k/v
-    rows within the cross-program bf16 envelope. int8-KV configs are a
-    fused-path layout, so the XLA twin is compared on the bf16 cache."""
+    rows within the cross-program bf16 envelope (bf16 cache; the int8-KV
+    twin is compared in test_xla_decode_step_matches_fused_int8_cache)."""
     from spatialvla_tpu.models.spatialvla import xla_decode_step
 
     Smax, M = 16, 3
@@ -395,17 +395,82 @@ def test_fused_step_rejects_broken_scale_layout(qparams):
         )
 
 
-def test_xla_decode_step_rejects_int8_cache(qparams):
+def test_xla_decode_step_int8_requires_flat_scales(qparams):
+    """An int8 cache without the kernel's pre-flattened (L, Nkv, 1, M*S)
+    per-slot scales fails loudly at trace time — codes without scales (or
+    scales in the legacy (L, M, Nkv, S) layout) would silently mis-weight
+    every attention row otherwise."""
     from spatialvla_tpu.models.spatialvla import xla_decode_step
     from spatialvla_tpu.ops.quant import quantize_kv
 
     _, cache, rng = prefill(qparams, 1, 5, 16)
-    ck, _ = quantize_kv(jnp.transpose(cache["k"], (0, 1, 3, 2, 4)))
-    cv, _ = quantize_kv(jnp.transpose(cache["v"], (0, 1, 3, 2, 4)))
+    ck, ks = quantize_kv(jnp.transpose(cache["k"], (0, 1, 3, 2, 4)))
+    cv, vs = quantize_kv(jnp.transpose(cache["v"], (0, 1, 3, 2, 4)))
     x = jnp.asarray(rng.randn(1, CFG.hidden_size).astype(np.float32))
     lm = {"layers": qparams["layers"], "final_norm": qparams["final_norm"]}
-    with pytest.raises(AssertionError, match="bf16 cache"):
+    with pytest.raises(AssertionError, match="per-slot scales"):
         xla_decode_step(lm, CFG, x, ck, cv, jnp.int32(5), jnp.int32(6))
+    with pytest.raises(AssertionError, match="per-slot scales"):
+        # legacy layout (not pre-flattened) is rejected too
+        xla_decode_step(
+            lm, CFG, x, ck, cv, jnp.int32(5), jnp.int32(6),
+            cache_k_scale=ks, cache_v_scale=vs,
+        )
+
+
+def test_xla_decode_step_matches_fused_int8_cache(qparams):
+    """xla_decode_step's code-domain int8-KV attention (logits * k_scale
+    after the q.K dot, probs * v_scale before the V dot — the fused
+    kernel's association, ops/decode_step.py:289-314) tracks the fused
+    Pallas step on the same quantized cache: mesh-sharded split serving
+    decodes through this path when kv_bits=8."""
+    from spatialvla_tpu.models.spatialvla import xla_decode_step
+    from spatialvla_tpu.ops.decode_step import flatten_kv_scales
+    from spatialvla_tpu.ops.quant import quantize_kv
+
+    Smax, M = 16, 3
+    lens = [6, 4, 5]
+    rows = [prefill(qparams, 1, p, Smax, seed=70 + i) for i, p in enumerate(lens)]
+    xs = [
+        jnp.asarray(r[2].randn(1, CFG.hidden_size).astype(np.float32)).astype(
+            jnp.bfloat16
+        )
+        for r in rows
+    ]
+    normalizer = jnp.asarray(CFG.hidden_size**0.5, dtype=jnp.bfloat16)
+    ck_bf = jnp.concatenate(
+        [jnp.transpose(c["k"], (0, 1, 3, 2, 4)) for _, c, _ in rows], axis=1
+    )
+    cv_bf = jnp.concatenate(
+        [jnp.transpose(c["v"], (0, 1, 3, 2, 4)) for _, c, _ in rows], axis=1
+    )
+    ck, ks = quantize_kv(ck_bf)
+    cv, vs = quantize_kv(cv_bf)
+    ks_flat, vs_flat = flatten_kv_scales(ks), flatten_kv_scales(vs)
+    x_all = jnp.concatenate(xs, axis=0) * normalizer
+    pos = jnp.asarray(lens, jnp.int32)
+
+    lm = {"layers": qparams["layers"], "final_norm": qparams["final_norm"]}
+    h_x, k_x, v_x = xla_decode_step(
+        lm, CFG, x_all, ck, cv, pos, pos + 1,
+        cache_k_scale=ks_flat, cache_v_scale=vs_flat,
+    )
+    h_f, k_f, v_f = fused_decode_step(
+        qparams, CFG, x_all, ck, cv, pos, pos + 1,
+        cache_k_scale=ks_flat, cache_v_scale=vs_flat, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_x, np.float32), np.asarray(h_f, np.float32),
+        atol=0.06, rtol=0.02,
+    )
+    # new k/v rows leave both paths in bf16 for the caller to re-quantize
+    assert k_x.dtype == jnp.bfloat16 and k_f.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(k_x, np.float32), np.asarray(k_f, np.float32), atol=0.02
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_x, np.float32), np.asarray(v_f, np.float32), atol=0.02
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -207,16 +207,83 @@ def test_tp_split_engine_token_parity(ckpt_dir, quant):
             np.testing.assert_array_equal(o["action_ids"], r["action_ids"])
 
 
-def test_tp_split_engine_rejects_kv_bits(ckpt_dir):
+def test_tp_split_engine_kv8_token_parity(ckpt_dir, monkeypatch):
+    """int8 KV composes with TP split serving: the mesh engine
+    (xla_decode_step's code-domain attention — logits * k_scale, probs *
+    v_scale, mirroring the fused kernel's association) emits the same
+    tokens as the single-device engine (fused kernel's quantized cache) —
+    the repo's three serving levers (persistent-slot amortization,
+    model-axis weight streaming, halved cache bytes) stack. The int8
+    persistent cache shards over kv heads; its pre-flattened per-slot
+    scales shard over the same axis."""
     from spatialvla_tpu.serve.split_engine import SplitServingEngine
 
-    p = _widen_window(_policy(ckpt_dir)).quantize(bits=8, kv_bits=8)
-    p.mesh = "hand-built-mesh-sentinel"  # simulate a hand-sharded policy
-    # that dodged shard()'s own kv_bits guard (the check fires before the
-    # mesh is ever used)
-    with pytest.raises(ValueError, match="kv_bits"):
-        SplitServingEngine(p, n_slots=2, max_prompt_len=64,
-                           prompt_pad_multiple=16)
+    def mk(shard):
+        p = _widen_window(_policy(ckpt_dir)).quantize(bits=8, vision_bits=8)
+        if shard:
+            p.shard(n_model=2)
+        return p
+
+    from tests.test_split_serving import _assert_flip_margin_small
+
+    rng = np.random.RandomState(5)
+    img = _image(rng, mk(False))
+    instrs = ["pick up the cup", "go", "push the plate left"]
+
+    # margin reference: the monolithic fused kv8 path (policy-level
+    # kv_bits rides the single-device fused kernel). Exact cross-PROGRAM
+    # parity is not assertable on this random near-flat checkpoint — the
+    # TP psum reorders f32 accumulation and XLA fuses the standalone
+    # decode program differently — so the contract is the calibrated one
+    # from test_split_serving: any flip vs the monolithic sequence must
+    # sit at a near-tie argmax margin, and most sequences match outright.
+    import functools
+
+    from spatialvla_tpu.models import spatialvla as sv
+    from spatialvla_tpu.ops import decode_step as ds
+
+    mono = _widen_window(_policy(ckpt_dir)).quantize(
+        bits=8, vision_bits=8, kv_bits=8
+    )
+    with monkeypatch.context() as m:
+        # kv_bits rides the fused decode path, which auto-disables on CPU:
+        # force it in interpret mode for the margin reference (the
+        # test_spatialvla.py:259 pattern)
+        m.setattr(ds, "fused_decode_step",
+                  functools.partial(ds.fused_decode_step, interpret=True))
+        m.setattr(sv, "predict_action",
+                  functools.partial(sv.predict_action, use_fused_decode=True))
+        exps = [
+            mono.predict(img, s, unnorm_key=UNNORM, return_margins=True)
+            for s in instrs
+        ]
+
+    tp = mk(True)
+    assert tp.kv_bits is None  # engine-level knob under a mesh
+    with SplitServingEngine(
+        tp, n_slots=4, max_prompt_len=64, prompt_pad_multiple=16,
+        decode_block=2, kv_bits=8,
+    ) as eng:
+        assert eng._kv["k"].dtype == jnp.int8
+        assert eng._kv["k"].sharding.spec == P(None, None, "model", None, None)
+        assert eng._kv["k_scale"].sharding.spec == P(None, "model", None, None)
+        outs = [eng.predict(img, s, unnorm_key=UNNORM) for s in instrs]
+
+    single = mk(False)
+    with SplitServingEngine(
+        single, n_slots=4, max_prompt_len=64, prompt_pad_multiple=16,
+        decode_block=2, kv_bits=8,
+    ) as eng1:
+        assert eng1._kv["k"].dtype == jnp.int8
+        outs1 = [eng1.predict(img, s, unnorm_key=UNNORM) for s in instrs]
+
+    for engine_outs in (outs, outs1):
+        full = 0
+        for o, exp in zip(engine_outs, exps):
+            # first token: prefill + head numerics, no greedy conditioning
+            assert o["action_ids"][0] == exp["action_ids"][0]
+            full += int(_assert_flip_margin_small(o["action_ids"], exp))
+        assert full >= 2
 
 
 # ---------------------------------------------------------------------------
