@@ -126,4 +126,12 @@ run serve_16c_split_128_s300 _X=1 -- python scripts/bench_serve.py \
 run serve_16c_split_256 _X=1 -- python scripts/bench_serve.py \
     --clients 16 --requests 16 $SPLIT_FLAGS
 
+# int8 KV cache on the fused decode path: cache reads are ~1/3 of decode
+# HBM traffic at 16 slots, so kv8 should cut the decode floor ~1/6; the
+# r4 crash class is covered by the bench.py smoke matrix now
+run serve_16c_split_128_kv8 _X=1 -- python scripts/bench_serve.py \
+    --clients 16 --requests 8 $SPLIT_FLAGS --kv_bits 8
+run serve_16c_split_64_kv8 _X=1 -- python scripts/bench_serve.py \
+    --clients 16 --requests 4 $SPLIT_FLAGS --kv_bits 8
+
 echo "sweep complete -> $OUT"
