@@ -333,12 +333,20 @@ class SplitServingEngine:
         # device time, so group size is a first-order throughput lever).
         # 0 disables; an idle engine always admits immediately regardless.
         self.prefill_min_free = min(prefill_min_free, n_slots)
-        # idle-burst gather: an IDLE engine (no decode in flight — nothing
-        # to stall) holds its first arrival up to this long so a closed-loop
-        # client burst (N clients resubmitting after a retirement wave)
-        # forms one large prefill group instead of a ragged run of tiny
-        # ones. Complements prefill_min_free, which only defers while
-        # decode work is in flight. 0 disables (admit-on-first-arrival).
+        # burst gather: a COVERED engine holds its first arrival up to this
+        # long so a closed-loop client burst (N clients resubmitting after
+        # a retirement wave) forms one large prefill group instead of a
+        # ragged run of tiny ones. Covered = idle (no decode in flight —
+        # nothing to stall) OR run-ahead dispatches are still enqueued
+        # (the device chews those while the host waits, so the wait is
+        # free device-side). The run-ahead case matters under saturation:
+        # host-side retirements run up to max_ahead dispatches ahead of
+        # the device, so clients' resubmissions lag the host's admission
+        # points and un-windowed gathers form small cohorts that lock in
+        # (measured 32c: mean_prefill_rows 6.92 vs 16.0 phase-locked —
+        # MEASURE_ROUND5). Complements prefill_min_free, which only
+        # defers while decode work is in flight. 0 disables
+        # (admit-on-first-arrival).
         self.prefill_wait_ms = prefill_wait_ms
         # adaptive early-close for the gather window: if > 0, the window
         # closes once no arrival lands for this long (prefill_wait_ms stays
@@ -602,12 +610,13 @@ class SplitServingEngine:
         """Drain up to max_n compatible queued requests without waiting
         (decode work continues between dispatches — under load the queue
         accumulates during them, so batching needs no artificial delay).
-        With block=True (engine idle), wait for the first arrival, then —
-        if prefill_wait_ms is set — keep gathering the burst until the
-        window closes or the group fills (idle: there is no decode work
-        this wait could stall). With prefill_quiet_ms also set, the window
-        closes early once arrivals stop for that long (wait_ms stays the
-        hard cap)."""
+        With block=True (engine idle), wait for the first arrival. When the
+        wait is COVERED — engine idle, or run-ahead decode dispatches still
+        enqueued for the device (host waiting costs nothing device-side) —
+        and prefill_wait_ms is set, keep gathering the burst until the
+        window closes or the group fills. With prefill_quiet_ms also set,
+        the window closes early once arrivals stop for that long (wait_ms
+        stays the hard cap)."""
         group: List[_Request] = []
         gather_until: Optional[float] = None
         cap_until: Optional[float] = None
@@ -632,7 +641,7 @@ class SplitServingEngine:
                     continue
             if r is None:  # shutdown wakeup
                 break
-            if block and not group and self.prefill_wait_ms > 0:
+            if (block or self._ahead) and not group and self.prefill_wait_ms > 0:
                 now = time.monotonic()
                 if cap_until is None:
                     # anchored to the FIRST arrival only: if that request is
