@@ -761,6 +761,23 @@ class SplitServingEngine:
                 idle = not self._slot_req
                 if self._stop.is_set() and idle and not self._pending and self._queue.empty():
                     break
+                if idle and self._ahead and self.prefill_wait_ms > 0:
+                    # drain the run-ahead backlog before gathering:
+                    # host-side idle still leaves up to max_ahead
+                    # dispatches executing device-side, and their clients
+                    # resubmit only after the completer resolves them —
+                    # gathering now would catch only the earlier cohort's
+                    # resubmissions and re-split the convoy (measured:
+                    # 16c/128 sustained mean_prefill_rows 9.85 without
+                    # this drain vs 16.0 phase-locked, MEASURE_ROUND5).
+                    # Costs host wait exactly while the device finishes
+                    # real work; window-disabled engines keep the old
+                    # eager-gather behavior.
+                    t0 = time.monotonic()
+                    while self._ahead:
+                        np.asarray(self._ahead.popleft())
+                    with self._lock:
+                        self._stats["t_ahead"] += time.monotonic() - t0
                 group: List[_Request] = []
                 if idle or len(self._free) >= self.prefill_min_free:
                     t0 = time.monotonic()
